@@ -1,0 +1,96 @@
+"""Frozen configuration dataclasses mirroring the reference's weights/tiers.
+
+Reference provenance:
+- FeatureWeights values: /root/reference internal/match/types.go:76-91
+- MatchTiers values:     internal/match/types.go:49-57
+- Blocking knobs are new (the reference used pg_trgm GIN indexes as its
+  blocking structure, internal/match/generator.go:209-249; we use
+  MinHash-LSH band keys + domain-prefix keys per the north rule).
+
+All configs are frozen so they can be captured by Ray tasks/actors and
+hashed into lineage manifests without mutation hazards.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class FeatureWeights:
+    """Linear-blend scoring weights (internal/match/types.go:76-91)."""
+
+    trigram_similarity: float = 0.45
+    embedding_cosine: float = 0.45
+    locality_overlap: float = 0.05
+    street_overlap: float = 0.05
+    same_house_number: float = 0.08
+    same_house_alpha: float = 0.02
+    usrn_match: float = 0.04
+    llpg_live: float = 0.03
+    legacy_uprn_valid: float = 0.20
+    spatial_boost_max: float = 0.10
+    descriptor_penalty: float = -0.05
+    phonetic_miss_penalty: float = -0.03
+
+
+@dataclass(frozen=True)
+class MatchTiers:
+    """Decision thresholds + winner margin (internal/match/types.go:49-57,
+    decision logic internal/match/scorer.go:142-198)."""
+
+    auto_accept_high: float = 0.92
+    auto_accept_medium: float = 0.88
+    review_threshold: float = 0.80
+    min_threshold: float = 0.70
+    winner_margin: float = 0.03
+
+
+@dataclass(frozen=True)
+class BlockingConfig:
+    """MinHash-LSH + composite-key blocking knobs.
+
+    The reference blocks candidates with a trigram GIN index limited to
+    top-50 (internal/match/generator.go:209-249) plus component-equality
+    keys (internal/matcher/engine_components_fixed.go:201-241).  We block
+    with (a) exact canonical-hash keys, (b) MinHash-LSH band keys over
+    token/char shingles, (c) optional domain-prefix keys — all emitted by
+    flat_map and shuffled with one groupby.
+    """
+
+    num_perm: int = 64          # minhash permutations
+    num_bands: int = 16         # LSH bands; rows_per_band = num_perm // num_bands
+    shingle_size: int = 3       # token n-gram size for shingles
+    char_shingles: bool = True  # shingle over chars (True) or tokens (False)
+    seed: int = 42
+    max_block_size: int = 64    # blocks above this get salted/subdivided
+    max_pairs_per_block: int = 2016  # C(64,2): pair budget per (possibly salted) block
+    use_domain_key: bool = False  # also emit normalized-domain prefix keys
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.num_perm // self.num_bands
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """End-to-end flagship pipeline config; hashed into manifests."""
+
+    weights: FeatureWeights = field(default_factory=FeatureWeights)
+    tiers: MatchTiers = field(default_factory=MatchTiers)
+    blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    score_batch_size: int = 8192
+    normalize_batch_size: int = 4096
+    max_cluster_iters: int = 25   # label-prop fixpoint bound (O(log n) typical)
+    scorer_concurrency: tuple[int, int] = (1, 8)  # (min, max) actor pool size
+
+    def config_hash(self) -> str:
+        """Stable hash of the whole config for lineage manifests."""
+        d = asdict(self)
+        blob = json.dumps(d, sort_keys=True, default=str).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,1 @@
+"""Pure scalar + vectorized kernels used inside map_batches stages."""

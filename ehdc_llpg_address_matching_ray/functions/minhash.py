@@ -1,0 +1,123 @@
+"""MinHash signatures + LSH band keys — the blocking structure.
+
+This replaces the reference's pg_trgm GIN index blocking
+(internal/match/generator.go:209-249, index DDL
+ADDRESS_MATCHING_ALGORITHM.md:401-410) with MinHash-LSH band keys emitted
+per row and shuffled with one ``groupby(block_key)`` — the north-rule
+design.  Everything is vectorized numpy; no per-shingle hashlib calls.
+
+Scheme:
+- shingles: char 3-grams (default) packed into uint64 by byte values, or
+  token 3-grams folded from crc32 token hashes.
+- signature: num_perm universal hashes h_j(x) = (a_j*x + b_j) mod p over
+  the shingle set, minimized (p = 2^61-1; operands sized so products fit
+  in uint64).
+- band keys: FNV-style fold of each band's signature rows, salted with
+  the band index so keys never collide across bands.
+
+Rows with identical band keys land in the same block; Jaccard-similar
+texts share at least one band key with probability 1-(1-s^r)^b.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_P = np.uint64((1 << 61) - 1)  # Mersenne prime 2^61-1
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def make_perms(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded universal-hash parameters (a odd in [1, 2^39), b in [0, p))."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 39, size=num_perm).astype(np.uint64) | np.uint64(1)
+    b = rng.randint(0, 1 << 61, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def char_shingles(text: str, k: int = 3) -> np.ndarray:
+    """Distinct char k-gram codes of a UTF-8 string, as uint64.
+
+    Each k-gram is the big-endian packing of its k bytes (k ≤ 8), so
+    codes are < 2^(8k) and the universal hash stays overflow-safe for
+    k ≤ 3 with 39-bit multipliers... for larger k we fold mod p first.
+    """
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    if len(b) < k:
+        if len(b) == 0:
+            return np.empty(0, dtype=np.uint64)
+        # pad short strings so they still emit one shingle
+        b = np.pad(b, (0, k - len(b)))
+    windows = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    shifts = (np.arange(k - 1, -1, -1, dtype=np.uint64)) * np.uint64(8)
+    codes = (windows << shifts).sum(axis=1, dtype=np.uint64)
+    return np.unique(codes)
+
+
+def token_shingles(tokens: list[str], k: int = 3) -> np.ndarray:
+    """Distinct token k-gram codes folded from crc32 token hashes."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    h = np.array([zlib.crc32(t.encode("utf-8")) for t in tokens], dtype=np.uint64)
+    if len(h) < k:
+        h = np.pad(h, (0, k - len(h)), constant_values=np.uint64(0x9E3779B9))
+    windows = np.lib.stride_tricks.sliding_window_view(h, k)
+    acc = np.full(len(windows), _FNV_OFFSET, dtype=np.uint64)
+    for j in range(k):
+        acc = (acc ^ windows[:, j]) * _FNV_PRIME
+    return np.unique(acc)
+
+
+def minhash_signature(shingle_codes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_perm,) uint64 signature; empty shingle set -> all p (sentinel)."""
+    if len(shingle_codes) == 0:
+        return np.full(len(a), _P, dtype=np.uint64)
+    # fold codes below 2^24 so a*x fits in uint64 (a < 2^40, x < 2^24)
+    x = (shingle_codes % np.uint64((1 << 24) - 59))[None, :]  # (1, n)
+    hashed = (a[:, None] * x + b[:, None]) % _P               # (num_perm, n)
+    return hashed.min(axis=1)
+
+
+def band_keys(sig: np.ndarray, num_bands: int) -> np.ndarray:
+    """(num_bands,) uint64 block keys: FNV fold of each band, salted by
+    the band index."""
+    rows = len(sig) // num_bands
+    bands = sig[: num_bands * rows].reshape(num_bands, rows)
+    acc = _FNV_OFFSET + np.arange(1, num_bands + 1, dtype=np.uint64)
+    for j in range(rows):
+        acc = (acc ^ bands[:, j]) * _FNV_PRIME
+    # reserve top bit as "lsh" namespace so exact-hash keys never collide
+    return acc >> np.uint64(1)
+
+
+def batch_band_keys(
+    texts: list[str],
+    a: np.ndarray,
+    b: np.ndarray,
+    num_bands: int,
+    shingle_size: int = 3,
+    token_lists: list[list[str]] | None = None,
+) -> np.ndarray:
+    """(n_rows, num_bands) uint64 band-key matrix for a batch of texts.
+
+    If ``token_lists`` is given, shingles are token n-grams; else char
+    n-grams of the text.
+    """
+    n = len(texts)
+    out = np.empty((n, num_bands), dtype=np.uint64)
+    for i in range(n):
+        if token_lists is not None:
+            codes = token_shingles(token_lists[i], shingle_size)
+        else:
+            codes = char_shingles(texts[i] or "", shingle_size)
+        sig = minhash_signature(codes, a, b)
+        out[i] = band_keys(sig, num_bands)
+    return out
+
+
+def jaccard_estimate(sig1: np.ndarray, sig2: np.ndarray) -> float:
+    """MinHash Jaccard estimate (fraction of agreeing permutations)."""
+    return float(np.mean(sig1 == sig2))

@@ -1,0 +1,184 @@
+"""String similarity kernels — ports of the reference scalar library.
+
+Reference provenance (/root/reference):
+- JaroSimilarity        internal/match/features.go:365-426  (BYTE-wise, and
+  ``matches - transpositions/2`` uses Go INTEGER division — both quirks
+  preserved here; tests pin them)
+- LevenshteinDistance   internal/match/features.go:429-468  (byte-wise)
+- normalizedLevenshtein internal/match/features.go:163-181  (note: empty
+  input returns the raw byte length, NOT normalized — preserved)
+- cosineBagOfWords      internal/match/features.go:184-228
+- CosineSimilarity      internal/match/features.go:471-489  (float32 mul,
+  float64 accumulate)
+
+Production additions (north rule: Jaro-Winkler + token-set ratio +
+TF-IDF cosine for the web-scale pair scorer):
+- ``jaro_winkler`` — standard Winkler prefix boost over the ported Jaro.
+- ``token_set_ratio`` — Jaccard similarity over token sets.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+
+def jaro_similarity(s1: str, s2: str) -> float:
+    """Port of JaroSimilarity (features.go:365-426).
+
+    Operates on UTF-8 BYTES like the Go original (Go ``s[i]`` is a byte),
+    and keeps the integer-division transposition quirk
+    ``(matches - transpositions//2) / matches``.
+    """
+    if s1 == s2:
+        return 1.0
+    b1, b2 = s1.encode("utf-8"), s2.encode("utf-8")
+    len1, len2 = len(b1), len(b2)
+    if len1 == 0 or len2 == 0:
+        return 0.0
+
+    match_window = max(len1, len2) // 2 - 1
+    if match_window < 0:
+        match_window = 0
+
+    s1_matches = [False] * len1
+    s2_matches = [False] * len2
+    matches = 0
+
+    for i in range(len1):
+        start = max(0, i - match_window)
+        end = min(i + match_window + 1, len2)
+        c = b1[i]
+        for j in range(start, end):
+            if s2_matches[j] or c != b2[j]:
+                continue
+            s1_matches[i] = True
+            s2_matches[j] = True
+            matches += 1
+            break
+
+    if matches == 0:
+        return 0.0
+
+    transpositions = 0
+    k = 0
+    for i in range(len1):
+        if not s1_matches[i]:
+            continue
+        while not s2_matches[k]:
+            k += 1
+        if b1[i] != b2[k]:
+            transpositions += 1
+        k += 1
+
+    return (
+        matches / len1
+        + matches / len2
+        + (matches - transpositions // 2) / matches
+    ) / 3.0
+
+
+def levenshtein_distance(s1: str, s2: str) -> int:
+    """Port of LevenshteinDistance (features.go:429-468), byte-wise."""
+    if s1 == s2:
+        return 0
+    b1, b2 = s1.encode("utf-8"), s2.encode("utf-8")
+    len1, len2 = len(b1), len(b2)
+    if len1 == 0:
+        return len2
+    if len2 == 0:
+        return len1
+
+    prev = list(range(len2 + 1))
+    for i in range(1, len1 + 1):
+        cur = [i] + [0] * len2
+        c1 = b1[i - 1]
+        for j in range(1, len2 + 1):
+            cost = 0 if c1 == b2[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev = cur
+    return prev[len2]
+
+
+def normalized_levenshtein(s1: str, s2: str) -> float:
+    """Port of normalizedLevenshtein (features.go:163-181).
+
+    QUIRK preserved: when exactly one side is empty the Go code returns the
+    raw byte length of the other side (NOT divided by max length), so the
+    derived similarity ``1 - d`` can go negative; the final score clamp
+    (scorer.go:134) absorbs it.
+    """
+    if s1 == s2:
+        return 0.0
+    if s1 == "":
+        return float(len(s2.encode("utf-8")))
+    if s2 == "":
+        return float(len(s1.encode("utf-8")))
+    d = levenshtein_distance(s1, s2)
+    max_len = max(len(s1.encode("utf-8")), len(s2.encode("utf-8")))
+    return d / max_len
+
+
+def cosine_bag_of_words(tokens1: list[str], tokens2: list[str]) -> float:
+    """Port of cosineBagOfWords (features.go:184-228)."""
+    if not tokens1 and not tokens2:
+        return 1.0
+    if not tokens1 or not tokens2:
+        return 0.0
+    f1 = Counter(tokens1)
+    f2 = Counter(tokens2)
+    dot = sum(f1[t] * f2[t] for t in f1.keys() | f2.keys())
+    n1 = sum(v * v for v in f1.values())
+    n2 = sum(v * v for v in f2.values())
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    return dot / (math.sqrt(n1) * math.sqrt(n2))
+
+
+def trigram_similarity_approx(s1: str, s2: str) -> float:
+    """Port of FeatureComputer.trigramSimilarity (features.go:149-160):
+    the reference approximates pg_trgm similarity as Jaro × 0.9 when the
+    value did not come from SQL."""
+    if s1 == s2:
+        return 1.0
+    if s1 == "" or s2 == "":
+        return 0.0
+    return jaro_similarity(s1, s2) * 0.9
+
+
+# ---------------------------------------------------------------------------
+# Production scorer kernels (north rule)
+# ---------------------------------------------------------------------------
+
+def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1, max_prefix: int = 4) -> float:
+    """Jaro-Winkler over the ported (byte-wise) Jaro.
+
+    Standard Winkler boost: jw = j + l*p*(1-j) with common-prefix length
+    l ≤ 4 and p = 0.1.  (The reference names but never implements real
+    Jaro-Winkler — internal/normalize/enhanced.go:401-419 is a char
+    containment ratio; we implement the published algorithm instead and
+    use it in the production web-scale scorer.)
+    """
+    j = jaro_similarity(s1, s2)
+    if j >= 1.0:
+        return 1.0
+    b1, b2 = s1.encode("utf-8"), s2.encode("utf-8")
+    l = 0
+    for a, b in zip(b1[:max_prefix], b2[:max_prefix]):
+        if a != b:
+            break
+        l += 1
+    return j + l * prefix_weight * (1.0 - j)
+
+
+def token_set_ratio(tokens1: list[str] | set[str], tokens2: list[str] | set[str]) -> float:
+    """Jaccard similarity |A∩B| / |A∪B| over token sets (production
+    blocking/scoring kernel; the reference's one-sided variant is
+    ``normalize.token_overlap``)."""
+    a, b = set(tokens1), set(tokens2)
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)

@@ -1,0 +1,118 @@
+"""MinHash / LSH / SimHash / textstats kernel tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ehdc_llpg_address_matching_ray.functions import minhash as M
+from ehdc_llpg_address_matching_ray.functions import simhash as SH
+from ehdc_llpg_address_matching_ray.functions import textstats as TS
+
+
+class TestMinHash:
+    def setup_method(self):
+        self.a, self.b = M.make_perms(128, seed=42)
+
+    def test_deterministic(self):
+        a2, b2 = M.make_perms(128, seed=42)
+        assert np.array_equal(self.a, a2) and np.array_equal(self.b, b2)
+
+    def test_identical_texts_identical_signatures(self):
+        s1 = M.minhash_signature(M.char_shingles("12 HIGH STREET ALTON"), self.a, self.b)
+        s2 = M.minhash_signature(M.char_shingles("12 HIGH STREET ALTON"), self.a, self.b)
+        assert np.array_equal(s1, s2)
+
+    def test_jaccard_estimate_tracks_true_jaccard(self):
+        t1 = "the quick brown fox jumps over the lazy dog"
+        t2 = "the quick brown fox jumped over the lazy dog"
+        c1, c2 = M.char_shingles(t1), M.char_shingles(t2)
+        true_j = len(np.intersect1d(c1, c2)) / len(np.union1d(c1, c2))
+        s1 = M.minhash_signature(c1, self.a, self.b)
+        s2 = M.minhash_signature(c2, self.a, self.b)
+        assert M.jaccard_estimate(s1, s2) == pytest.approx(true_j, abs=0.15)
+
+    def test_similar_texts_share_band_keys(self):
+        s1 = M.minhash_signature(M.char_shingles("12 HIGH STREET ALTON HAMPSHIRE"), self.a, self.b)
+        s2 = M.minhash_signature(M.char_shingles("12 HIGH STREET ALTON HAMPSHIR"), self.a, self.b)
+        k1 = M.band_keys(s1, 32)
+        k2 = M.band_keys(s2, 32)
+        assert len(np.intersect1d(k1, k2)) > 0
+
+    def test_dissimilar_texts_share_no_band_keys(self):
+        s1 = M.minhash_signature(M.char_shingles("completely different content here"), self.a, self.b)
+        s2 = M.minhash_signature(M.char_shingles("12 HIGH STREET ALTON"), self.a, self.b)
+        assert len(np.intersect1d(M.band_keys(s1, 16), M.band_keys(s2, 16))) == 0
+
+    def test_empty_text(self):
+        sig = M.minhash_signature(M.char_shingles(""), self.a, self.b)
+        assert len(sig) == 128
+
+    def test_batch_band_keys_match_scalar(self):
+        texts = ["abc def ghi", "jkl mno pqr", ""]
+        mat = M.batch_band_keys(texts, self.a, self.b, num_bands=16)
+        for i, t in enumerate(texts):
+            sig = M.minhash_signature(M.char_shingles(t), self.a, self.b)
+            assert np.array_equal(mat[i], M.band_keys(sig, 16))
+
+    def test_token_shingles(self):
+        toks = ["A", "B", "C", "D"]
+        s1 = M.token_shingles(toks)
+        assert len(s1) == 2  # two 3-gram windows
+        assert np.array_equal(s1, M.token_shingles(toks))
+
+
+class TestSimHash:
+    def test_deterministic(self):
+        assert SH.simhash64(["a", "b", "c"]) == SH.simhash64(["a", "b", "c"])
+
+    def test_similar_lists_close_hamming(self):
+        t1 = "the quick brown fox jumps over the lazy dog extra words here".split()
+        t2 = "the quick brown fox jumped over the lazy dog extra words here".split()
+        t3 = "totally unrelated gibberish zebra quantum flux capacitor".split()
+        d_sim = SH.hamming64(SH.simhash64(t1), SH.simhash64(t2))
+        d_diff = SH.hamming64(SH.simhash64(t1), SH.simhash64(t3))
+        assert d_sim < d_diff
+
+    def test_empty(self):
+        assert SH.simhash64([]) == 0
+
+
+class TestTextStats:
+    def test_whitespace_token_count(self):
+        arr = pa.array(["a b c", "", "  x  ", "one"])
+        got = TS.whitespace_token_count(arr).to_pylist()
+        assert got == [3, 0, 1, 1]
+
+    def test_bpe_token_count(self):
+        arr = pa.array(["ab3 cd!", ""])
+        got = TS.bpe_token_count(arr).to_pylist()
+        assert got == [4, 0]  # ab, 3, cd, !
+
+    def test_quality_table(self):
+        arr = pa.array(["the quick brown fox is here for a test of quality", "x"])
+        q = TS.quality_table(arr)
+        assert q["n_tokens"].to_pylist()[0] == 11
+        assert 0.0 <= q["quality_score"].to_pylist()[0] <= 1.0
+
+    def test_detect_language(self):
+        assert TS.detect_language("the cat sat on the mat and it was good") == "en"
+        assert TS.detect_language("der hund ist nicht auf der couch und das ist gut") == "de"
+        assert TS.detect_language("le chat est sur la table et les livres du jour") == "fr"
+        assert TS.detect_language("el perro es una mascota por la casa con los gatos") == "es"
+        assert TS.detect_language("这是一个中文句子这是一个中文句子") == "zh"
+        assert TS.detect_language("") == "und"
+
+    def test_md5_hex(self):
+        import hashlib
+
+        got = TS.md5_hex(["abc"])
+        assert got == [hashlib.md5(b"abc").hexdigest()]
+
+    def test_winnow_deterministic_and_robust(self):
+        t = "the quick brown fox jumps over the lazy dog"
+        f1 = TS.winnow_fingerprint(t)
+        f2 = TS.winnow_fingerprint(t)
+        assert f1 == f2 and len(f1) > 0
+        assert TS.winnow_fingerprint("") == []
