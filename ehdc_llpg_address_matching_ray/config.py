@@ -68,10 +68,31 @@ class BlockingConfig:
     max_block_size: int = 64    # blocks above this get salted/subdivided
     max_pairs_per_block: int = 2016  # C(64,2): pair budget per (possibly salted) block
     use_domain_key: bool = False  # also emit normalized-domain prefix keys
+    prefix_tokens: int = 2      # extra composite key: first-K canonical tokens
+    use_prefix_key: bool = True  # J6-cascade analogue; rescues short texts whose
+                                 # shingle Jaccard falls below the LSH threshold
 
     @property
     def rows_per_band(self) -> int:
         return self.num_perm // self.num_bands
+
+
+@dataclass(frozen=True)
+class SymSpellConfig:
+    """ST1 — corpus-derived SymSpell correction (internal/symspell/types.go).
+
+    The reference ships Enabled:false by default (types.go); we default it
+    ON because the web-corpus F1 gate depends on typo-robust canonical
+    text (documented divergence).  The dictionary is fit on (a sample of)
+    unique canonical texts, capped at ``max_vocab`` terms, and broadcast
+    once via ray.put to the corrector actor pool.
+    """
+
+    enabled: bool = True
+    max_edit_distance: int = 2
+    min_term_length: int = 3
+    min_frequency: int = 2      # tokens rarer than this stay out of the dictionary
+    max_vocab: int = 100_000    # dictionary term cap (most frequent first)
 
 
 @dataclass(frozen=True)
@@ -81,6 +102,7 @@ class PipelineConfig:
     weights: FeatureWeights = field(default_factory=FeatureWeights)
     tiers: MatchTiers = field(default_factory=MatchTiers)
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
+    symspell: SymSpellConfig = field(default_factory=SymSpellConfig)
     score_batch_size: int = 8192
     normalize_batch_size: int = 4096
     max_cluster_iters: int = 25   # label-prop fixpoint bound (O(log n) typical)

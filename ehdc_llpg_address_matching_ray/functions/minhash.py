@@ -118,6 +118,17 @@ def batch_band_keys(
     return out
 
 
+def string_key(s: str) -> int:
+    """Deterministic 63-bit FNV-1a key of a string, namespaced with a
+    "PK:" prefix so composite prefix-token keys virtually never collide
+    with LSH band keys (a collision would only merge two blocks — extra
+    candidate pairs, never lost ones)."""
+    acc = int(_FNV_OFFSET)
+    for byte in b"PK:" + s.encode("utf-8"):
+        acc = ((acc ^ byte) * int(_FNV_PRIME)) & 0xFFFFFFFFFFFFFFFF
+    return acc >> 1
+
+
 def jaccard_estimate(sig1: np.ndarray, sig2: np.ndarray) -> float:
     """MinHash Jaccard estimate (fraction of agreeing permutations)."""
     return float(np.mean(sig1 == sig2))

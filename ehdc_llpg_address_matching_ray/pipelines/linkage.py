@@ -1,0 +1,290 @@
+"""The flagship linkage pipeline: normalize → block → score → decide →
+cluster → fact (SURVEY.md §3.1 mapped to Ray Data, §7 build plan).
+
+    pages ──map_batches(extract/normalize)──► normalized        (M1)
+          ──groupby(text_hash) exact dedup──► membership, reps  (J2/G3)
+    reps  ──flat_map LSH band keys──groupby──► candidate pairs  (J4)
+          ──actor-pool scorer──► scored pairs                   (P1/P2)
+          ──filter edges / per-source decide──► edges, decisions(P5/D2)
+    reps  ──label-prop union-find──► rep clusters               (G1→CC)
+    membership ⋈ clusters ⋈ decisions ──► fact table            (S6)
+
+Every wide operation is a keyed shuffle; the html column never crosses
+one (projected away in the head stage).  All stages stream — nothing
+materializes the full corpus on the driver except the capped idf
+vocabulary (fit on a sample, broadcast via ray.put).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import Counter
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Min
+
+from ..config import PipelineConfig
+from ..stages import blocking as B
+from ..stages import cluster as C
+from ..stages import correct as CR
+from ..stages import decide as D
+from ..stages import extract as X
+from ..stages import scoring as SC
+from .checkpoint import checkpoint, score_histogram
+
+
+def fit_idf_from_reps(
+    reps_ds: rd.Dataset,
+    sample_fraction: float = 1.0,
+    max_vocab: int = 200_000,
+    seed: int = 42,
+) -> tuple[dict[str, float], int]:
+    """Fit the idf dictionary on (a sample of) the representative texts.
+
+    At 100-TB scale the idf is fit on a small seeded sample and the
+    resulting bounded dict is broadcast once (ray.put) — never reshipped
+    per batch.  Returns (idf, n_docs_sampled).
+    """
+    ds = reps_ds.select_columns(["canonical"])
+    if sample_fraction < 1.0:
+        ds = ds.random_sample(sample_fraction, seed=seed)
+    df_counts: Counter[str] = Counter()
+    n_docs = 0
+    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        texts = batch["canonical"].to_pylist()
+        n_docs += len(texts)
+        for t in texts:
+            if t:
+                df_counts.update(set(t.split(" ")))
+    if len(df_counts) > max_vocab:
+        df_counts = Counter(dict(df_counts.most_common(max_vocab)))
+    return SC.fit_idf(dict(df_counts), max(1, n_docs)), max(1, n_docs)
+
+
+def run_linkage(
+    pages_ds: rd.Dataset,
+    cfg: PipelineConfig | None = None,
+    from_html: bool = False,
+    checkpoint_dir: str | None = None,
+    resume: bool = True,
+    idf_sample_fraction: float = 1.0,
+    cluster_driver_threshold: int = 200_000,
+) -> dict[str, rd.Dataset]:
+    """Run the full linkage DAG; returns the named stage Datasets.
+
+    ``from_html=True`` extracts text from the html column (the
+    byte-identity head stage); otherwise the carried ``text`` column is
+    normalized directly.
+    """
+    cfg = cfg or PipelineConfig()
+    chash = cfg.config_hash()
+
+    def ckpt(ds: rd.Dataset, name: str, extras=None) -> rd.Dataset:
+        """Checkpoint to parquet when a checkpoint_dir is given, else pin
+        the stage in the object store.  Either way the lineage is
+        truncated at every stage the DAG consumes more than once, so no
+        stage re-executes (the streaming executor otherwise replays the
+        whole upstream graph for every consumer)."""
+        if checkpoint_dir is None:
+            return ds.materialize()
+        return checkpoint(
+            ds, os.path.join(checkpoint_dir, name), chash, name, extras=extras, resume=resume
+        )
+
+    head_fn = X.extract_and_normalize if from_html else X.normalize_pages
+    normalized = pages_ds.map_batches(
+        head_fn, batch_format="pyarrow", batch_size=cfg.normalize_batch_size
+    )
+    normalized = ckpt(normalized, "01_normalized")
+
+    # ONE driver pass over (a sample of) unique canonical texts feeds both
+    # the SymSpell dictionary (ST1) and the idf vector (P1)
+    token_df, n_docs = CR.fit_token_df(
+        normalized, sample_fraction=idf_sample_fraction, seed=cfg.blocking.seed
+    )
+    if cfg.symspell.enabled:
+        sym = CR.build_symspell(token_df, cfg.symspell)
+        sym_ref = ray.put(sym)
+        normalized = CR.apply_symspell(
+            normalized, sym_ref, cfg.symspell,
+            concurrency=cfg.scorer_concurrency, batch_size=cfg.normalize_batch_size,
+        )
+        normalized = ckpt(normalized, "01b_corrected")
+        # remap the df vocabulary through the same corrector (driver-side,
+        # vocab-sized) so idf reflects corrected tokens without a second
+        # corpus pass
+        corrector = CR.SymSpellStage(sym, cfg.symspell)
+        remapped: Counter[str] = Counter()
+        for tok, f in token_df.items():
+            remapped[corrector._fix_token(tok)] += f
+        token_df = remapped
+
+    idf = SC.fit_idf(dict(token_df), n_docs)
+    idf_ref = ray.put(idf)
+
+    if n_docs == 1 and normalized.count() == 0:
+        # degenerate empty corpus: the hash-shuffle joins/groupbys
+        # downstream choke on zero-row inputs (schemaless empty
+        # partitions), so emit typed empty outputs directly
+        empty_membership = normalized.map_batches(
+            lambda b: b.append_column("rep_url", b["url"]), batch_format="pyarrow"
+        )
+        return _empty_outputs(normalized, empty_membership)
+
+    membership, reps = B.exact_groups(normalized)
+    membership = ckpt(membership, "02_membership")
+    reps = membership.filter(expr="url == rep_url")
+
+    reps_slim = reps.select_columns(["url", "text", "canonical"])
+    pairs = B.build_blocks(reps_slim, cfg.blocking)
+    pairs = ckpt(pairs, "03_pairs")
+
+    scored = SC.score_pairs(
+        pairs,
+        idf_ref=idf_ref,
+        n_docs=n_docs,
+        concurrency=cfg.scorer_concurrency,
+        batch_size=cfg.score_batch_size,
+    )
+    scored = ckpt(scored, "04_scored")
+    hist = score_histogram(scored) if checkpoint_dir is not None else None
+
+    edges = scored.filter(expr="is_edge == True").select_columns(["url_a", "url_b"])
+    decisions = D.decide(scored, cfg.tiers)
+    decisions = ckpt(decisions, "05_decisions")
+
+    nodes = reps.select_columns(["url"])
+    rep_clusters = C.connected_components(
+        nodes, edges, max_iters=cfg.max_cluster_iters, driver_threshold=cluster_driver_threshold
+    )
+    rep_clusters = ckpt(rep_clusters, "06_clusters")
+
+    fact = build_fact(membership, rep_clusters, decisions)
+    fact = ckpt(fact, "07_fact", extras=({"score_histogram": hist} if hist else None))
+
+    return {
+        "normalized": normalized,
+        "membership": membership,
+        "reps": reps,
+        "pairs": pairs,
+        "scored": scored,
+        "edges": edges,
+        "decisions": decisions,
+        "rep_clusters": rep_clusters,
+        "fact": fact,
+    }
+
+
+def _empty_outputs(normalized: rd.Dataset, membership: rd.Dataset) -> dict[str, rd.Dataset]:
+    """Typed empty stage outputs for a zero-row corpus."""
+    def t(schema: dict) -> rd.Dataset:
+        return rd.from_arrow(pa.table({k: pa.array([], v) for k, v in schema.items()}))
+
+    pair_cols = {
+        "url_a": pa.string(), "url_b": pa.string(),
+        "jaro_winkler": pa.float64(), "token_set_ratio": pa.float64(),
+        "tfidf_cosine": pa.float64(), "house_veto": pa.bool_(),
+        "score": pa.float64(), "is_edge": pa.bool_(), "dropped_pairs": pa.int64(),
+    }
+    fact_cols = {
+        "url": pa.string(), "canonical": pa.string(), "text_hash": pa.string(),
+        "cluster_id": pa.int64(), "cluster_rep_url": pa.string(),
+        "cluster_size": pa.int64(), "decision": pa.string(),
+        "top_score": pa.float64(), "is_exact_dup": pa.bool_(),
+    }
+    return {
+        "normalized": normalized,
+        "membership": membership,
+        "reps": membership,
+        "pairs": t({k: pair_cols[k] for k in ("url_a", "url_b", "dropped_pairs")}),
+        "scored": t(pair_cols),
+        "edges": t({"url_a": pa.string(), "url_b": pa.string()}),
+        "decisions": t({"url": pa.string(), "decision": pa.string(), "accepted_url": pa.string(),
+                        "top_score": pa.float64(), "margin": pa.float64(), "n_candidates": pa.int64()}),
+        "rep_clusters": t({"url": pa.string(), "cluster_id": pa.int64()}),
+        "fact": t(fact_cols),
+    }
+
+
+def build_fact(
+    membership: rd.Dataset,
+    rep_clusters: rd.Dataset,
+    decisions: rd.Dataset,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Denormalized fact table (S6 analogue, cmd/matcher-v2/main.go:1035-1251).
+
+    membership (url, text, canonical, text_hash, rep_url, …)
+      ⟕ rep_clusters on rep_url  → cluster_id (exact-dup members inherit
+        their representative's component — the G3 fan-out)
+      ⟕ decisions on rep_url     → decision provenance
+      + cluster_size / cluster_rep_url via one fused groupby aggregate.
+
+    ``base`` is materialized before it fans out to the aggregate and the
+    final join: the streaming executor would otherwise replay the whole
+    two-join subtree once per consumer, spawning overlapping hash-shuffle
+    aggregator pools (observed to starve a small CPU budget).
+    """
+    rc = rep_clusters.map_batches(
+        lambda b: pa.table({"rep_url": b["url"], "cluster_id": b["cluster_id"]}),
+        batch_format="pyarrow",
+    )
+    base = membership.select_columns(["url", "canonical", "text_hash", "rep_url"]).join(
+        rc, join_type="inner", num_partitions=num_partitions, on=("rep_url",)
+    )
+
+    dec = decisions.map_batches(
+        lambda b: pa.table(
+            {
+                "rep_url": b["url"],
+                "decision": b["decision"],
+                "top_score": b["top_score"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    base = base.join(
+        dec, join_type="left_outer", num_partitions=num_partitions, on=("rep_url",)
+    ).materialize()
+
+    stats = base.groupby("cluster_id").aggregate(
+        Count(alias_name="cluster_size"),
+        Min("url", alias_name="cluster_rep_url"),
+    ).map_batches(
+        # the aggregate can yield the key / Min(string) as pickled-object
+        # extension arrays; rebuild with concrete types so the join key
+        # dtypes line up
+        lambda b: pa.table(
+            {
+                "cluster_id": pa.array(b["cluster_id"].to_pylist(), pa.int64()),
+                "cluster_size": pa.array(b["cluster_size"].to_pylist(), pa.int64()),
+                "cluster_rep_url": pa.array(b["cluster_rep_url"].to_pylist(), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    base = base.join(stats, join_type="inner", num_partitions=num_partitions, on=("cluster_id",))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        decision = pc.coalesce(b["decision"], "no_candidates")
+        top_score = pc.coalesce(b["top_score"], pa.scalar(0.0, pa.float64()))
+        is_dup = pc.not_equal(b["url"], b["rep_url"])
+        return pa.table(
+            {
+                "url": b["url"],
+                "canonical": b["canonical"],
+                "text_hash": b["text_hash"],
+                "cluster_id": b["cluster_id"],
+                "cluster_rep_url": b["cluster_rep_url"],
+                "cluster_size": b["cluster_size"].cast(pa.int64()),
+                "decision": decision,
+                "top_score": top_score,
+                "is_exact_dup": is_dup,
+            }
+        )
+
+    return base.map_batches(finalize, batch_format="pyarrow")

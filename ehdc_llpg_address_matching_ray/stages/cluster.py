@@ -1,0 +1,223 @@
+"""Transitive clustering: distributed union-find as iterated groupby-min
+label propagation to fixpoint.
+
+Reference analogue: the group-consensus clustering G1
+(cmd/matcher-v2/main.go:759-1032) is a one-hop version; the north rule
+generalizes it to full connected components (BTS ICDE'24 in PAPERS.md is
+the published distributed-union-find pattern; we implement the simpler
+min-label propagation whose rounds are O(component diameter), bounded).
+
+Two paths:
+- ``label_propagation``: pure Ray Data — per round one hash join
+  (labels ⋈ edges) + one groupby-min, materialized per round, early-exit
+  when no label changes.  This is the 100-TB path: labels are two
+  narrow columns, edges shuffle by endpoint.
+- ``driver_union_find``: when the edge count is below a threshold the
+  edge list streams to the driver (iter_batches) through a classic
+  union-find — cheaper than J rounds of shuffle for small graphs.  The
+  pipeline picks by measured edge count; both paths are tested to give
+  identical partitions.
+
+Node ids are 63-bit int64 fingerprints of urls (stable, collision-checked in
+tests); cluster_id = min node id in the component.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Min
+
+
+def url_to_node_id(urls: list[str]) -> np.ndarray:
+    """Stable 63-bit id: top 8 bytes of md5(url) masked to int64-positive.
+
+    int64 (not uint64) because Arrow hash-partition/groupby keys above
+    2^63-1 overflow the C-long conversion inside Ray's shuffle and fall
+    back to pickled-object extension arrays; 63 bits keeps every shuffle
+    key a concrete integer column (collision-checked in tests)."""
+    return np.array(
+        [
+            int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big")
+            & 0x7FFF_FFFF_FFFF_FFFF
+            for u in urls
+        ],
+        dtype=np.int64,
+    )
+
+
+def add_node_ids(batch: pa.Table, url_col: str, out_col: str) -> pa.Table:
+    ids = url_to_node_id(batch[url_col].to_pylist())
+    return batch.append_column(out_col, pa.array(ids, pa.int64()))
+
+
+def _edges_to_ids(batch: pa.Table) -> pa.Table:
+    a = url_to_node_id(batch["url_a"].to_pylist())
+    b = url_to_node_id(batch["url_b"].to_pylist())
+    return pa.table({"u": pa.array(a, pa.int64()), "v": pa.array(b, pa.int64())})
+
+
+def _symmetrize(batch: pa.Table) -> pa.Table:
+    u = batch["u"].combine_chunks()
+    v = batch["v"].combine_chunks()
+    return pa.table(
+        {
+            "u": pa.concat_arrays([u, v]),
+            "v": pa.concat_arrays([v, u]),
+        }
+    )
+
+
+def _rebuild_labels(b: pa.Table) -> pa.Table:
+    """Rebuild (node_id, label) with concrete int64 columns — groupby
+    aggregates can emit pickled-object extension arrays for the key."""
+    return pa.table(
+        {
+            "node_id": pa.array(b["node_id"].to_pylist(), pa.int64()),
+            "label": pa.array(b["label"].to_pylist(), pa.int64()),
+        }
+    )
+
+
+def label_propagation(
+    nodes_ds: rd.Dataset,
+    edges_ds: rd.Dataset,
+    max_iters: int = 25,
+    num_partitions: int = 16,
+) -> rd.Dataset:
+    """nodes (url), edges (url_a, url_b) -> (url, cluster_id).
+
+    Per round: new_label(v) = min(label(v), min_{(u,v)∈E} label(u)),
+    via join(edges, labels on u) ∪ labels -> groupby(v).min.
+
+    The per-round ``repartition`` is load-bearing, not cosmetic: the
+    union + groupby otherwise accumulates empty zero-column blocks whose
+    schemaless shards poison the NEXT round's hash-shuffle join schema
+    broadcast ("No match or multiple matches for key field node_id",
+    observed on ray 2.49).  Repartition rebuilds uniform-schema blocks
+    and keeps the label table's block count constant across rounds.
+    """
+    nodes = nodes_ds.map_batches(
+        lambda b: add_node_ids(b, "url", "node_id"), batch_format="pyarrow"
+    ).materialize()
+    edges = (
+        edges_ds.map_batches(_edges_to_ids, batch_format="pyarrow")
+        .map_batches(_symmetrize, batch_format="pyarrow")
+        .materialize()
+    )
+
+    labels = nodes.map_batches(
+        lambda b: pa.table({"node_id": b["node_id"], "label": b["node_id"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(max_iters):
+        prop = edges.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("u",),
+            right_on=("node_id",),
+        ).map_batches(
+            lambda b: pa.table({"node_id": b["v"], "label": b["label"]}),
+            batch_format="pyarrow",
+        )
+        combined = labels.union(prop)
+        new_labels = (
+            combined.groupby("node_id")
+            .aggregate(Min("label", alias_name="label"))
+            .map_batches(_rebuild_labels, batch_format="pyarrow")
+            .repartition(num_partitions)
+            .materialize()
+        )
+        # convergence check: any label changed?
+        diff = labels.join(
+            new_labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("node_id",),
+            right_on=("node_id",),
+            right_suffix="_new",
+        ).filter(expr="label != label_new")
+        changed = diff.count()
+        labels = new_labels
+        if changed == 0:
+            break
+
+    out = nodes.join(
+        labels,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("node_id",),
+        right_on=("node_id",),
+    ).map_batches(
+        lambda b: pa.table({"url": b["url"], "cluster_id": b["label"]}),
+        batch_format="pyarrow",
+    )
+    return out
+
+
+def driver_union_find(nodes_ds: rd.Dataset, edges_ds: rd.Dataset) -> rd.Dataset:
+    """Small-graph fast path: stream edges to the driver, classic
+    union-find, return (url, cluster_id) as a Dataset.  Identical
+    partitions to label_propagation (tested)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min-root convention so cluster_id = min node id
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    for batch in edges_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        a = url_to_node_id(batch["url_a"].to_pylist())
+        b = url_to_node_id(batch["url_b"].to_pylist())
+        for x, y in zip(a.tolist(), b.tolist()):
+            parent.setdefault(x, x)
+            parent.setdefault(y, y)
+            union(x, y)
+
+    parent_ref = ray.put(parent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        p = ray.get(parent_ref)
+
+        def root_of(x: int) -> int:
+            while p.get(x, x) != x:
+                x = p[x]
+            return x
+
+        ids = url_to_node_id(batch["url"].to_pylist())
+        labels = np.array([root_of(int(x)) for x in ids], dtype=np.int64)
+        return pa.table({"url": batch["url"], "cluster_id": pa.array(labels, pa.int64())})
+
+    return nodes_ds.map_batches(assign, batch_format="pyarrow")
+
+
+def connected_components(
+    nodes_ds: rd.Dataset,
+    edges_ds: rd.Dataset,
+    max_iters: int = 25,
+    driver_threshold: int = 200_000,
+) -> rd.Dataset:
+    """Choose the path by measured edge count (the pipeline's default)."""
+    n_edges = edges_ds.count()
+    if n_edges <= driver_threshold:
+        return driver_union_find(nodes_ds, edges_ds)
+    return label_propagation(nodes_ds, edges_ds, max_iters=max_iters)

@@ -1,0 +1,144 @@
+"""ST1 — SymSpell token-correction stage (actor pool holding the
+broadcast symmetric-delete index).
+
+Reference analogue: ``InitGlobalCorrector`` + ``BuildFromLLPG``
+(internal/symspell/corrector.go:36-59, dictionary.go:30-221) — a process
+singleton built from the gazetteer corpus, consulted inside
+CanonicalAddress (internal/normalize/address.go:167-178).  Here the
+dictionary is fit on (a sample of) the corpus' own unique canonical
+texts, built once on the driver, broadcast via ``ray.put``, and resolved
+ONCE per actor in ``__init__`` — never re-shipped per batch.
+
+Correction is applied to the canonical token stream; ``canonical``,
+``text_hash`` and ``n_tokens`` are rebuilt so downstream exact-dedup and
+blocking see the corrected text.  Skip rules (corrector.go:100-143):
+short tokens, house-number-shaped tokens, street suffixes — plus an
+engine-level guard skipping ANY digit-bearing token (postcode-like codes
+must never be "corrected" into a neighbouring code; divergence noted).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from ..config import SymSpellConfig
+from ..functions import symspell as SS
+from ..functions import textstats as TS
+
+
+def fit_token_df(
+    normalized_ds: rd.Dataset,
+    sample_fraction: float = 1.0,
+    max_vocab: int = 200_000,
+    seed: int = 42,
+) -> tuple[Counter, int]:
+    """One driver pass over (a sample of) the normalized canonical texts,
+    deduplicated by text_hash: token document frequencies + doc count.
+
+    This single pass feeds BOTH the SymSpell dictionary (ST1) and the
+    idf vector (P1's TF-IDF cosine) so the corpus is scanned once.
+    """
+    ds = normalized_ds.select_columns(["canonical", "text_hash"])
+    if sample_fraction < 1.0:
+        ds = ds.random_sample(sample_fraction, seed=seed)
+    df: Counter = Counter()
+    seen: set[str] = set()
+    n_docs = 0
+    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        texts = batch["canonical"].to_pylist()
+        hashes = batch["text_hash"].to_pylist()
+        for t, h in zip(texts, hashes):
+            if h in seen:
+                continue
+            seen.add(h)
+            n_docs += 1
+            if t:
+                df.update(set(t.split(" ")))
+    if len(df) > max_vocab:
+        df = Counter(dict(df.most_common(max_vocab)))
+    return df, max(1, n_docs)
+
+
+def build_symspell(token_df: Counter, cfg: SymSpellConfig) -> SS.SymSpell:
+    """Dictionary from doc frequencies, rare tokens (< min_frequency)
+    excluded — typos stay out so unknown tokens correct toward their
+    frequent neighbours (BuildFromLLPG's MinFrequency semantics)."""
+    freqs = {t: f for t, f in token_df.items() if f >= cfg.min_frequency}
+    if len(freqs) > cfg.max_vocab:
+        freqs = dict(Counter(freqs).most_common(cfg.max_vocab))
+    return SS.build_from_corpus_tokens(
+        freqs,
+        max_edit_distance=cfg.max_edit_distance,
+        min_term_length=cfg.min_term_length,
+        min_frequency=1,  # already filtered above
+    )
+
+
+class SymSpellStage:
+    """map_batches actor: rewrite canonical with corrected tokens.
+
+    ``sym`` may be a ray.ObjectRef (broadcast) or a SymSpell instance.
+    Only tokens ABSENT from the dictionary are corrected (conservative:
+    a known spelling is never rewritten, matching lookup()'s distance-0
+    short-circuit), and digit-bearing tokens are always left alone.
+    """
+
+    def __init__(self, sym, cfg: SymSpellConfig | None = None):
+        if isinstance(sym, ray.ObjectRef):
+            sym = ray.get(sym)
+        self.corrector = SS.Corrector(
+            sym,
+            max_edit_distance=(cfg or SymSpellConfig()).max_edit_distance,
+            min_term_length=(cfg or SymSpellConfig()).min_term_length,
+        )
+        self._cache: dict[str, str] = {}
+
+    def _fix_token(self, tok: str) -> str:
+        if any(c.isdigit() for c in tok):
+            return tok
+        hit = self._cache.get(tok)
+        if hit is not None:
+            return hit
+        fixed, _dist = self.corrector.correct_token(tok)
+        if len(self._cache) < 200_000:
+            self._cache[tok] = fixed
+        return fixed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["canonical"].to_pylist()
+        out = []
+        for t in texts:
+            if not t:
+                out.append(t)
+                continue
+            out.append(" ".join(self._fix_token(tok) for tok in t.split(" ")))
+        canonical = pa.array(out, pa.string())
+        text_hash = pa.array(TS.md5_hex(out), pa.string())
+        n_tokens = TS.whitespace_token_count(canonical).cast(pa.int32())
+        cols = {name: batch[name] for name in batch.column_names}
+        cols["canonical"] = canonical
+        cols["text_hash"] = text_hash
+        cols["n_tokens"] = n_tokens
+        return pa.table(cols)
+
+
+def apply_symspell(
+    normalized_ds: rd.Dataset,
+    sym_ref,
+    cfg: SymSpellConfig,
+    concurrency=(1, 8),
+    batch_size: int = 4096,
+) -> rd.Dataset:
+    """normalized -> corrected-normalized (same schema, canonical rewritten)."""
+    return normalized_ds.map_batches(
+        SymSpellStage,
+        fn_constructor_args=(sym_ref, cfg),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,212 @@
+"""Pairwise scoring — the stateful actor-pool stage.
+
+Two scorers over candidate-pair batches:
+
+- **production** (north rule): batched Jaro-Winkler + token-set ratio
+  (min-set containment, the reference's TokenOverlap semantics,
+  internal/normalize/address.go:303-330) + TF-IDF cosine with a
+  broadcast idf vector.  This drives the flagship linkage edges.
+- **fidelity**: the full reference feature set P1 + linear blend P2
+  (internal/match/features.go:34-146, scorer.go:52-139) for parity
+  checks and the reference-semantics queries.
+
+The actor holds the idf dictionary and config (loaded once per actor,
+SURVEY.md ST1-ST3 pattern); per-batch work is Python-per-pair over the
+short canonical strings with numpy/Counter kernels — strings are tens of
+bytes after normalization, so per-pair cost is O(len²) on tiny lengths.
+
+Edge semantics (P5/P6 analogue): a pair becomes a cluster edge iff
+``score >= edge_threshold`` AND the house-number veto passes (exact
+common house number required when both sides carry numbers — the
+conservative validator rule, internal/validation/validator.go:87-95,
+which the "4 MONKS ORCHARD ≠ 16 MONKS ORCHARD" regression demands).
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import FeatureWeights
+from ..functions import features as F
+from ..functions import normalize as N
+from ..functions import strings as S
+from ..functions import symspell as SS
+
+
+@dataclass(frozen=True)
+class ProductionWeights:
+    jaro_winkler: float = 0.50
+    token_set: float = 0.25
+    tfidf_cosine: float = 0.25
+    edge_threshold: float = 0.80
+
+
+def fit_idf(token_doc_freqs: dict[str, int], n_docs: int) -> dict[str, float]:
+    """idf(t) = ln((1+N)/(1+df)) + 1 (smoothed); OOV handled at use site."""
+    return {t: math.log((1 + n_docs) / (1 + df)) + 1.0 for t, df in token_doc_freqs.items()}
+
+
+def tfidf_cosine(tokens_a: list[str], tokens_b: list[str], idf: dict[str, float], default_idf: float) -> float:
+    if not tokens_a or not tokens_b:
+        return 1.0 if not tokens_a and not tokens_b else 0.0
+    fa, fb = Counter(tokens_a), Counter(tokens_b)
+    dot = 0.0
+    for t, ca in fa.items():
+        cb = fb.get(t)
+        if cb:
+            w = idf.get(t, default_idf)
+            dot += (ca * w) * (cb * w)
+    if dot == 0.0:
+        return 0.0
+    na = math.sqrt(sum((c * idf.get(t, default_idf)) ** 2 for t, c in fa.items()))
+    nb = math.sqrt(sum((c * idf.get(t, default_idf)) ** 2 for t, c in fb.items()))
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    return dot / (na * nb)
+
+
+def fuzzy_token_overlap(tokens_a: list[str], tokens_b: list[str]) -> float:
+    """Token-set ratio over the smaller set (TokenOverlap semantics,
+    internal/normalize/address.go:303-330) extended with a greedy
+    Damerau-Levenshtein≤1 pass for the leftovers — the typo-absorbing
+    role the reference's phonetic hit count plays in P1
+    (internal/match/features.go:319-334).  Digit-bearing tokens only
+    match exactly (house numbers / codes must never fuzzy-match)."""
+    if not tokens_a or not tokens_b:
+        return 1.0 if not tokens_a and not tokens_b else 0.0
+    sa, sb = set(tokens_a), set(tokens_b)
+    common = len(sa & sb)
+    rest_a = [t for t in sa - sb if t.isalpha() and len(t) >= 3]
+    rest_b = [t for t in sb - sa if t.isalpha() and len(t) >= 3]
+    if rest_a and rest_b:
+        used = [False] * len(rest_b)
+        for ta in rest_a:
+            for j, tb in enumerate(rest_b):
+                if used[j] or abs(len(ta) - len(tb)) > 1:
+                    continue
+                if SS.damerau_levenshtein(ta, tb, 1) == 1:
+                    used[j] = True
+                    common += 1
+                    break
+    return min(1.0, common / min(len(sa), len(sb)))
+
+
+def house_number_veto(text_a: str, text_b: str) -> bool:
+    """True = vetoed (reject pair).  Exact-common-number rule (P6)."""
+    ha = N.extract_house_numbers(text_a)
+    hb = N.extract_house_numbers(text_b)
+    if ha and hb and not F.has_common_element(ha, hb):
+        return True
+    return False
+
+
+class PairScorer:
+    """map_batches actor: candidate pairs -> scored pairs.
+
+    Constructor args are plain picklable values; ``idf`` may be a
+    ``ray.ObjectRef`` (broadcast once via ray.put and resolved here, once
+    per actor — never re-shipped per batch).
+    """
+
+    def __init__(
+        self,
+        idf=None,
+        n_docs: int = 1,
+        prod: ProductionWeights | None = None,
+        weights: FeatureWeights | None = None,
+        fidelity: bool = False,
+    ):
+        try:
+            import ray
+
+            if idf is not None and isinstance(idf, ray.ObjectRef):
+                idf = ray.get(idf)
+        except Exception:
+            pass
+        self.idf: dict[str, float] = idf or {}
+        self.default_idf = math.log(1 + max(1, n_docs)) + 1.0
+        self.prod = prod or ProductionWeights()
+        self.weights = weights or FeatureWeights()
+        self.fidelity = fidelity
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        url_a = batch["url_a"]
+        url_b = batch["url_b"]
+        text_a = batch["text_a"].to_pylist()
+        text_b = batch["text_b"].to_pylist()
+        can_a = batch["canonical_a"].to_pylist()
+        can_b = batch["canonical_b"].to_pylist()
+        n = len(text_a)
+
+        jw = np.empty(n, dtype=np.float64)
+        ts = np.empty(n, dtype=np.float64)
+        tf = np.empty(n, dtype=np.float64)
+        veto = np.zeros(n, dtype=bool)
+
+        for i in range(n):
+            ca, cb = can_a[i], can_b[i]
+            ta = ca.split(" ") if ca else []
+            tb = cb.split(" ") if cb else []
+            jw[i] = S.jaro_winkler(ca, cb)
+            ts[i] = fuzzy_token_overlap(ta, tb)
+            tf[i] = tfidf_cosine(ta, tb, self.idf, self.default_idf)
+            veto[i] = house_number_veto(text_a[i], text_b[i])
+
+        w = self.prod
+        score = w.jaro_winkler * jw + w.token_set * ts + w.tfidf_cosine * tf
+        is_edge = (score >= w.edge_threshold) & ~veto
+
+        cols: dict = {
+            "url_a": url_a,
+            "url_b": url_b,
+            "jaro_winkler": pa.array(jw),
+            "token_set_ratio": pa.array(ts),
+            "tfidf_cosine": pa.array(tf),
+            "house_veto": pa.array(veto),
+            "score": pa.array(score),
+            "is_edge": pa.array(is_edge),
+        }
+        if "dropped_pairs" in batch.column_names:
+            cols["dropped_pairs"] = batch["dropped_pairs"]
+
+        if self.fidelity:
+            ref_scores = np.empty(n, dtype=np.float64)
+            trigram = np.empty(n, dtype=np.float64)
+            emb = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                feats = F.compute_pair_features(
+                    text_a[i], can_a[i], can_a[i].split(" ") if can_a[i] else [],
+                    text_b[i], can_b[i], can_b[i].split(" ") if can_b[i] else [],
+                )
+                trigram[i] = feats["trigram_similarity"]
+                emb[i] = feats["embedding_cosine"]
+                ref_scores[i] = F.score_features(feats, self.weights)
+            cols["trigram_similarity"] = pa.array(trigram)
+            cols["embedding_cosine"] = pa.array(emb)
+            cols["ref_score"] = pa.array(ref_scores)
+
+        return pa.table(cols)
+
+
+def score_pairs(
+    pairs_ds,
+    idf_ref=None,
+    n_docs: int = 1,
+    prod: ProductionWeights | None = None,
+    fidelity: bool = False,
+    concurrency=(1, 8),
+    batch_size: int = 8192,
+):
+    """pairs Dataset -> scored-pairs Dataset via the actor pool."""
+    return pairs_ds.map_batches(
+        PairScorer,
+        fn_constructor_kwargs=dict(idf=idf_ref, n_docs=n_docs, prod=prod, fidelity=fidelity),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
