@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Default run: every headline query + the flagship linkage pipeline at
+``num_cpus=$RAY_GRAFT_CPUS`` (default 32); prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "rows": {...}}
+
+``--scaling``: runs the flagship linkage twice in FRESH subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency — the sandbox evidence for the
+north rule's N-vs-4N-node criterion (see BASELINE.md).
+
+This script OWNS its Ray session (the driver contract allows only
+bench.py / CLI / test fixtures to call ray.init).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "normalize_docs",
+    "exact_dedup",
+    "textstats",
+    "langid",
+    "simhash_codes",
+    "minhash_neardup",
+    "pricing_summary",
+    "top3_orders_per_customer",
+    "revenue_by_nation",
+    "consensus_event_type",
+    "sessionize",
+    "ann_topk",
+    "embedding_neardup_blocked",
+    "linkage_fact",
+]
+
+
+def _consume(res) -> int:
+    """Materialize a query result enough to count rows (Dataset or frame)."""
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.count()
+    return len(res)
+
+
+def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from ehdc_llpg_address_matching_ray.pipelines import queries as Q
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    t_all = time.time()
+    for name in names:
+        t0 = time.time()
+        rows[name] = _consume(Q.QUERIES[name](sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_all, 3)
+    ray.shutdown()
+    return {
+        "metric": "headline_pipelines_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "rows": rows,
+    }
+
+
+def run_single(sf_dir: str, num_cpus: int) -> dict:
+    """One flagship linkage run (used by --scaling subprocesses)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    from ehdc_llpg_address_matching_ray.pipelines import queries as Q
+
+    t0 = time.time()
+    n = _consume(Q.QUERIES["linkage_fact"](sf_dir))
+    el = time.time() - t0
+    ray.shutdown()
+    return {"rows": n, "sec": round(el, 3), "num_cpus": num_cpus}
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job at 8 and 32 CPUs in fresh processes; report throughputs
+    + scaling efficiency (normalized to the 4x CPU ratio)."""
+    results = {}
+    for cpus in (8, 32):
+        out = subprocess.run(
+            [sys.executable, __file__, "--single", str(cpus)],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            timeout=3600,
+        )
+        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    t8, t32 = results[8]["sec"], results[32]["sec"]
+    rows = results[8]["rows"]
+    thr8, thr32 = rows / t8, rows / t32
+    efficiency = (thr32 / thr8) / (32 / 8)
+    return {
+        "metric": "linkage_scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "fraction",
+        "queries": {
+            "linkage_8cpu_sec": t8,
+            "linkage_32cpu_sec": t32,
+            "throughput_8cpu_rows_per_sec": round(thr8, 1),
+            "throughput_32cpu_rows_per_sec": round(thr32, 1),
+        },
+        "sf": sf_dir,
+        "num_cpus": 32,
+        "rows": {"linkage_fact": rows},
+    }
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--single":
+        print(json.dumps(run_single(SF_DIR, int(sys.argv[2]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+        print(json.dumps(run_scaling(SF_DIR)))
+    else:
+        print(json.dumps(run_bench(SF_DIR, NUM_CPUS, BENCH_QUERIES)))

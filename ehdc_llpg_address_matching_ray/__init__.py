@@ -21,3 +21,15 @@ the caller (driver / bench.py / test fixture).
 """
 
 __version__ = "0.1.0"
+
+# Select Ray Data's hash-shuffle strategy process-wide at import time:
+# keyed repartition (the engine's group-processing substrate, see
+# rayutil.py) requires it, and every Dataset lineage snapshots the
+# DataContext at its ROOT's creation — so the flip must precede any
+# dataset the engine will ever touch.  All group processing in this
+# package goes through partition_by_key + vectorized pandas (never
+# Dataset.groupby aggregates / map_groups, which cost ~1 ms/group and
+# can hang under this strategy).
+from .rayutil import ensure_hash_shuffle as _ensure_hash_shuffle
+
+_ensure_hash_shuffle()

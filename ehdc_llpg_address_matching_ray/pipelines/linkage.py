@@ -34,6 +34,7 @@ from ..stages import correct as CR
 from ..stages import decide as D
 from ..stages import extract as X
 from ..stages import scoring as SC
+from ..rayutil import hash_shuffle
 from .checkpoint import checkpoint, score_histogram
 
 
@@ -82,6 +83,21 @@ def run_linkage(
     """
     cfg = cfg or PipelineConfig()
     chash = cfg.config_hash()
+
+    # the whole DAG (keyed repartitions + joins) builds under the
+    # hash-shuffle strategy; scoped so callers' own datasets keep the
+    # default strategy (see rayutil.hash_shuffle)
+    with hash_shuffle():
+        return _run_linkage_inner(
+            pages_ds, cfg, chash, from_html, checkpoint_dir, resume,
+            idf_sample_fraction, cluster_driver_threshold,
+        )
+
+
+def _run_linkage_inner(
+    pages_ds, cfg, chash, from_html, checkpoint_dir, resume,
+    idf_sample_fraction, cluster_driver_threshold,
+):
 
     def ckpt(ds: rd.Dataset, name: str, extras=None) -> rd.Dataset:
         """Checkpoint to parquet when a checkpoint_dir is given, else pin
@@ -251,13 +267,19 @@ def build_fact(
         dec, join_type="left_outer", num_partitions=num_partitions, on=("rep_url",)
     ).materialize()
 
-    stats = base.groupby("cluster_id").aggregate(
-        Count(alias_name="cluster_size"),
-        Min("url", alias_name="cluster_rep_url"),
+    # cluster stats via keyed repartition + C-speed pandas (cluster count
+    # scales with the corpus; Ray's aggregate costs ~1 ms/group)
+    from ..rayutil import partition_by_key
+
+    stats = partition_by_key(
+        base.select_columns(["cluster_id", "url"]), ["cluster_id"], num_partitions
     ).map_batches(
-        # the aggregate can yield the key / Min(string) as pickled-object
-        # extension arrays; rebuild with concrete types so the join key
-        # dtypes line up
+        lambda df: df.groupby("cluster_id", sort=False, as_index=False).agg(
+            cluster_size=("url", "size"), cluster_rep_url=("url", "min")
+        ),
+        batch_format="pandas",
+        batch_size=None,
+    ).map_batches(
         lambda b: pa.table(
             {
                 "cluster_id": pa.array(b["cluster_id"].to_pylist(), pa.int64()),

@@ -1,0 +1,787 @@
+"""Driver-facing query surface: one entry per implemented operator family
+(SURVEY.md §2) plus the training-data-pipeline extensions, each as a
+callable ``fn(sf_dir) -> Dataset | pandas | pyarrow.Table`` with (where
+SQL-expressible) a DuckDB oracle string built from the SAME rule tables
+so Ray and SQL stay byte-aligned.
+
+Ray-Data idioms throughout: column-pruned ``read_parquet``, vectorized
+``map_batches`` (pyarrow kernels), partial aggregation before groupby
+shuffles, broadcast lookups for small dimensions, ``Dataset.join`` only
+for large⋈large.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..functions import minhash as MH
+from ..rayutil import partition_by_key
+from ..functions import normalize as N
+from ..functions import simhash as SH
+from ..functions import strings as S
+from ..functions import textstats as TS
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    """Column-pruned parquet read of one test table."""
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+def _grouped(ds: rd.Dataset, keys: list[str], fn, num_partitions: int = 8) -> rd.Dataset:
+    """Keyed repartition + one vectorized pandas call per partition — the
+    engine's group-processing substrate (see rayutil.py; never
+    Dataset.groupby aggregates: ~1 ms/group of Python overhead)."""
+    return partition_by_key(ds, keys, num_partitions).map_batches(
+        fn, batch_format="pandas", batch_size=None
+    )
+
+
+def _sql_quote(pattern: str) -> str:
+    return pattern.replace("'", "''")
+
+
+def m1_canonical_sql(col: str) -> tuple[str, str]:
+    """DuckDB expressions (canonical, code) for the M1 normalizer chain,
+    generated from the same rule tables as the Arrow path
+    (functions/normalize.py: canonical_batch) so the two can't drift."""
+    space_run = _sql_quote(N._RE2_SPACE_RUN)
+    nonkeep = _sql_quote(N._RE2_NONKEEP)
+    pcx = _sql_quote(N.POSTCODE_PATTERN)
+    s = f"upper(trim({col}))"
+    code = f"replace(regexp_extract({s}, '{pcx}'), ' ', '')"
+    s = f"regexp_replace({s}, '{pcx}', ' ', 'g')"
+    s = f"regexp_replace({s}, '{nonkeep}', ' ', 'g')"
+    s = f"trim(regexp_replace({s}, '{space_run}', ' ', 'g'), ' ')"
+    for pat, rep in N.ABBREV_RULES + N.DESCRIPTOR_RULES:
+        s = f"regexp_replace({s}, '{_sql_quote(pat)}', '{rep}', 'g')"
+    s = f"trim(regexp_replace({s}, '{space_run}', ' ', 'g'), ' ')"
+    return s, code
+
+
+_CANON_SQL, _CODE_SQL = m1_canonical_sql("text")
+
+
+# ---------------------------------------------------------------------------
+# M1 / §2.2 — normalization over documents
+# ---------------------------------------------------------------------------
+
+
+def q_normalize_docs(sf_dir: str) -> rd.Dataset:
+    """M1 canonicalization (internal/normalize/address.go:124-192) as a
+    stateless pyarrow map_batches over the documents table."""
+
+    def f(b: pa.Table) -> pa.Table:
+        canonical, code = N.canonical_batch(b["text"])
+        n_tokens = TS.whitespace_token_count(canonical).cast(pa.int64())
+        return pa.table(
+            {"doc_id": b["doc_id"], "canonical": canonical, "code": code, "n_tokens": n_tokens}
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+SQL_NORMALIZE_DOCS = f"""
+SELECT doc_id,
+       {_CANON_SQL} AS canonical,
+       {_CODE_SQL} AS code,
+       CASE WHEN {_CANON_SQL} = '' THEN 0
+            ELSE array_length(string_split({_CANON_SQL}, ' ')) END::BIGINT AS n_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(sf_dir: str) -> rd.Dataset:
+    """Document fingerprint: MD5(LOWER(TRIM(text))) — the reference's fact
+    address-hash key (cmd/matcher-v2/main.go:1203)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.utf8_trim_whitespace(b["text"]))
+        return pa.table(
+            {"doc_id": b["doc_id"], "fingerprint": pa.array(TS.md5_hex(low.to_pylist()), pa.string())}
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+SQL_DOC_FINGERPRINT = "SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents"
+
+
+def q_exact_dedup(sf_dir: str) -> rd.Dataset:
+    """Exact dedup (G3, cmd/matcher-v2/enhanced_layer3.go:50-97):
+    hash-partition by content hash, keep min doc_id per group."""
+
+    def f(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.utf8_trim_whitespace(b["text"]))
+        return pa.table(
+            {
+                "text_hash": pa.array(TS.md5_hex(low.to_pylist()), pa.string()),
+                "doc_id": b["doc_id"],
+            }
+        )
+
+    keyed = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+    return _grouped(
+        keyed,
+        ["text_hash"],
+        lambda df: df.groupby("text_hash", sort=False, as_index=False).agg(
+            rep_doc_id=("doc_id", "min"), dup_count=("doc_id", "size")
+        ),
+    )
+
+
+SQL_EXACT_DEDUP = """
+SELECT md5(lower(trim(text))) AS text_hash,
+       min(doc_id) AS rep_doc_id,
+       count(*)::BIGINT AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_explode(sf_dir: str) -> rd.Dataset:
+    """flat_map token expansion (E2 pattern: one input row -> N rows)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        ids: list[int] = []
+        toks: list[str] = []
+        for did, txt in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            for tok in (txt or "").split():
+                ids.append(did)
+                toks.append(tok)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "token": pa.array(toks, pa.string())})
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+SQL_TOKEN_EXPLODE = r"""
+SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS token FROM documents
+"""
+
+
+def q_textstats(sf_dir: str) -> rd.Dataset:
+    """Quality metrics (length / punct / stopword ratios) — training-data
+    quality scoring, vectorized Arrow kernels."""
+
+    def f(b: pa.Table) -> pa.Table:
+        cols = TS.quality_table(b["text"])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_chars_m": cols["n_chars"],
+                "n_tokens": cols["n_tokens"],
+                "n_stopwords": cols["n_stopwords"],
+                "punct_ratio": pc.round(cols["punct_ratio"], 6),
+                "digit_ratio": pc.round(cols["digit_ratio"], 6),
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+SQL_TEXTSTATS = r"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars_m,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE array_length(regexp_extract_all(trim(text), '\S+')) END::BIGINT AS n_tokens,
+       array_length(regexp_extract_all(text, '\b(?:the|a|and|of|to|in|is|it|for|on)\b'))::BIGINT AS n_stopwords,
+       round(array_length(regexp_extract_all(text, '[^\w\s]')) / greatest(length(text), 1)::DOUBLE, 6) AS punct_ratio,
+       round(array_length(regexp_extract_all(text, '[0-9]')) / greatest(length(text), 1)::DOUBLE, 6) AS digit_ratio
+FROM documents
+"""
+
+
+def q_langid(sf_dir: str) -> rd.Dataset:
+    """Language-ID heuristic (stopword/CJK); no SQL oracle (rows-only)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        preds = [TS.detect_language(t or "") for t in b["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": b["doc_id"], "lang": b["lang"], "lang_pred": pa.array(preds, pa.string())}
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_levenshtein_adjacent(sf_dir: str) -> rd.Dataset:
+    """String-metric kernel check on real pairs: Levenshtein distance of
+    (doc_id, doc_id+1) texts (§2.9 full-matrix port,
+    internal/match/features.go:429-468).  DuckDB's levenshtein is the
+    exact same integer metric."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    right = docs.map_batches(
+        lambda b: pa.table({"doc_id_r": pc.subtract(b["doc_id"], 1), "text_b": b["text"]}),
+        batch_format="pyarrow",
+    )
+    joined = docs.join(right, join_type="inner", num_partitions=8, on=("doc_id",), right_on=("doc_id_r",))
+
+    def f(b: pa.Table) -> pa.Table:
+        d = [
+            S.levenshtein_distance(a or "", bb or "")
+            for a, bb in zip(b["text"].to_pylist(), b["text_b"].to_pylist())
+        ]
+        return pa.table({"doc_id": b["doc_id"], "lev": pa.array(d, pa.int64())})
+
+    return joined.map_batches(f, batch_format="pyarrow")
+
+
+SQL_LEVENSHTEIN_ADJACENT = """
+SELECT a.doc_id AS doc_id, levenshtein(a.text, b.text)::BIGINT AS lev
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_char_jaccard_adjacent(sf_dir: str) -> rd.Dataset:
+    """Character-set Jaccard of adjacent doc pairs (n-gram Jaccard dedup
+    family, n=1; DuckDB's jaccard() is the same set metric)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    right = docs.map_batches(
+        lambda b: pa.table({"doc_id_r": pc.subtract(b["doc_id"], 1), "text_b": b["text"]}),
+        batch_format="pyarrow",
+    )
+    joined = docs.join(right, join_type="inner", num_partitions=8, on=("doc_id",), right_on=("doc_id_r",))
+
+    def f(b: pa.Table) -> pa.Table:
+        out = []
+        for a, bb in zip(b["text"].to_pylist(), b["text_b"].to_pylist()):
+            sa, sb = set(a or ""), set(bb or "")
+            out.append(round(len(sa & sb) / max(1, len(sa | sb)), 6))
+        return pa.table({"doc_id": b["doc_id"], "jac": pa.array(out, pa.float64())})
+
+    return joined.map_batches(f, batch_format="pyarrow")
+
+
+SQL_CHAR_JACCARD_ADJACENT = """
+SELECT a.doc_id AS doc_id, round(jaccard(a.text, b.text), 6) AS jac
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational operator family over the TPC-H-ish tables (§2.4/2.6/2.7)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(sf_dir: str) -> rd.Dataset:
+    """TPC-H-Q1-shaped aggregate: PARTIAL aggregation inside map_batches
+    (combiner) before the small groupby shuffle — the §4 skew guidance."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+            cnt=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    li = _t(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    partials = li.map_batches(partial, batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False, as_index=False).agg(
+            sum_qty=("sum_qty", "sum"), sum_price=("sum_price", "sum"), count_order=("cnt", "sum")
+        )
+        g["sum_qty"] = g["sum_qty"].round(2)
+        g["sum_price"] = g["sum_price"].round(2)
+        g["count_order"] = g["count_order"].astype("int64")
+        return g
+
+    return _grouped(partials, ["l_returnflag", "l_linestatus"], final)
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_top3_orders_per_customer(sf_dir: str) -> rd.Dataset:
+    """Per-source top-k (D1, internal/match/scorer.go:42-49): hash
+    partition by customer, in-group sort — no global sort."""
+
+    def top3(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        d["rnk"] = d.groupby("o_custkey", sort=False).cumcount() + 1
+        d = d[d["rnk"] <= 3].copy()
+        d["rnk"] = d["rnk"].astype("int64")
+        return d[["o_custkey", "o_orderkey", "o_totalprice", "rnk"]]
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+    return _grouped(orders, ["o_custkey"], top3)
+
+
+SQL_TOP3_ORDERS = """
+SELECT o_custkey, o_orderkey, o_totalprice, rnk::BIGINT AS rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+def q_revenue_by_nation(sf_dir: str) -> rd.Dataset:
+    """Large⋈large hash join (lineitem⋈orders) + BROADCAST small-side
+    lookups (customer→nation→region via ray.put, read once per actor —
+    never a shuffle for the small sides)."""
+    cust = {
+        int(k): int(v)
+        for k, v in zip(
+            *[
+                pq_col(sf_dir, "customer", c)
+                for c in ("c_custkey", "c_nationkey")
+            ]
+        )
+    }
+    nation = {
+        int(k): str(v) for k, v in zip(pq_col(sf_dir, "nation", "n_nationkey"), pq_col(sf_dir, "nation", "n_name"))
+    }
+    lookup_ref = ray.put((cust, nation))
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = li.join(orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    class Annotate:
+        def __init__(self, ref):
+            self.cust, self.nation = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            nk = [self.cust.get(c, -1) for c in b["o_custkey"].to_pylist()]
+            names = [self.nation.get(k, "?") for k in nk]
+            rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+            return pa.table({"n_name": pa.array(names, pa.string()), "rev": rev})
+
+    ann = joined.map_batches(Annotate, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", concurrency=(1, 4))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_name", sort=False, as_index=False).agg(
+            revenue=("rev", "sum"), n_items=("rev", "size")
+        )
+        g["revenue"] = g["revenue"].round(2)
+        g["n_items"] = g["n_items"].astype("int64")
+        return g
+
+    return _grouped(ann, ["n_name"], final)
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n.n_name AS n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1
+"""
+
+
+def pq_col(sf_dir: str, name: str, col: str) -> list:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(f"{sf_dir}/{name}.parquet", columns=[col])[col].to_pylist()
+
+
+def q_customers_without_orders(sf_dir: str) -> rd.Dataset:
+    """Anti-join (J10, the "still unmatched" driver,
+    internal/engine/matcher.go:150-160): left-outer + filter-null.
+    Predicate: customers with no order above 300k (plain "no orders" is
+    empty on this data)."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    ordered = _grouped(
+        _t(sf_dir, "orders", ["o_custkey", "o_totalprice"]).filter(expr="o_totalprice > 300000"),
+        ["o_custkey"],
+        lambda df: df.groupby("o_custkey", sort=False, as_index=False).agg(
+            n_orders=("o_totalprice", "size")
+        ),
+    )
+    j = cust.join(ordered, join_type="left_outer", num_partitions=8, on=("c_custkey",), right_on=("o_custkey",))
+
+    def keep_null(b: pa.Table) -> pa.Table:
+        mask = pc.is_null(b["n_orders"])
+        out = b.filter(mask)
+        return pa.table(
+            {
+                "c_custkey": pa.array(out["c_custkey"].to_pylist(), pa.int64()),
+                "c_name": pa.array(out["c_name"].to_pylist(), pa.string()),
+            }
+        )
+
+    return j.map_batches(keep_null, batch_format="pyarrow")
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+def q_consensus_event_type(sf_dir: str) -> rd.Dataset:
+    """Group-consensus majority vote (G1, cmd/matcher-v2/main.go:759-1032):
+    per user, the most frequent event_type; ties broken alphabetically —
+    the GROUP BY … ORDER BY COUNT(*) DESC LIMIT 1 pattern."""
+
+    def consensus(df: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="votes")
+        )
+        totals = counts.groupby("user_id", sort=False)["votes"].sum().rename("total")
+        counts = counts.sort_values(
+            ["user_id", "votes", "event_type"], ascending=[True, False, True], kind="mergesort"
+        )
+        top = counts.drop_duplicates("user_id", keep="first").merge(totals, on="user_id")
+        top = top.rename(columns={"event_type": "consensus_type"})
+        top["votes"] = top["votes"].astype("int64")
+        top["total"] = top["total"].astype("int64")
+        return top[["user_id", "consensus_type", "votes", "total"]]
+
+    ev = _t(sf_dir, "events", ["user_id", "event_type"])
+    return _grouped(ev, ["user_id"], consensus)
+
+
+SQL_CONSENSUS_EVENT_TYPE = """
+SELECT user_id, event_type AS consensus_type, n::BIGINT AS votes, total::BIGINT AS total FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         sum(count(*)) OVER (PARTITION BY user_id) AS total,
+         row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type) WHERE rn = 1
+"""
+
+
+def q_sessionize(sf_dir: str) -> rd.Dataset:
+    """Windowed/streaming-style sessionization (custom operator family):
+    per user, sessions split on >30-minute gaps — groupby + in-group sort,
+    the partitioning assumption being one user fits a group."""
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sess(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = d["ts"].astype("int64").to_numpy()
+        uid = d["user_id"].to_numpy()
+        is_new = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            is_new[1:] = (uid[1:] != uid[:-1]) | ((ts[1:] - ts[:-1]) > GAP_US)
+        d["is_new"] = is_new
+        g = d.groupby("user_id", sort=False, as_index=False).agg(
+            n_events=("ts", "size"), n_sessions=("is_new", "sum")
+        )
+        g["n_events"] = g["n_events"].astype("int64")
+        g["n_sessions"] = g["n_sessions"].astype("int64")
+        return g
+
+    ev = _t(sf_dir, "events", ["user_id", "ts"])
+    return _grouped(ev, ["user_id"], sess)
+
+
+SQL_SESSIONIZE = """
+SELECT user_id, count(*)::BIGINT AS n_events, sum(is_new)::BIGINT AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 30*60*1000000 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events) GROUP BY user_id
+"""
+
+
+def q_events_stats(sf_dir: str) -> rd.Dataset:
+    """Run statistics (G4, internal/audit/tracker.go:345-427): counts and
+    mean value by event type."""
+    ev = _t(sf_dir, "events", ["event_type", "value"])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("event_type", sort=False, as_index=False).agg(
+            n=("value", "size"), avg_value=("value", "mean")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["avg_value"] = g["avg_value"].round(4)
+        return g
+
+    return _grouped(ev, ["event_type"], agg)
+
+
+SQL_EVENTS_STATS = """
+SELECT event_type, count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1
+"""
+
+
+def q_props_extract(sf_dir: str) -> rd.Dataset:
+    """JSONB-measure extraction analogue (jsonb_build_object family,
+    cmd/matcher-v2/main.go:1185-1194): parse the numeric k out of props."""
+
+    def f(b: pa.Table) -> pa.Table:
+        ks = []
+        for p in b["props"].to_pylist():
+            try:
+                ks.append(int(json.loads(p)["k"]))
+            except Exception:
+                ks.append(None)
+        return pa.table({"event_id": b["event_id"], "k": pa.array(ks, pa.int64())})
+
+    return _t(sf_dir, "events", ["event_id", "props"]).map_batches(f, batch_format="pyarrow")
+
+
+SQL_PROPS_EXTRACT = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+"""
+
+
+def q_expand_size_range(sf_dir: str) -> rd.Dataset:
+    """Range expansion flat_map (E2, internal/llpg/range_expander.go:56-210):
+    one part row -> one row per unit 1..min(p_size, 5)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        keys: list[int] = []
+        units: list[int] = []
+        for pk, sz in zip(b["p_partkey"].to_pylist(), b["p_size"].to_pylist()):
+            for u in range(1, min(int(sz), 5) + 1):
+                keys.append(pk)
+                units.append(u)
+        return pa.table(
+            {"p_partkey": pa.array(keys, pa.int64()), "unit": pa.array(units, pa.int64())}
+        )
+
+    return _t(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(f, batch_format="pyarrow")
+
+
+SQL_EXPAND_SIZE_RANGE = """
+SELECT p_partkey, unnest(generate_series(1, least(p_size, 5)))::BIGINT AS unit FROM part
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity family (§J8 analogue + training-data ANN)
+# ---------------------------------------------------------------------------
+
+
+def q_ann_topk(sf_dir: str) -> rd.Dataset:
+    """Brute-force cosine top-k: query = embedding of vec_id 0, broadcast
+    once; per-batch numpy matmul; global top-k by small sort."""
+    import pyarrow.parquet as pq
+
+    emb0 = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 1)
+    qv = np.asarray(emb0["embedding"].to_pylist()[0], dtype=np.float64)
+    qv = qv / np.linalg.norm(qv)
+    q_ref = ray.put(qv)
+
+    class Score:
+        def __init__(self, ref):
+            self.q = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            sims = (mat @ self.q) / norms
+            return pa.table(
+                {
+                    "vec_id": b["vec_id"],
+                    "sim": pa.array(np.round(sims, 2), pa.float64()),
+                }
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    scored = ds.map_batches(Score, fn_constructor_args=(q_ref,), batch_format="pyarrow", concurrency=(1, 4))
+    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
+    return top
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+     n AS (SELECT vec_id,
+                  round(CAST(list_cosine_similarity(embedding, (SELECT qe FROM q)) AS DOUBLE), 2) AS sim
+           FROM embeddings)
+SELECT vec_id, sim FROM n ORDER BY sim DESC, vec_id LIMIT 10
+"""
+
+
+def q_embedding_neardup_blocked(sf_dir: str) -> rd.Dataset:
+    """Embedding-cosine near-dup with label blocking: pairs within the
+    same label bucket with cosine >= 0.40 — groupby(label) + in-group
+    matrix product (the LSH-bucket scale path's exact-within-block step)."""
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in df.groupby("label", sort=False):
+            g = g.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+            if len(g) < 2:
+                continue
+            mat = np.array(list(g["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            mat = mat / norms[:, None]
+            sims = mat @ mat.T
+            iu, il = np.triu_indices(len(g), k=1)
+            mask = sims[iu, il] >= 0.40
+            ids = g["vec_id"].to_numpy()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": ids[iu[mask]].astype("int64"),
+                        "vec_b": ids[il[mask]].astype("int64"),
+                        "sim": np.round(sims[iu, il][mask], 2),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return _grouped(ds, ["label"], pairs)
+
+
+SQL_EMBEDDING_NEARDUP_BLOCKED = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 2) AS sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only (non-SQL-expressible) operators
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_neardup(sf_dir: str) -> rd.Dataset:
+    """MinHash-LSH near-dup candidate pairs over documents (J4 analogue;
+    band hashing is not SQL-expressible — rows-only check)."""
+    from ..config import BlockingConfig
+    from ..stages import blocking as B
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pc.cast(b["doc_id"], pa.string()),
+                "text": b["text"],
+                "canonical": pc.utf8_upper(b["text"]),
+            }
+        )
+
+    from ..rayutil import hash_shuffle
+
+    with hash_shuffle():
+        docs = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(prep, batch_format="pyarrow")
+        cfg = BlockingConfig(use_prefix_key=False)
+        pairs = B.build_blocks(docs, cfg).materialize()
+    return pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_a": pc.cast(b["url_a"], pa.int64()),
+                "doc_b": pc.cast(b["url_b"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_simhash_codes(sf_dir: str) -> rd.Dataset:
+    """64-bit SimHash fingerprints over documents (rows-only)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        codes = [SH.simhash64((t or "").split()) & 0x7FFFFFFFFFFFFFFF for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"], "simhash": pa.array(codes, pa.int64())})
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def q_linkage_fact(sf_dir: str) -> rd.Dataset:
+    """Flagship linkage pipeline over the documents table shaped as pages
+    (rows-only: transitive clustering is not ANSI-SQL-expressible)."""
+    from ..config import PipelineConfig
+    from .linkage import run_linkage
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pc.binary_join_element_wise(
+                    pa.array(["doc://"] * b.num_rows), pc.cast(b["doc_id"], pa.string()), ""
+                ),
+                "text": b["text"],
+                "lang": b["lang"],
+            }
+        )
+
+    pages = _t(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(to_pages, batch_format="pyarrow")
+    out = run_linkage(pages, PipelineConfig(), from_html=False)
+    return out["fact"]
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "normalize_docs": q_normalize_docs,
+    "doc_fingerprint": q_doc_fingerprint,
+    "exact_dedup": q_exact_dedup,
+    "token_explode": q_token_explode,
+    "textstats": q_textstats,
+    "langid": q_langid,
+    "levenshtein_adjacent": q_levenshtein_adjacent,
+    "char_jaccard_adjacent": q_char_jaccard_adjacent,
+    "pricing_summary": q_pricing_summary,
+    "top3_orders_per_customer": q_top3_orders_per_customer,
+    "revenue_by_nation": q_revenue_by_nation,
+    "customers_without_orders": q_customers_without_orders,
+    "consensus_event_type": q_consensus_event_type,
+    "sessionize": q_sessionize,
+    "events_stats": q_events_stats,
+    "props_extract": q_props_extract,
+    "expand_size_range": q_expand_size_range,
+    "ann_topk": q_ann_topk,
+    "embedding_neardup_blocked": q_embedding_neardup_blocked,
+    "minhash_neardup": q_minhash_neardup,
+    "simhash_codes": q_simhash_codes,
+    "linkage_fact": q_linkage_fact,
+}
+
+ORACLE_SQL = {
+    "normalize_docs": SQL_NORMALIZE_DOCS,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "token_explode": SQL_TOKEN_EXPLODE,
+    "textstats": SQL_TEXTSTATS,
+    "levenshtein_adjacent": SQL_LEVENSHTEIN_ADJACENT,
+    "char_jaccard_adjacent": SQL_CHAR_JACCARD_ADJACENT,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top3_orders_per_customer": SQL_TOP3_ORDERS,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "consensus_event_type": SQL_CONSENSUS_EVENT_TYPE,
+    "sessionize": SQL_SESSIONIZE,
+    "events_stats": SQL_EVENTS_STATS,
+    "props_extract": SQL_PROPS_EXTRACT,
+    "expand_size_range": SQL_EXPAND_SIZE_RANGE,
+    "ann_topk": SQL_ANN_TOPK,
+    "embedding_neardup_blocked": SQL_EMBEDDING_NEARDUP_BLOCKED,
+}

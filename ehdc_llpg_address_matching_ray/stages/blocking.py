@@ -6,16 +6,24 @@ Reference analogues:
   dedup-then-fanout pattern G3 (cmd/matcher-v2/enhanced_layer3.go:50-97)
 - trigram GIN blocking   J4 (internal/match/generator.go:209-249) →
   MinHash-LSH band keys here (north rule)
+- hierarchical cascade   J6 (internal/engine/hierarchical_matcher.go:51-153)
+  → exact + phonetic prefix-token key families
 - group-size caps        cmd/matcher-v2/main.go:858 capped groups at 30;
   at web scale we SALT oversized blocks instead: contiguous chunks of a
   sorted block, each chunk pair-enumerated independently, with the
-  dropped cross-chunk coverage logged (no silent truncation).
+  dropped cross-chunk coverage recorded (no silent truncation).
 
-Dataflow (all Ray Data primitives):
-    normalized ──groupby(text_hash).aggregate(min url)──► rep mapping
-    reps ──map_batches(BandKeyEmitter)──flat_map──► (block_key, payload)
-    ──groupby(block_key).map_groups(enumerate_pairs)──► candidate pairs
-    ──groupby(url_a,url_b).aggregate(min payload)──► deduped pairs
+Dataflow (all Ray Data primitives, NO per-group Python):
+    normalized ──partition_by_key(text_hash)──vectorized min──► rep map
+    reps ──map_batches(BandKeyEmitter)──► (block_key, url, k_0..k_{nk-1})
+         ──partition_by_key(block_key)──map_batches(enumerate)──► pairs
+         ──join payload (url→text/canonical) twice──► scored-ready pairs
+
+Pair dedup is FREE: a pair co-blocked under several keys is kept only in
+the block of its FIRST shared key column (each row carries its full key
+vector), so no global pair-dedup shuffle exists.  Ray's groupby
+aggregate costs ~1 ms/group of Python — measured 115 s for a 35k-pair
+dedup that the first-shared-key rule does in zero extra time.
 """
 
 from __future__ import annotations
@@ -27,44 +35,44 @@ import pyarrow as pa
 from ..config import BlockingConfig
 from ..functions import minhash as MH
 from ..functions import phonetics as PH
+from ..rayutil import partition_by_key
 
 
 class BandKeyEmitter:
     """Stateful map_batches callable: holds the seeded permutation
     matrices (built once per actor, SURVEY.md §7.3) and emits one row per
-    (row × band): columns (block_key, url, text, canonical).
+    (row × key family): columns (block_key, url, k_0..k_{nk-1}).
 
-    Output rows = input rows × num_bands, so downstream groupby shuffles
-    only these narrow columns — html/raw text beyond what scoring needs
-    never enters the exchange.
+    Every emitted row carries the row's FULL key vector (nk int64
+    columns) so the pair enumerator can apply the first-shared-key dedup
+    rule locally.  Output rows = input rows × nk; only narrow integer +
+    url columns enter the shuffle — text payloads never do.
     """
 
     def __init__(self, cfg: BlockingConfig):
         self.cfg = cfg
         self.a, self.b = MH.make_perms(cfg.num_perm, cfg.seed)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch["canonical"].to_pylist()
-        if self.cfg.char_shingles:
-            keys = MH.batch_band_keys(
-                texts, self.a, self.b, self.cfg.num_bands, self.cfg.shingle_size
-            )
+    def key_matrix(self, texts: list[str]) -> np.ndarray:
+        """(n, nk) int64 key matrix: LSH band keys + optional prefix keys."""
+        cfg = self.cfg
+        if cfg.char_shingles:
+            keys = MH.batch_band_keys(texts, self.a, self.b, cfg.num_bands, cfg.shingle_size)
         else:
             token_lists = [t.split(" ") if t else [] for t in texts]
             keys = MH.batch_band_keys(
-                texts, self.a, self.b, self.cfg.num_bands,
-                self.cfg.shingle_size, token_lists=token_lists,
+                texts, self.a, self.b, cfg.num_bands, cfg.shingle_size, token_lists=token_lists
             )
-        if self.cfg.use_prefix_key:
-            # composite prefix-token keys (hierarchical-cascade analogue,
-            # internal/engine/hierarchical_matcher.go:51-153): equality key
-            # on the first K canonical tokens, plus a phonetic variant
-            # (soundex-level of the cascade) where alpha tokens collapse to
-            # metaphone codes — rescues short texts whose shingle Jaccard
-            # falls below the LSH threshold and DL-1 street-token typos
-            exact_pk = np.empty(len(texts), dtype=np.int64)
-            phon_pk = np.empty(len(texts), dtype=np.int64)
-            k = self.cfg.prefix_tokens
+        keys = keys.astype(np.int64)
+        if cfg.use_prefix_key:
+            # prefix-token equality keys (J6-cascade analogue): exact and
+            # phonetic (metaphone) variants — rescue short texts whose
+            # shingle Jaccard falls below the LSH threshold and DL-1
+            # street-token typos
+            n = len(texts)
+            exact_pk = np.empty(n, dtype=np.int64)
+            phon_pk = np.empty(n, dtype=np.int64)
+            k = cfg.prefix_tokens
             for i, t in enumerate(texts):
                 if not t:
                     exact_pk[i] = 0
@@ -75,122 +83,167 @@ class BandKeyEmitter:
                 phon_pk[i] = MH.string_key(
                     "PH|" + " ".join(tok if tok.isdigit() else PH.metaphone(tok) for tok in toks)
                 )
-            keys = np.concatenate(
-                [keys.astype(np.int64), exact_pk[:, None], phon_pk[:, None]], axis=1
-            )
-        n, nb = keys.shape
-        idx = np.repeat(np.arange(n), nb)
-        out = pa.table(
+            keys = np.concatenate([keys, exact_pk[:, None], phon_pk[:, None]], axis=1)
+        return keys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["canonical"].to_pylist()
+        keys = self.key_matrix(texts)
+        n, nk = keys.shape
+        idx = np.repeat(np.arange(n), nk)
+        cols: dict = {
+            "block_key": pa.array(keys.reshape(-1), pa.int64()),
+            "url": batch["url"].take(pa.array(idx)),
+        }
+        flat = keys[idx]  # (n*nk, nk) — each emitted row carries its full key vector
+        for j in range(nk):
+            cols[f"k{j:02d}"] = pa.array(flat[:, j], pa.int64())
+        return pa.table(cols)
+
+
+def enumerate_block_pairs(batch: pd.DataFrame, cfg: BlockingConfig) -> pd.DataFrame:
+    """map_batches fn over ONE key-partition (batch_size=None): detect
+    equal-key runs in the sorted block, enumerate pairs per run with
+    salting caps, and keep a pair only when this key column is the FIRST
+    the two rows share (global dedup without a shuffle).
+
+    Note: a pair dropped by salting in its first-shared block is counted
+    in that block's ``dropped_pairs`` and not rescued by later shared
+    keys (they apply the same first-shared rule) — coverage loss is
+    accounted, never silent.
+    """
+    if len(batch) == 0:
+        return pd.DataFrame(
             {
-                "block_key": pa.array(keys.reshape(-1).astype("int64"), pa.int64()),
-                "url": batch["url"].take(pa.array(idx)),
-                "text": batch["text"].take(pa.array(idx)),
-                "canonical": batch["canonical"].take(pa.array(idx)),
+                "url_a": pd.Series([], dtype=str),
+                "url_b": pd.Series([], dtype=str),
+                "dropped_pairs": pd.Series([], dtype="int64"),
             }
         )
-        return out
 
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    dropped_total = 0
 
-def enumerate_pairs(group: pd.DataFrame, cfg: BlockingConfig) -> pd.DataFrame:
-    """groupby(block_key).map_groups fn: all pairs within the block,
-    salted when oversized.
+    nk = sum(1 for c in batch.columns if c.startswith("k") and c != "key")
+    bk = batch["block_key"].to_numpy()
+    urls = batch["url"].to_numpy()
+    K = batch[[f"k{j:02d}" for j in range(nk)]].to_numpy()
 
-    Oversized blocks (> max_block_size rows) are sorted by url and split
-    into contiguous chunks of max_block_size; pairs are enumerated within
-    each chunk only.  The number of dropped cross-chunk pairs is recorded
-    in the ``dropped_pairs`` column of the first emitted row so the
-    pipeline can aggregate a coverage metric (no silent truncation).
-    """
-    n = len(group)
-    if n < 2:
-        return pd.DataFrame(
-            columns=["url_a", "url_b", "text_a", "text_b", "canonical_a", "canonical_b", "dropped_pairs"]
-        )
-    g = group.sort_values("url", kind="mergesort").reset_index(drop=True)
+    # runs of equal block_key in the sorted partition
+    boundaries = np.flatnonzero(np.diff(bk)) + 1
+    starts = np.concatenate([[0], boundaries])
+    ends = np.concatenate([boundaries, [len(bk)]])
     cap = cfg.max_block_size
-    urls = g["url"].to_numpy()
-    texts = g["text"].to_numpy()
-    canons = g["canonical"].to_numpy()
 
-    ia: list[int] = []
-    ib: list[int] = []
-    dropped = 0
-    if n <= cap:
-        iu, il = np.triu_indices(n, k=1)
-        ia, ib = iu, il
-    else:
-        total_pairs = n * (n - 1) // 2
-        kept = 0
-        ia_l, ib_l = [], []
-        for start in range(0, n, cap):
-            m = min(cap, n - start)
-            if m < 2:
-                continue
+    for s, e in zip(starts, ends):
+        m = e - s
+        if m < 2:
+            continue
+        order = np.argsort(urls[s:e].astype(str), kind="stable") + s
+        u = urls[order]
+        Kg = K[order]
+        key_val = bk[s]
+
+        if m <= cap:
             iu, il = np.triu_indices(m, k=1)
-            ia_l.append(iu + start)
-            ib_l.append(il + start)
-            kept += m * (m - 1) // 2
-        ia = np.concatenate(ia_l) if ia_l else np.array([], dtype=int)
-        ib = np.concatenate(ib_l) if ib_l else np.array([], dtype=int)
-        dropped = total_pairs - kept
+        else:
+            iu_l, il_l = [], []
+            kept = 0
+            for cs in range(0, m, cap):
+                cm = min(cap, m - cs)
+                if cm < 2:
+                    continue
+                a_, b_ = np.triu_indices(cm, k=1)
+                iu_l.append(a_ + cs)
+                il_l.append(b_ + cs)
+                kept += cm * (cm - 1) // 2
+            iu = np.concatenate(iu_l) if iu_l else np.empty(0, dtype=int)
+            il = np.concatenate(il_l) if il_l else np.empty(0, dtype=int)
+            dropped_total += m * (m - 1) // 2 - kept
 
-    out = pd.DataFrame(
-        {
-            "url_a": urls[ia],
-            "url_b": urls[ib],
-            "text_a": texts[ia],
-            "text_b": texts[ib],
-            "canonical_a": canons[ia],
-            "canonical_b": canons[ib],
-        }
-    )
-    out["dropped_pairs"] = 0
-    if dropped and len(out):
-        out.iloc[0, out.columns.get_loc("dropped_pairs")] = dropped
+        if len(iu) == 0:
+            continue
+        Ka, Kb = Kg[iu], Kg[il]
+        shared = Ka == Kb  # (p, nk)
+        cur = ((Ka == key_val) & (Kb == key_val)).argmax(axis=1)
+        first = shared.argmax(axis=1)
+        keep = first == cur
+        if keep.any():
+            out_a.append(u[iu[keep]])
+            out_b.append(u[il[keep]])
+
+    ua = np.concatenate(out_a) if out_a else np.empty(0, dtype=object)
+    ub = np.concatenate(out_b) if out_b else np.empty(0, dtype=object)
+    out = pd.DataFrame({"url_a": ua.astype(str), "url_b": ub.astype(str)})
+    out["dropped_pairs"] = np.zeros(len(out), dtype=np.int64)
+    if dropped_total and len(out):
+        out.iloc[0, out.columns.get_loc("dropped_pairs")] = dropped_total
     return out
 
 
-def build_blocks(reps_ds, cfg: BlockingConfig, concurrency: int | None = None):
-    """reps Dataset -> deduped candidate-pair Dataset.
+def build_blocks(
+    reps_ds,
+    cfg: BlockingConfig,
+    concurrency=None,
+    num_partitions: int = 8,
+):
+    """reps Dataset -> unique candidate-pair Dataset with payloads.
 
-    reps_ds columns: (url, text, canonical).  Returns PAIRS columns +
-    dropped_pairs.
+    reps_ds columns: (url, text, canonical).  Returns columns
+    (url_a, url_b, text_a, text_b, canonical_a, canonical_b, dropped_pairs).
+
+    The band shuffle moves ONLY integer keys + url; payloads are
+    re-attached afterwards with two hash joins against the slim reps
+    table — the dedup-then-rejoin pattern (G3).
     """
-    keyed = reps_ds.map_batches(
+    keyed = reps_ds.select_columns(["url", "canonical"]).map_batches(
         BandKeyEmitter,
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         concurrency=concurrency or (1, 8),
         batch_size=4096,
     )
-    pairs = keyed.groupby("block_key").map_groups(
-        lambda g: enumerate_pairs(g, cfg), batch_format="pandas"
+    part = partition_by_key(keyed, ["block_key"], num_partitions)
+    pairs = part.map_batches(
+        lambda b: enumerate_block_pairs(b, cfg), batch_format="pandas", batch_size=None
     )
-    # cross-band dedup: same pair found under several band keys; min() of
-    # identical payloads is the payload (vectorized aggregate, no
-    # per-group python) — E1 analogue (generator.go:388-419)
-    from ray.data.aggregate import Max, Min
 
-    deduped = pairs.groupby(["url_a", "url_b"]).aggregate(
-        Min("text_a", alias_name="text_a"),
-        Min("text_b", alias_name="text_b"),
-        Min("canonical_a", alias_name="canonical_a"),
-        Min("canonical_b", alias_name="canonical_b"),
-        Max("dropped_pairs", alias_name="dropped_pairs"),
+    payload = reps_ds.select_columns(["url", "text", "canonical"])
+    side_a = payload.map_batches(
+        lambda b: pa.table(
+            {"url_a": b["url"], "text_a": b["text"], "canonical_a": b["canonical"]}
+        ),
+        batch_format="pyarrow",
     )
-    return deduped
+    side_b = payload.map_batches(
+        lambda b: pa.table(
+            {"url_b": b["url"], "text_b": b["text"], "canonical_b": b["canonical"]}
+        ),
+        batch_format="pyarrow",
+    )
+    out = pairs.join(side_a, join_type="inner", num_partitions=num_partitions, on=("url_a",))
+    out = out.join(side_b, join_type="inner", num_partitions=num_partitions, on=("url_b",))
+    return out
 
 
-def exact_groups(normalized_ds, num_partitions: int = 16):
-    """groupby(text_hash) -> (membership, reps).
+def exact_groups(normalized_ds, num_partitions: int = 8):
+    """groupby(text_hash) -> (membership, reps) WITHOUT per-group Python:
+    keyed repartition + C-speed pandas min per partition.
 
     membership: normalized columns + rep_url (the lexicographically
     smallest url sharing the canonical hash).  reps: the representative
     rows only — the G3 dedup-then-score-once pattern.
     """
-    from ray.data.aggregate import Min
-
-    rep_map = normalized_ds.groupby("text_hash").aggregate(Min("url", alias_name="rep_url"))
+    slim = normalized_ds.select_columns(["text_hash", "url"])
+    part = partition_by_key(slim, ["text_hash"], num_partitions)
+    rep_map = part.map_batches(
+        lambda df: df.groupby("text_hash", sort=False, as_index=False).agg(
+            rep_url=("url", "min")
+        ),
+        batch_format="pandas",
+        batch_size=None,
+    )
     membership = normalized_ds.join(
         rep_map,
         join_type="inner",

@@ -33,6 +33,8 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Min
 
+from ..rayutil import partition_by_key
+
 
 def url_to_node_id(urls: list[str]) -> np.ndarray:
     """Stable 63-bit id: top 8 bytes of md5(url) masked to int64-positive.
@@ -128,11 +130,17 @@ def label_propagation(
             batch_format="pyarrow",
         )
         combined = labels.union(prop)
+        # keyed repartition + C-speed pandas min per partition: Ray's
+        # groupby aggregate costs ~1 ms/group of Python, and the group
+        # count here equals the node count
         new_labels = (
-            combined.groupby("node_id")
-            .aggregate(Min("label", alias_name="label"))
+            partition_by_key(combined, ["node_id"], num_partitions)
+            .map_batches(
+                lambda df: df.groupby("node_id", sort=False, as_index=False)["label"].min(),
+                batch_format="pandas",
+                batch_size=None,
+            )
             .map_batches(_rebuild_labels, batch_format="pyarrow")
-            .repartition(num_partitions)
             .materialize()
         )
         # convergence check: any label changed?

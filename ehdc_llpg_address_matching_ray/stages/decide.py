@@ -6,63 +6,92 @@ floor, margin 0.03).
 
 Scored pairs are symmetric (url_a < url_b); each side acts as a
 "source document" whose candidate list is its incident pairs — so we
-flat_map every pair into two directed rows and resolve per source with a
-``groupby(src).map_groups`` (hash-partition by source, no global sort:
-SURVEY.md D1 mapping).
+flat_map every pair into two directed rows, hash-partition by source
+(keyed repartition, NOT groupby.map_groups: Ray's per-group Python
+overhead is ~1 ms/group and the group count here equals the corpus
+size), sort each partition by (src, -score) and resolve every source
+with pure numpy over the equal-src runs.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ..config import MatchTiers
-from ..functions import features as F
+from ..rayutil import partition_by_key
 
 
 def to_directed(batch: pa.Table) -> pa.Table:
     """Each undirected scored pair -> two directed (src, cand) rows."""
-    cols = ["score"]
     base = {
         "src": pa.concat_arrays([batch["url_a"].combine_chunks(), batch["url_b"].combine_chunks()]),
         "cand": pa.concat_arrays([batch["url_b"].combine_chunks(), batch["url_a"].combine_chunks()]),
     }
-    for c in cols:
-        arr = batch[c].combine_chunks()
-        base[c] = pa.concat_arrays([arr, arr])
+    arr = batch["score"].combine_chunks()
+    base["score"] = pa.concat_arrays([arr, arr])
     return pa.table(base)
 
 
-def decide_group(g: pd.DataFrame, tiers: MatchTiers, top_k: int = 10) -> pd.DataFrame:
-    """Per-source decision: sort desc, top-k kept for audit, decision per
-    the tier/margin logic.  The production path has no house/locality
-    conditional inputs (those live in the fidelity scorer), so the 0.88
-    medium tier's extra conditions evaluate False — matching the
-    reference when those features are absent."""
-    g = g.sort_values("score", ascending=False, kind="mergesort").head(top_k)
-    cands = [
-        F.ScoredCandidate(cand_id=row.cand, score=row.score)
-        for row in g.itertuples(index=False)
-    ]
-    decision, accepted = F.make_decision(cands, tiers)
-    top = cands[0]
-    margin = 1.0 if len(cands) == 1 else top.score - cands[1].score
+def decide_partition(df: pd.DataFrame, tiers: MatchTiers) -> pd.DataFrame:
+    """Vectorized per-source decision over one src-partition.
+
+    Per source: sort candidates desc (done partition-wide), take top-1 +
+    margin to top-2, apply the D2 tier logic (the 0.88 medium tier's
+    house/locality conditions evaluate False in the production path —
+    those features live in the fidelity scorer)."""
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "url": pd.Series([], dtype=str),
+                "decision": pd.Series([], dtype=str),
+                "accepted_url": pd.Series([], dtype=str),
+                "top_score": pd.Series([], dtype="float64"),
+                "margin": pd.Series([], dtype="float64"),
+                "n_candidates": pd.Series([], dtype="int64"),
+            }
+        )
+    d = df.sort_values(["src", "score", "cand"], ascending=[True, False, True], kind="mergesort")
+    src = d["src"].to_numpy()
+    cand = d["cand"].to_numpy()
+    score = d["score"].to_numpy()
+
+    is_first = np.ones(len(d), dtype=bool)
+    is_first[1:] = src[1:] != src[:-1]
+    firsts = np.flatnonzero(is_first)
+    ends = np.concatenate([firsts[1:], [len(d)]])
+    n_cands = ends - firsts
+
+    top_score = score[firsts]
+    second = np.full(len(firsts), np.nan)
+    has_second = n_cands >= 2
+    second[has_second] = score[firsts[has_second] + 1]
+    margin = np.where(has_second, top_score - second, 1.0)
+
+    auto = (top_score >= tiers.auto_accept_high) & (margin >= tiers.winner_margin)
+    review = ~auto & (top_score >= tiers.review_threshold)
+    rejected = top_score < tiers.min_threshold
+    decision = np.where(rejected, "reject", np.where(auto, "auto_accept", np.where(review, "review", "reject")))
+    accepted = np.where(auto & ~rejected, cand[firsts], "")
+
     return pd.DataFrame(
         {
-            "url": [g["src"].iloc[0]],
-            "decision": [decision],
-            "accepted_url": [accepted],
-            "top_score": [top.score],
-            "margin": [margin],
-            "n_candidates": [len(cands)],
+            "url": src[firsts].astype(str),
+            "decision": decision.astype(str),
+            "accepted_url": accepted.astype(str),
+            "top_score": top_score,
+            "margin": margin,
+            "n_candidates": n_cands.astype(np.int64),
         }
     )
 
 
-def decide(scored_pairs_ds, tiers: MatchTiers | None = None, top_k: int = 10):
+def decide(scored_pairs_ds, tiers: MatchTiers | None = None, num_partitions: int = 8):
     """scored pairs -> per-source DECISIONS Dataset."""
     tiers = tiers or MatchTiers()
     directed = scored_pairs_ds.map_batches(to_directed, batch_format="pyarrow")
-    return directed.groupby("src").map_groups(
-        lambda g: decide_group(g, tiers, top_k), batch_format="pandas"
+    part = partition_by_key(directed, ["src"], num_partitions)
+    return part.map_batches(
+        lambda df: decide_partition(df, tiers), batch_format="pandas", batch_size=None
     )

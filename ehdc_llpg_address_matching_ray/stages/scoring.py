@@ -44,6 +44,11 @@ class ProductionWeights:
     token_set: float = 0.25
     tfidf_cosine: float = 0.25
     edge_threshold: float = 0.80
+    # Jaro-Winkler is O(len^2) per pair in pure Python; character-position
+    # alignment carries no signal past the first few dozen chars of a web
+    # document, so score it on a bounded prefix (address-length strings
+    # are unaffected; long-document cost drops quadratically).
+    max_jw_len: int = 64
 
 
 def fit_idf(token_doc_freqs: dict[str, int], n_docs: int) -> dict[str, float]:
@@ -148,11 +153,12 @@ class PairScorer:
         tf = np.empty(n, dtype=np.float64)
         veto = np.zeros(n, dtype=bool)
 
+        mjl = self.prod.max_jw_len
         for i in range(n):
             ca, cb = can_a[i], can_b[i]
             ta = ca.split(" ") if ca else []
             tb = cb.split(" ") if cb else []
-            jw[i] = S.jaro_winkler(ca, cb)
+            jw[i] = S.jaro_winkler(ca[:mjl], cb[:mjl])
             ts[i] = fuzzy_token_overlap(ta, tb)
             tf[i] = tfidf_cosine(ta, tb, self.idf, self.default_idf)
             veto[i] = house_number_veto(text_a[i], text_b[i])
