@@ -83,15 +83,33 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     }
 
 
+SCALING_ENTITIES = int(os.environ.get("GRAFT_SCALING_ENTITIES", "20000"))
+SCALING_CORPUS = f"/tmp/ehdc_llpg_address_matching_ray_scaling_corpus_{SCALING_ENTITIES}"
+
+
 def run_single(sf_dir: str, num_cpus: int) -> dict:
-    """One flagship linkage run (used by --scaling subprocesses)."""
+    """One flagship linkage run over the seeded scaling corpus (used by
+    --scaling subprocesses).
+
+    The sf tables' documents slice is too small to be compute-bound (5k
+    rows at sf0.1 — fixed stage overhead dominates and masks scaling), so
+    the scaling criterion runs the flagship pipeline on the generator's
+    pages corpus at ~3x10^4 entities (~10^5 pages), deterministic seed.
+    """
     import ray
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
-    from ehdc_llpg_address_matching_ray.pipelines import queries as Q
+    import ray.data as rd
 
+    from ehdc_llpg_address_matching_ray.config import PipelineConfig
+    from ehdc_llpg_address_matching_ray.pipelines.linkage import run_linkage
+    from ehdc_llpg_address_matching_ray.sources.corpus import write_corpus
+
+    d = write_corpus(SCALING_CORPUS, n_entities=SCALING_ENTITIES, seed=42, shards=32)
+    pages = rd.read_parquet(os.path.join(d, "pages"))
     t0 = time.time()
-    n = _consume(Q.QUERIES["linkage_fact"](sf_dir))
+    out = run_linkage(pages, PipelineConfig(), from_html=True)
+    n = out["fact"].count()
     el = time.time() - t0
     ray.shutdown()
     return {"rows": n, "sec": round(el, 3), "num_cpus": num_cpus}

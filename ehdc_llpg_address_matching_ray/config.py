@@ -65,8 +65,8 @@ class BlockingConfig:
     shingle_size: int = 3       # token n-gram size for shingles
     char_shingles: bool = True  # shingle over chars (True) or tokens (False)
     seed: int = 42
-    max_block_size: int = 64    # blocks above this get salted/subdivided
-    max_pairs_per_block: int = 2016  # C(64,2): pair budget per (possibly salted) block
+    max_block_size: int = 32    # blocks above this get salted/subdivided
+    max_pairs_per_block: int = 496  # C(32,2): pair budget per (possibly salted) block
     use_domain_key: bool = False  # also emit normalized-domain prefix keys
     prefix_tokens: int = 2      # extra composite key: first-K canonical tokens
     use_prefix_key: bool = True  # J6-cascade analogue; rescues short texts whose
@@ -106,7 +106,7 @@ class PipelineConfig:
     score_batch_size: int = 8192
     normalize_batch_size: int = 4096
     max_cluster_iters: int = 25   # label-prop fixpoint bound (O(log n) typical)
-    scorer_concurrency: tuple[int, int] = (1, 8)  # (min, max) actor pool size
+    scorer_concurrency: tuple[int, int] | None = None  # None = scale to cluster CPUs
 
     def config_hash(self) -> str:
         """Stable hash of the whole config for lineage manifests."""

@@ -34,7 +34,7 @@ from ..stages import correct as CR
 from ..stages import decide as D
 from ..stages import extract as X
 from ..stages import scoring as SC
-from ..rayutil import hash_shuffle
+from ..rayutil import default_concurrency, default_partitions, hash_shuffle
 from .checkpoint import checkpoint, score_histogram
 
 
@@ -98,6 +98,7 @@ def _run_linkage_inner(
     pages_ds, cfg, chash, from_html, checkpoint_dir, resume,
     idf_sample_fraction, cluster_driver_threshold,
 ):
+    conc = cfg.scorer_concurrency or default_concurrency()
 
     def ckpt(ds: rd.Dataset, name: str, extras=None) -> rd.Dataset:
         """Checkpoint to parquet when a checkpoint_dir is given, else pin
@@ -122,12 +123,13 @@ def _run_linkage_inner(
     token_df, n_docs = CR.fit_token_df(
         normalized, sample_fraction=idf_sample_fraction, seed=cfg.blocking.seed
     )
+    P = default_partitions(n_docs)
     if cfg.symspell.enabled:
         sym = CR.build_symspell(token_df, cfg.symspell)
         sym_ref = ray.put(sym)
         normalized = CR.apply_symspell(
             normalized, sym_ref, cfg.symspell,
-            concurrency=cfg.scorer_concurrency, batch_size=cfg.normalize_batch_size,
+            concurrency=conc, batch_size=cfg.normalize_batch_size,
         )
         normalized = ckpt(normalized, "01b_corrected")
         # remap the df vocabulary through the same corrector (driver-side,
@@ -151,26 +153,26 @@ def _run_linkage_inner(
         )
         return _empty_outputs(normalized, empty_membership)
 
-    membership, reps = B.exact_groups(normalized)
+    membership, reps = B.exact_groups(normalized, num_partitions=P)
     membership = ckpt(membership, "02_membership")
     reps = membership.filter(expr="url == rep_url")
 
     reps_slim = reps.select_columns(["url", "text", "canonical"])
-    pairs = B.build_blocks(reps_slim, cfg.blocking)
+    pairs = B.build_blocks(reps_slim, cfg.blocking, concurrency=conc, num_partitions=P)
     pairs = ckpt(pairs, "03_pairs")
 
     scored = SC.score_pairs(
         pairs,
         idf_ref=idf_ref,
         n_docs=n_docs,
-        concurrency=cfg.scorer_concurrency,
+        concurrency=conc,
         batch_size=cfg.score_batch_size,
     )
     scored = ckpt(scored, "04_scored")
     hist = score_histogram(scored) if checkpoint_dir is not None else None
 
     edges = scored.filter(expr="is_edge == True").select_columns(["url_a", "url_b"])
-    decisions = D.decide(scored, cfg.tiers)
+    decisions = D.decide(scored, cfg.tiers, num_partitions=P)
     decisions = ckpt(decisions, "05_decisions")
 
     nodes = reps.select_columns(["url"])
@@ -179,7 +181,7 @@ def _run_linkage_inner(
     )
     rep_clusters = ckpt(rep_clusters, "06_clusters")
 
-    fact = build_fact(membership, rep_clusters, decisions)
+    fact = build_fact(membership, rep_clusters, decisions, num_partitions=P)
     fact = ckpt(fact, "07_fact", extras=({"score_histogram": hist} if hist else None))
 
     return {

@@ -1,0 +1,366 @@
+"""Two-table record linkage: source documents matched AGAINST a
+gazetteer — the reference's primary production flow
+(ADDRESS_MATCHING_PROCESS.md:319-354, internal/match/engine.go:55-124).
+
+Tier cascade (each tier consumes the previous tier's leftovers — the
+J10 anti-join "still unmatched" pattern, internal/engine/matcher.go:150-160):
+
+  A1  exact legacy-key join (J1, generator.go:149-171): source carries a
+      legacy id; normalize it (M12 ``.00``-strip) and hash-join the
+      gazetteer key → score 1.0, auto_accept.
+  A2  exact canonical equality (J2, generator.go:174-206): join on the
+      canonical text hash; a UNIQUE gazetteer hit auto-accepts at 0.99,
+      multiple hits go to review.
+  B   MinHash-LSH + prefix-key blocking (J4/J6) as a bipartite
+      block-key join, pairwise scoring (P1/P2 production blend), per-source
+      decision (D1/D2).
+
+All shuffles are keyed; hot block keys are DROPPED above a cap with the
+dropped candidate volume accounted (the stop-key rule — the reference's
+LIMIT 50 per trigram lookup is the one-node version of the same bound).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from ..config import BlockingConfig, MatchTiers, PipelineConfig
+from ..functions import normalize as N
+from ..functions import textstats as TS
+from ..rayutil import default_concurrency, default_partitions, hash_shuffle, partition_by_key
+from ..stages import decide as D
+from ..stages import scoring as SC
+from ..stages.blocking import BandKeyEmitter
+from .linkage import fit_idf_from_reps
+
+
+def normalize_uprn_batch(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """M12 key hygiene (internal/matcher/engine_components_fixed.go:247-257):
+    trim + strip a trailing ``.00`` decimal suffix."""
+    s = pc.utf8_trim_whitespace(col.cast(pa.string()))
+    return pc.replace_substring_regex(s, r"\.0+$", "")
+
+
+def _normalize_side(ds: rd.Dataset, id_col: str, text_col: str, batch_size: int) -> rd.Dataset:
+    """M1 canonicalization of one side; output (id, text, canonical, text_hash)."""
+
+    def f(b: pa.Table) -> pa.Table:
+        canonical, code = N.canonical_batch(b[text_col])
+        return pa.table(
+            {
+                "id": b[id_col].cast(pa.string()),
+                "text": b[text_col],
+                "canonical": canonical,
+                "code": code,
+                "text_hash": pa.array(TS.md5_hex(canonical.to_pylist()), pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def run_match(
+    sources_ds: rd.Dataset,
+    gazetteer_ds: rd.Dataset,
+    cfg: PipelineConfig | None = None,
+    source_id: str = "src_id",
+    source_text: str = "raw_address",
+    source_legacy_key: str | None = None,
+    gaz_id: str = "uprn",
+    gaz_text: str = "full_address",
+    max_key_freq: int = 256,
+) -> dict[str, rd.Dataset]:
+    """sources × gazetteer -> per-source match decisions.
+
+    Returns stage datasets: ``matches`` has one row per source with
+    (src_id, decision, matched_id, score, method) — method in
+    {exact_key, exact_canonical, fuzzy, none}.
+    """
+    cfg = cfg or PipelineConfig()
+    with hash_shuffle():
+        return _run_match_inner(
+            sources_ds, gazetteer_ds, cfg, source_id, source_text,
+            source_legacy_key, gaz_id, gaz_text, max_key_freq,
+        )
+
+
+def _run_match_inner(
+    sources_ds, gazetteer_ds, cfg, source_id, source_text,
+    source_legacy_key, gaz_id, gaz_text, max_key_freq,
+):
+    P = default_partitions()
+    conc = cfg.scorer_concurrency or default_concurrency()
+
+    src = _normalize_side(sources_ds, source_id, source_text, cfg.normalize_batch_size)
+    if source_legacy_key is not None:
+        legacy = sources_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "id": b[source_id].cast(pa.string()),
+                    "legacy_key": normalize_uprn_batch(b[source_legacy_key]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        src = src.join(legacy, join_type="left_outer", num_partitions=P, on=("id",))
+    src = src.materialize()
+    gaz = _normalize_side(gazetteer_ds, gaz_id, gaz_text, cfg.normalize_batch_size).materialize()
+
+    # ---- Tier A1: exact legacy-key join (J1) --------------------------------
+    if source_legacy_key is not None:
+        gaz_keys = gaz.map_batches(
+            lambda b: pa.table({"gaz_key": b["id"], "gaz_id_a1": b["id"]}),
+            batch_format="pyarrow",
+        )
+        with_key = src.map_batches(
+            lambda b: b.filter(
+                pc.and_(pc.is_valid(b["legacy_key"]), pc.not_equal(pc.coalesce(b["legacy_key"], ""), ""))
+            ),
+            batch_format="pyarrow",
+        )
+        a1 = (
+            with_key
+            .join(gaz_keys, join_type="inner", num_partitions=P, on=("legacy_key",), right_on=("gaz_key",))
+            .map_batches(
+                lambda b: pa.table(
+                    {
+                        "src_id": b["id"],
+                        "matched_id": b["gaz_id_a1"],
+                        "score": pa.array([1.0] * b.num_rows, pa.float64()),
+                        "decision": pa.array(["auto_accept"] * b.num_rows, pa.string()),
+                        "method": pa.array(["exact_key"] * b.num_rows, pa.string()),
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    else:
+        a1 = rd.from_arrow(
+            pa.table(
+                {
+                    "src_id": pa.array([], pa.string()),
+                    "matched_id": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                    "decision": pa.array([], pa.string()),
+                    "method": pa.array([], pa.string()),
+                }
+            )
+        )
+
+    matched_ids = {r["src_id"] for r in a1.iter_rows()} if a1.count() else set()
+    matched_ref = ray.put(matched_ids)
+
+    def drop_matched(b: pa.Table, ref=matched_ref) -> pa.Table:
+        done = ray.get(ref)
+        if not done:
+            return b
+        mask = pa.array([i not in done for i in b["id"].to_pylist()])
+        return b.filter(mask)
+
+    remaining = src.map_batches(drop_matched, batch_format="pyarrow").materialize()
+
+    # ---- Tier A2: exact canonical equality (J2) -----------------------------
+    gaz_hash = gaz.map_batches(
+        lambda b: pa.table({"g_hash": b["text_hash"], "gaz_id_a2": b["id"]}),
+        batch_format="pyarrow",
+    )
+    a2_hits = remaining.join(
+        gaz_hash, join_type="inner", num_partitions=P, on=("text_hash",), right_on=("g_hash",)
+    )
+
+    def a2_resolve(df: pd.DataFrame) -> pd.DataFrame:
+        # single gazetteer hit -> auto_accept 0.99; multiple -> review
+        # (deterministic min matched id), generator.go:174-206
+        g = df.sort_values(["id", "gaz_id_a2"], kind="mergesort")
+        counts = g.groupby("id", sort=False)["gaz_id_a2"].transform("size")
+        first = ~g["id"].duplicated()
+        out = g[first].copy()
+        multi = counts[first].to_numpy() > 1
+        out["src_id"] = out["id"]
+        out["matched_id"] = out["gaz_id_a2"]
+        out["score"] = np.where(multi, 0.90, 0.99)
+        out["decision"] = np.where(multi, "review", "auto_accept")
+        out["method"] = "exact_canonical"
+        return out[["src_id", "matched_id", "score", "decision", "method"]]
+
+    a2 = partition_by_key(a2_hits, ["id"], P).map_batches(
+        a2_resolve, batch_format="pandas", batch_size=None
+    ).materialize()
+
+    a2_ids = {r["src_id"] for r in a2.iter_rows()} if a2.count() else set()
+    a2_ref = ray.put(a2_ids)
+
+    def drop_a2(b: pa.Table, ref=a2_ref) -> pa.Table:
+        done = ray.get(ref)
+        if not done:
+            return b
+        mask = pa.array([i not in done for i in b["id"].to_pylist()])
+        return b.filter(mask)
+
+    leftovers = remaining.map_batches(drop_a2, batch_format="pyarrow").materialize()
+
+    # ---- Tier B: bipartite LSH blocking + scoring ---------------------------
+    idf, n_docs = fit_idf_from_reps(
+        gaz.map_batches(lambda b: pa.table({"canonical": b["canonical"]}), batch_format="pyarrow")
+    )
+    idf_ref = ray.put(idf)
+
+    def emit_keys(side_ds: rd.Dataset, tag: str) -> rd.Dataset:
+        keyed = side_ds.select_columns(["id", "canonical"]).map_batches(
+            _SideKeyEmitter,
+            fn_constructor_args=(cfg.blocking,),
+            batch_format="pyarrow",
+            concurrency=conc,
+            batch_size=4096,
+        )
+        return keyed.map_batches(
+            lambda b: b.append_column("side", pa.array([tag] * b.num_rows, pa.string())),
+            batch_format="pyarrow",
+        )
+
+    src_keys = emit_keys(leftovers, "s")
+    gaz_keyed = emit_keys(gaz, "g")
+
+    # stop-key rule: drop block keys hotter than max_key_freq on either
+    # side (accounted, not silent)
+    both = src_keys.union(gaz_keyed)
+    part = partition_by_key(both, ["block_key"], P)
+
+    def bipartite_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "src_id": pd.Series([], dtype=str),
+                    "gaz_id": pd.Series([], dtype=str),
+                    "dropped_candidates": pd.Series([], dtype="int64"),
+                }
+            )
+        nk = sum(1 for c in df.columns if c.startswith("k") and c != "key")
+        kcols = [f"k{j:02d}" for j in range(nk)]
+        bk = df["block_key"].to_numpy()
+        side = df["side"].to_numpy()
+        ids = df["id"].to_numpy()
+        K = df[kcols].to_numpy()
+        boundaries = np.flatnonzero(np.diff(bk)) + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(bk)]])
+        out_s, out_g = [], []
+        dropped = 0
+        for s0, e0 in zip(starts, ends):
+            sm = side[s0:e0] == "s"
+            gm = ~sm
+            ns, ng = int(sm.sum()), int(gm.sum())
+            if ns == 0 or ng == 0:
+                continue
+            if ns > 256 or ng > 256:
+                dropped += ns * ng
+                continue
+            si = np.flatnonzero(sm) + s0
+            gi = np.flatnonzero(gm) + s0
+            ii, jj = np.meshgrid(si, gi, indexing="ij")
+            ii, jj = ii.ravel(), jj.ravel()
+            # first-shared-key dedup across blocks (same rule as self-dedup)
+            Ka, Kb = K[ii], K[jj]
+            shared = Ka == Kb
+            key_val = bk[s0]
+            cur = ((Ka == key_val) & (Kb == key_val)).argmax(axis=1)
+            keep = shared.argmax(axis=1) == cur
+            out_s.append(ids[ii[keep]])
+            out_g.append(ids[jj[keep]])
+        sa = np.concatenate(out_s) if out_s else np.empty(0, dtype=object)
+        ga = np.concatenate(out_g) if out_g else np.empty(0, dtype=object)
+        out = pd.DataFrame({"src_id": sa.astype(str), "gaz_id": ga.astype(str)})
+        out["dropped_candidates"] = np.zeros(len(out), dtype=np.int64)
+        if dropped and len(out):
+            out.iloc[0, out.columns.get_loc("dropped_candidates")] = dropped
+        return out
+
+    cand = part.map_batches(bipartite_pairs, batch_format="pandas", batch_size=None)
+
+    # payload attach (dedup-then-rejoin, G3)
+    s_payload = leftovers.map_batches(
+        lambda b: pa.table({"src_id": b["id"], "text_a": b["text"], "canonical_a": b["canonical"]}),
+        batch_format="pyarrow",
+    )
+    g_payload = gaz.map_batches(
+        lambda b: pa.table({"gaz_id": b["id"], "text_b": b["text"], "canonical_b": b["canonical"]}),
+        batch_format="pyarrow",
+    )
+    pairs = cand.join(s_payload, join_type="inner", num_partitions=P, on=("src_id",))
+    pairs = pairs.join(g_payload, join_type="inner", num_partitions=P, on=("gaz_id",))
+    pairs = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "url_a": b["src_id"],
+                "url_b": b["gaz_id"],
+                "text_a": b["text_a"],
+                "text_b": b["text_b"],
+                "canonical_a": b["canonical_a"],
+                "canonical_b": b["canonical_b"],
+                "dropped_pairs": b["dropped_candidates"],
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    scored = SC.score_pairs(
+        pairs, idf_ref=idf_ref, n_docs=n_docs, concurrency=conc, batch_size=cfg.score_batch_size
+    ).materialize()
+
+    # directed decide: sources only (url_a side)
+    directed = scored.map_batches(
+        lambda b: pa.table({"src": b["url_a"], "cand": b["url_b"], "score": b["score"]}),
+        batch_format="pyarrow",
+    )
+    fuzzy_dec = partition_by_key(directed, ["src"], P).map_batches(
+        lambda df: D.decide_partition(df, cfg.tiers), batch_format="pandas", batch_size=None
+    )
+    fuzzy = fuzzy_dec.map_batches(
+        lambda b: pa.table(
+            {
+                "src_id": b["url"],
+                "matched_id": b["accepted_url"],
+                "score": b["top_score"],
+                "decision": b["decision"],
+                "method": pa.array(["fuzzy"] * b.num_rows, pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    matches = a1.union(a2).union(fuzzy).materialize()
+    return {
+        "sources_normalized": src,
+        "gazetteer_normalized": gaz,
+        "tier_a1": a1,
+        "tier_a2": a2,
+        "candidate_pairs": pairs,
+        "scored": scored,
+        "fuzzy": fuzzy,
+        "matches": matches,
+    }
+
+
+class _SideKeyEmitter(BandKeyEmitter):
+    """BandKeyEmitter variant keeping the ``id`` column name."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch["canonical"].to_pylist()
+        keys = self.key_matrix(texts)
+        n, nk = keys.shape
+        idx = np.repeat(np.arange(n), nk)
+        cols: dict = {
+            "block_key": pa.array(keys.reshape(-1), pa.int64()),
+            "id": batch["id"].take(pa.array(idx)),
+        }
+        flat = keys[idx]
+        for j in range(nk):
+            cols[f"k{j:02d}"] = pa.array(flat[:, j], pa.int64())
+        return pa.table(cols)

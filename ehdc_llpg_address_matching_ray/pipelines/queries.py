@@ -736,6 +736,148 @@ def q_linkage_fact(sf_dir: str) -> rd.Dataset:
     return out["fact"]
 
 
+
+
+# ---------------------------------------------------------------------------
+# Rule / predicate / expansion operator family (ST5, M10, E2)
+# ---------------------------------------------------------------------------
+
+
+def q_real_address_filter(sf_dir: str) -> rd.Dataset:
+    """M10 is_real_address predicate (plpgsql, cmd/matcher-v2/main.go:766-793)
+    as a vectorized boolean column."""
+    from ..functions import components as CP
+
+    def f(b: pa.Table) -> pa.Table:
+        flags = [CP.is_real_address(t) for t in b["text"].to_pylist()]
+        return pa.table({"doc_id": b["doc_id"], "is_real": pa.array(flags, pa.bool_())})
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+SQL_REAL_ADDRESS_FILTER = r"""
+SELECT doc_id,
+       (length(trim(text)) >= 10
+        AND NOT regexp_matches(trim(text), '^[A-Z]{1,3}[0-9]+/?[0-9]*$')
+        AND upper(trim(text)) NOT IN ('N/A','NOT APPLICABLE','NONE','NULL','TBC')
+        AND (regexp_matches(trim(text), '(street|road|avenue|lane|way|close|drive|court|place|crescent|gardens|park|hill|view|house|cottage|farm|manor|hall)', 'i')
+             OR contains(trim(text), ','))) AS is_real
+FROM documents
+"""
+
+
+def q_rule_transform(sf_dir: str) -> rd.Dataset:
+    """ST5/J11 rule table (internal/engine/rule_matcher.go:49-155):
+    first matching rule transforms the uppercased text."""
+    from ..functions import rules as RU
+
+    def f(b: pa.Table) -> pa.Table:
+        outs, ids = [], []
+        for t in b["text"].to_pylist():
+            o, rid, _ = RU.apply_rules(t or "")
+            outs.append(o)
+            ids.append(rid)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "transformed": pa.array(outs, pa.string()),
+                "rule_id": pa.array(ids, pa.int64()),
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def _rule_transform_sql() -> str:
+    from ..functions import rules as RU
+
+    u = "upper(text)"
+    when_t = []
+    when_i = []
+    for r in RU.DEFAULT_RULES:
+        pat = _sql_quote(r.pattern)
+        rep = _sql_quote(r.replacement.replace("\\1", "\\1"))
+        when_t.append(f"WHEN regexp_matches({u}, '{pat}') THEN regexp_replace({u}, '{pat}', '{rep}', 'g')")
+        when_i.append(f"WHEN regexp_matches({u}, '{pat}') THEN {r.rule_id}")
+    return (
+        "SELECT doc_id, CASE "
+        + " ".join(when_t)
+        + f" ELSE {u} END AS transformed, CASE "
+        + " ".join(when_i)
+        + "::BIGINT ELSE 0 END::BIGINT AS rule_id FROM documents"
+    )
+
+
+SQL_RULE_TRANSFORM = _rule_transform_sql()
+
+
+def q_range_expand(sf_dir: str) -> rd.Dataset:
+    """E2 range expansion (internal/llpg/range_expander.go:56-210) as a
+    flat_map over deterministic range-bearing address strings derived
+    from the part table (rows-only: the validation rules are not
+    reasonably ANSI-SQL-expressible)."""
+    from ..functions import rangeexpand as REX
+
+    def synth(b: pa.Table) -> pa.Table:
+        fulls = []
+        for pk, size in zip(b["p_partkey"].to_pylist(), b["p_size"].to_pylist()):
+            lo = pk % 90 + 1
+            hi = lo + size % 5
+            fulls.append(f"{lo}-{hi} HIGH STREET, ALTON")
+        return pa.table(
+            {
+                "p_partkey": b["p_partkey"],
+                "full_address": pa.array(fulls, pa.string()),
+                "canonical": pa.array([f.replace(",", "") for f in fulls], pa.string()),
+            }
+        )
+
+    parts = _t(sf_dir, "part", ["p_partkey", "p_size"]).map_batches(synth, batch_format="pyarrow")
+    return parts.map_batches(
+        lambda b: REX.expand_batch(b, "full_address", "canonical", "p_partkey"),
+        batch_format="pyarrow",
+    )
+
+
+
+
+def q_multimodal_featurize(sf_dir: str) -> rd.Dataset:
+    """Multimodal plumbing: documents.text bytes as an opaque binary
+    payload through the actor-pool featurizer (stages/multimodal.py —
+    decode stubbed deterministically, Ray plumbing real).  Projects the
+    SQL-checkable columns; width/height/features are covered by unit
+    tests."""
+    from ..stages.multimodal import featurize
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        texts = b["text"].to_pylist()
+        return pa.table(
+            {
+                "item_id": pc.cast(b["doc_id"], pa.string()),
+                "mime": pa.array(["text/plain"] * b.num_rows, pa.string()),
+                "payload": pa.array([(t or "").encode("utf-8") for t in texts], pa.large_binary()),
+            }
+        )
+
+    payloads = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(to_payload, batch_format="pyarrow")
+    feats = featurize(payloads, concurrency=(1, 4), batch_size=64)
+    return feats.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["item_id"], pa.int64()),
+                "n_bytes": b["n_bytes"],
+                "digest": b["digest"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_MULTIMODAL_FEATURIZE = """
+SELECT doc_id, length(text)::BIGINT AS n_bytes, md5(text) AS digest FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -763,6 +905,10 @@ QUERIES = {
     "minhash_neardup": q_minhash_neardup,
     "simhash_codes": q_simhash_codes,
     "linkage_fact": q_linkage_fact,
+    "real_address_filter": q_real_address_filter,
+    "rule_transform": q_rule_transform,
+    "range_expand": q_range_expand,
+    "multimodal_featurize": q_multimodal_featurize,
 }
 
 ORACLE_SQL = {
@@ -784,4 +930,7 @@ ORACLE_SQL = {
     "expand_size_range": SQL_EXPAND_SIZE_RANGE,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_neardup_blocked": SQL_EMBEDDING_NEARDUP_BLOCKED,
+    "real_address_filter": SQL_REAL_ADDRESS_FILTER,
+    "rule_transform": SQL_RULE_TRANSFORM,
+    "multimodal_featurize": SQL_MULTIMODAL_FEATURIZE,
 }

@@ -31,6 +31,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import BlockingConfig
 from ..functions import minhash as MH
@@ -101,50 +102,51 @@ class BandKeyEmitter:
         return pa.table(cols)
 
 
-def enumerate_block_pairs(batch: pd.DataFrame, cfg: BlockingConfig) -> pd.DataFrame:
-    """map_batches fn over ONE key-partition (batch_size=None): detect
-    equal-key runs in the sorted block, enumerate pairs per run with
-    salting caps, and keep a pair only when this key column is the FIRST
-    the two rows share (global dedup without a shuffle).
+def enumerate_block_pairs(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
+    """map_batches fn over ONE key-partition (batch_size=None, pyarrow —
+    zero Python-object churn): sort the partition by (block_key, url),
+    detect equal-key runs, enumerate pairs per run with salting caps, and
+    keep a pair only when this key column is the FIRST the two rows share
+    (global dedup without a shuffle).
 
     Note: a pair dropped by salting in its first-shared block is counted
     in that block's ``dropped_pairs`` and not rescued by later shared
     keys (they apply the same first-shared rule) — coverage loss is
     accounted, never silent.
     """
-    if len(batch) == 0:
-        return pd.DataFrame(
-            {
-                "url_a": pd.Series([], dtype=str),
-                "url_b": pd.Series([], dtype=str),
-                "dropped_pairs": pd.Series([], dtype="int64"),
-            }
-        )
+    empty = pa.table(
+        {
+            "url_a": pa.array([], pa.string()),
+            "url_b": pa.array([], pa.string()),
+            "dropped_pairs": pa.array([], pa.int64()),
+        }
+    )
+    if batch.num_rows == 0:
+        return empty
 
-    out_a: list[np.ndarray] = []
-    out_b: list[np.ndarray] = []
-    dropped_total = 0
+    order = pc.sort_indices(
+        batch.select(["block_key", "url"]),
+        sort_keys=[("block_key", "ascending"), ("url", "ascending")],
+    )
+    batch = batch.take(order)
 
-    nk = sum(1 for c in batch.columns if c.startswith("k") and c != "key")
+    nk = sum(1 for c in batch.column_names if c.startswith("k"))
     bk = batch["block_key"].to_numpy()
-    urls = batch["url"].to_numpy()
-    K = batch[[f"k{j:02d}" for j in range(nk)]].to_numpy()
+    K = np.stack([batch[f"k{j:02d}"].to_numpy() for j in range(nk)], axis=1)
 
-    # runs of equal block_key in the sorted partition
     boundaries = np.flatnonzero(np.diff(bk)) + 1
     starts = np.concatenate([[0], boundaries])
     ends = np.concatenate([boundaries, [len(bk)]])
     cap = cfg.max_block_size
 
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    dropped_total = 0
+
     for s, e in zip(starts, ends):
         m = e - s
         if m < 2:
             continue
-        order = np.argsort(urls[s:e].astype(str), kind="stable") + s
-        u = urls[order]
-        Kg = K[order]
-        key_val = bk[s]
-
         if m <= cap:
             iu, il = np.triu_indices(m, k=1)
         else:
@@ -164,22 +166,39 @@ def enumerate_block_pairs(batch: pd.DataFrame, cfg: BlockingConfig) -> pd.DataFr
 
         if len(iu) == 0:
             continue
-        Ka, Kb = Kg[iu], Kg[il]
+        Ka, Kb = K[s + iu], K[s + il]
         shared = Ka == Kb  # (p, nk)
-        cur = ((Ka == key_val) & (Kb == key_val)).argmax(axis=1)
-        first = shared.argmax(axis=1)
-        keep = first == cur
+        cur = ((Ka == bk[s]) & (Kb == bk[s])).argmax(axis=1)
+        keep = shared.argmax(axis=1) == cur
         if keep.any():
-            out_a.append(u[iu[keep]])
-            out_b.append(u[il[keep]])
+            out_a.append(s + iu[keep])
+            out_b.append(s + il[keep])
 
-    ua = np.concatenate(out_a) if out_a else np.empty(0, dtype=object)
-    ub = np.concatenate(out_b) if out_b else np.empty(0, dtype=object)
-    out = pd.DataFrame({"url_a": ua.astype(str), "url_b": ub.astype(str)})
-    out["dropped_pairs"] = np.zeros(len(out), dtype=np.int64)
-    if dropped_total and len(out):
-        out.iloc[0, out.columns.get_loc("dropped_pairs")] = dropped_total
-    return out
+    if not out_a:
+        if dropped_total:
+            # row-less partitions still need the coverage metric recorded;
+            # emit a sentinel row that downstream filters drop (empty urls
+            # never join back to a payload)
+            return pa.table(
+                {
+                    "url_a": pa.array([""], pa.string()),
+                    "url_b": pa.array([""], pa.string()),
+                    "dropped_pairs": pa.array([dropped_total], pa.int64()),
+                }
+            )
+        return empty
+    ia = np.concatenate(out_a)
+    ib = np.concatenate(out_b)
+    urls = batch["url"].combine_chunks() if isinstance(batch["url"], pa.ChunkedArray) else batch["url"]
+    dropped = np.zeros(len(ia), dtype=np.int64)
+    dropped[0] = dropped_total
+    return pa.table(
+        {
+            "url_a": pc.take(urls, pa.array(ia)),
+            "url_b": pc.take(urls, pa.array(ib)),
+            "dropped_pairs": pa.array(dropped, pa.int64()),
+        }
+    )
 
 
 def build_blocks(
@@ -204,9 +223,9 @@ def build_blocks(
         concurrency=concurrency or (1, 8),
         batch_size=4096,
     )
-    part = partition_by_key(keyed, ["block_key"], num_partitions)
+    part = partition_by_key(keyed, ["block_key"], num_partitions, sort=False)
     pairs = part.map_batches(
-        lambda b: enumerate_block_pairs(b, cfg), batch_format="pandas", batch_size=None
+        lambda b: enumerate_block_pairs(b, cfg), batch_format="pyarrow", batch_size=None
     )
 
     payload = reps_ds.select_columns(["url", "text", "canonical"])
@@ -227,28 +246,34 @@ def build_blocks(
     return out
 
 
-def exact_groups(normalized_ds, num_partitions: int = 8):
-    """groupby(text_hash) -> (membership, reps) WITHOUT per-group Python:
-    keyed repartition + C-speed pandas min per partition.
+def _assign_rep(batch: pa.Table) -> pa.Table:
+    """Within one text_hash partition: rep_url = min url per hash run
+    (sort by (text_hash, url), first of each run) — pure Arrow/numpy."""
+    if batch.num_rows == 0:
+        return batch.append_column("rep_url", pa.array([], pa.string()))
+    order = pc.sort_indices(
+        batch.select(["text_hash", "url"]),
+        sort_keys=[("text_hash", "ascending"), ("url", "ascending")],
+    )
+    b = batch.take(order)
+    th = np.asarray(b["text_hash"].to_pylist(), dtype=object)
+    is_new = np.ones(len(th), dtype=bool)
+    if len(th) > 1:
+        is_new[1:] = th[1:] != th[:-1]
+    starts = np.flatnonzero(is_new)
+    lengths = np.diff(np.concatenate([starts, [len(th)]]))
+    rep_idx = np.repeat(starts, lengths)
+    urls = b["url"].combine_chunks() if isinstance(b["url"], pa.ChunkedArray) else b["url"]
+    return b.append_column("rep_url", pc.take(urls, pa.array(rep_idx)))
 
-    membership: normalized columns + rep_url (the lexicographically
-    smallest url sharing the canonical hash).  reps: the representative
-    rows only — the G3 dedup-then-score-once pattern.
-    """
-    slim = normalized_ds.select_columns(["text_hash", "url"])
-    part = partition_by_key(slim, ["text_hash"], num_partitions)
-    rep_map = part.map_batches(
-        lambda df: df.groupby("text_hash", sort=False, as_index=False).agg(
-            rep_url=("url", "min")
-        ),
-        batch_format="pandas",
-        batch_size=None,
-    )
-    membership = normalized_ds.join(
-        rep_map,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("text_hash",),
-    )
+
+def exact_groups(normalized_ds, num_partitions: int = 8):
+    """groupby(text_hash) -> (membership, reps) in ONE keyed shuffle:
+    hash-partition the normalized rows by text_hash and assign each row
+    its group's min-url representative inside the partition — no join,
+    no per-group Python (the G3 dedup-then-score-once pattern,
+    cmd/matcher-v2/enhanced_layer3.go:50-97)."""
+    part = partition_by_key(normalized_ds, ["text_hash"], num_partitions, sort=False)
+    membership = part.map_batches(_assign_rep, batch_format="pyarrow", batch_size=None)
     reps = membership.filter(expr="url == rep_url")
     return membership, reps

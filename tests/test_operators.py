@@ -1,0 +1,233 @@
+"""Unit tests for the rule/range/component operator kernels (pure
+functions, no Ray session needed)."""
+
+from __future__ import annotations
+
+from ehdc_llpg_address_matching_ray.functions import components as CP
+from ehdc_llpg_address_matching_ray.functions import rangeexpand as RE
+from ehdc_llpg_address_matching_ray.functions import rules as RU
+
+
+class TestRules:
+    def test_first_match_wins(self):
+        out, rid, conf = RU.apply_rules("former site of 12 High Street")
+        assert out == "12 HIGH STREET"
+        assert rid == 5 and conf == 0.75
+
+    def test_coop_variants(self):
+        for v in ["CO-OP STORE", "COOP STORE", "CO OP STORE"]:
+            out, rid, _ = RU.apply_rules(v)
+            assert out == "COOPERATIVE STORE"
+            assert rid == 4
+
+    def test_rear_of(self):
+        out, rid, _ = RU.apply_rules("REAR OF 12 HIGH STREET")
+        assert out == "12 HIGH STREETA"  # suffix appended per the rule
+        assert rid == 7
+
+    def test_rule10_go_bug_reproduced(self):
+        """Go's map[...]["$1"] compiles to "" — single N/S tokens are
+        DELETED (documented divergence-as-fidelity)."""
+        out, rid, _ = RU.apply_rules("12 N PARADE")
+        assert rid == 10
+        assert out == "12  PARADE"
+
+    def test_no_rule(self):
+        out, rid, conf = RU.apply_rules("12 High Street, Alton")
+        assert out == "12 HIGH STREET, ALTON"
+        assert rid == 0 and conf == 0.0
+
+
+class TestRangeExpansion:
+    def test_numeric_range(self):
+        assert RE.generate_property_range("9", "11") == ["9", "10", "11"]
+
+    def test_letter_range(self):
+        assert RE.generate_property_range("9A", "9C") == ["9A", "9B", "9C"]
+
+    def test_validation_rules(self):
+        assert RE.is_valid_property_range("9", "11")
+        assert RE.is_valid_property_range("9A", "9C")
+        assert not RE.is_valid_property_range("11", "9")      # start >= end
+        assert not RE.is_valid_property_range("9", "9")       # equal, no letters
+        assert not RE.is_valid_property_range("1", "60")      # span > 50
+        assert not RE.is_valid_property_range("0", "5")       # below 1
+        assert RE.is_valid_property_range("47", "93")         # the "aggressive" case
+
+    def test_expand_address(self):
+        rows = RE.expand_address("9-11 HIGH STREET, ALTON", "9 11 HIGH STREET ALTON")
+        assert [r[2] for r in rows] == ["9", "10", "11"]
+        assert rows[0][0] == "9 HIGH STREET, ALTON"
+        assert rows[2][0] == "11 HIGH STREET, ALTON"
+
+    def test_no_ranges(self):
+        assert RE.expand_address("12 HIGH STREET", "12 HIGH STREET") == []
+
+
+class TestComponents:
+    def test_extract(self):
+        c = CP.extract_address_components("12A High Street, Alton, GU34 1AA")
+        assert c["house_number"] == "12A"
+        assert c["road"] == "HIGH STREET"
+        assert c["city"] == "ALTON"
+        assert c["postcode"] == "GU341AA"
+
+    def test_is_real_address(self):
+        assert CP.is_real_address("12 High Street, Alton")
+        assert CP.is_real_address("The Old Cottage Farm yard")
+        assert not CP.is_real_address("F12345")        # planning ref
+        assert not CP.is_real_address("AU123/45")
+        assert not CP.is_real_address("short")
+        assert not CP.is_real_address("N/A")
+        assert not CP.is_real_address(None)
+        # long but no address indicator and no comma
+        assert not CP.is_real_address("just some random words here")
+
+    def test_quality_filters(self):
+        assert CP.passes_quality_filters("12 High Street, Alton, GU34")
+        assert not CP.passes_quality_filters("12 High St")            # too short
+        assert not CP.passes_quality_filters("High Street, Alton, X")  # no leading number
+        assert not CP.passes_quality_filters("12 High Street Alton")   # < 2 commas
+
+    def test_component_score_house_veto(self):
+        """P4: house-number mismatch = x0.1 penalty (the '4 MONKS ORCHARD
+        != 16 MONKS ORCHARD' class)."""
+        a = CP.extract_address_components("4 Monks Orchard Road, Alton, GU34 1AA")
+        b = CP.extract_address_components("16 Monks Orchard Road, Alton, GU34 1AA")
+        s = CP.component_score(a, b)
+        assert not s.house_number_match
+        assert s.overall_score <= 0.1 * 1.0 + 1e-9 or s.overall_score < 0.2
+
+    def test_perfect_match(self):
+        a = CP.extract_address_components("4 Monks Road, Alton, GU34 1AA")
+        s = CP.component_score(a, dict(a))
+        assert s.overall_score == 1.0
+        assert CP.component_decision(s) == ("auto_accept", "auto")
+
+    def test_decision_matrix_bands(self):
+        s = CP.ComponentScore(overall_score=0.96)
+        assert CP.component_decision(s)[0] == "auto_accept"
+        s = CP.ComponentScore(overall_score=0.85)
+        assert CP.component_decision(s)[0] == "needs_review"
+        s = CP.ComponentScore(overall_score=0.65)
+        assert CP.component_decision(s)[0] == "low_confidence"
+        s = CP.ComponentScore(overall_score=0.3)
+        assert CP.component_decision(s)[0] == "no_match"
+        assert CP.component_decision(None) == ("no_match", "auto")
+
+
+class TestEnhancedNormalizer:
+    def test_pipeline(self):
+        from ehdc_llpg_address_matching_ray.functions.enhanced import enhanced_canonical_address
+
+        canon, pc_, toks = enhanced_canonical_address("The Co-op 12 High St Alton GU34 1AA")
+        assert pc_ == "GU341AA"
+        assert "COOPERATIVE" in canon
+        assert canon.count("COOPERATIVE") == 1  # no self-corrupting re-match
+        assert "STREET" in canon
+        assert canon == " ".join(toks)
+        # noise word THE removed
+        assert "THE" not in toks
+
+    def test_abbrev_anchors(self):
+        from ehdc_llpg_address_matching_ray.functions.enhanced import expand_abbreviations
+
+        assert expand_abbreviations("12 HIGH ST") == "12 HIGH STREET"
+        assert expand_abbreviations("ST MARYS CHURCH LANE") == "STREET MARYS CHURCH LANE"
+        assert expand_abbreviations("FOO HANTS") == "FOO HAMPSHIRE"
+
+    def test_char_containment_is_not_jw(self):
+        from ehdc_llpg_address_matching_ray.functions.enhanced import char_containment_similarity
+
+        # per-byte containment, not real Jaro-Winkler (documented divergence)
+        assert char_containment_similarity("AB", "BA") == 1.0
+        assert char_containment_similarity("", "X") == 0.0
+
+    def test_partial_string_match(self):
+        from ehdc_llpg_address_matching_ray.functions.enhanced import partial_string_match
+
+        assert partial_string_match("HIGH STREET", "HIGH ROAD") == 1 / 3
+        assert partial_string_match("A B", "A B") == 1.0
+
+    def test_match_by_components(self):
+        from ehdc_llpg_address_matching_ray.functions.enhanced import match_by_components
+
+        a = {"postcode": "GU341AA", "house_number": "12", "road": "HIGH STREET", "city": "ALTON"}
+        assert match_by_components(a, dict(a)) == 1.0
+        b = dict(a, house_number="14")
+        assert match_by_components(a, b) < 1.0
+        assert match_by_components({}, {}) == 0.0
+
+
+class TestMultimodal:
+    def test_featurizer_stub(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ehdc_llpg_address_matching_ray.stages.multimodal import FEATURE_DIMS, featurize
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "item_id": ["a", "b"],
+                    "mime": ["image/png", "image/jpeg"],
+                    "payload": pa.array([b"\x89PNG fake", b"\xff\xd8 fake"], pa.large_binary()),
+                }
+            )
+        )
+        out = featurize(ds).to_pandas()
+        assert list(out.columns) == [
+            "item_id", "mime", "width", "height", "n_bytes", "crc32", "digest", "features",
+        ]
+        assert (out["n_bytes"] == [9, 7]).all()
+        assert all(len(f) == FEATURE_DIMS for f in out["features"])
+        # deterministic: same payload -> same features
+        out2 = featurize(ds).to_pandas()
+        assert out.digest.tolist() == out2.digest.tolist()
+
+    def test_strict_mode_raises(self, ray_session):
+        import pyarrow as pa
+        import pytest as _pytest
+        import ray
+        import ray.data as rd
+
+        from ehdc_llpg_address_matching_ray.stages.multimodal import featurize
+
+        ds = rd.from_arrow(
+            pa.table({"item_id": ["a"], "mime": ["x"], "payload": pa.array([b"z"], pa.large_binary())})
+        )
+        with _pytest.raises(Exception):
+            featurize(ds, strict=True).materialize()
+
+    def test_frame_sample(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ehdc_llpg_address_matching_ray.stages.multimodal import frame_sample
+
+        ds = rd.from_arrow(pa.table({"item_id": ["v"] * 25, "frame_no": list(range(25))}))
+        out = frame_sample(ds, every_n=10).to_pandas()
+        assert out["frame_no"].tolist() == [0, 10, 20]
+
+
+class TestThresholdTuner:
+    def test_sweep_and_best(self):
+        import numpy as np
+        import pandas as pd
+
+        from ehdc_llpg_address_matching_ray.pipelines.tuning import best_threshold, sweep_thresholds
+
+        rng = np.random.RandomState(0)
+        pos = 0.85 + 0.1 * rng.rand(200)
+        neg = 0.45 + 0.25 * rng.rand(200)
+        df = pd.DataFrame(
+            {"score": np.concatenate([pos, neg]),
+             "is_match": [True] * 200 + [False] * 200}
+        )
+        sw = sweep_thresholds(df)
+        assert {"threshold", "precision", "recall", "f1"} <= set(sw.columns)
+        # a clean separation exists around 0.75-0.85
+        t = best_threshold(sw, min_precision=0.98)
+        assert 0.70 <= t <= 0.86
+        row = sw[sw.threshold == t].iloc[0]
+        assert row.precision >= 0.98 and row.recall >= 0.95
