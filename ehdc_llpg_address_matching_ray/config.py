@@ -107,6 +107,13 @@ class PipelineConfig:
     normalize_batch_size: int = 4096
     max_cluster_iters: int = 25   # label-prop fixpoint bound (O(log n) typical)
     scorer_concurrency: tuple[int, int] | None = None  # None = scale to cluster CPUs
+    # payload attachment for candidate pairs: when the deduped reps table
+    # has at most this many rows, the (url -> text/canonical) lookup is
+    # broadcast via ray.put and resolved inside the scorer actors —
+    # avoiding two pair-sized payload-join shuffles (measured ~5 GB at
+    # 250k pages).  Larger corpora fall back to hash joins (the only
+    # option at 10^12 scale).
+    broadcast_payload_max: int = 2_000_000
 
     def config_hash(self) -> str:
         """Stable hash of the whole config for lineage manifests."""

@@ -100,14 +100,16 @@ def _run_linkage_inner(
 ):
     conc = cfg.scorer_concurrency or default_concurrency()
 
-    def ckpt(ds: rd.Dataset, name: str, extras=None) -> rd.Dataset:
+    def ckpt(ds: rd.Dataset, name: str, extras=None, pin: bool = True) -> rd.Dataset:
         """Checkpoint to parquet when a checkpoint_dir is given, else pin
-        the stage in the object store.  Either way the lineage is
-        truncated at every stage the DAG consumes more than once, so no
-        stage re-executes (the streaming executor otherwise replays the
-        whole upstream graph for every consumer)."""
+        the stage in the object store.  Lineage must be truncated at every
+        stage the DAG consumes more than once (the streaming executor
+        otherwise replays the whole upstream graph per consumer); stages
+        with a SINGLE downstream consumer pass ``pin=False`` and stay
+        lazy — each skipped materialization saves a full object-store
+        round-trip of the stage's data."""
         if checkpoint_dir is None:
-            return ds.materialize()
+            return ds.materialize() if pin else ds
         return checkpoint(
             ds, os.path.join(checkpoint_dir, name), chash, name, extras=extras, resume=resume
         )
@@ -158,8 +160,24 @@ def _run_linkage_inner(
     reps = membership.filter(expr="url == rep_url")
 
     reps_slim = reps.select_columns(["url", "text", "canonical"])
-    pairs = B.build_blocks(reps_slim, cfg.blocking, concurrency=conc, num_partitions=P)
-    pairs = ckpt(pairs, "03_pairs")
+    broadcast = n_docs <= cfg.broadcast_payload_max
+    payload_ref = None
+    if broadcast:
+        # small-side broadcast (ray.put once, read once per actor): the
+        # pair table stays narrow and the two payload-join shuffles
+        # disappear; above the threshold we hash-join instead
+        lut: dict[str, tuple[str, str]] = {}
+        for b in reps_slim.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            for u, t, c in zip(
+                b["url"].to_pylist(), b["text"].to_pylist(), b["canonical"].to_pylist()
+            ):
+                lut[u] = (t, c)
+        payload_ref = ray.put(lut)
+    pairs = B.build_blocks(
+        reps_slim, cfg.blocking, concurrency=conc, num_partitions=P,
+        attach_payload=not broadcast,
+    )
+    pairs = ckpt(pairs, "03_pairs", pin=False)
 
     scored = SC.score_pairs(
         pairs,
@@ -167,19 +185,20 @@ def _run_linkage_inner(
         n_docs=n_docs,
         concurrency=conc,
         batch_size=cfg.score_batch_size,
+        payload_ref=payload_ref,
     )
     scored = ckpt(scored, "04_scored")
     hist = score_histogram(scored) if checkpoint_dir is not None else None
 
     edges = scored.filter(expr="is_edge == True").select_columns(["url_a", "url_b"])
     decisions = D.decide(scored, cfg.tiers, num_partitions=P)
-    decisions = ckpt(decisions, "05_decisions")
+    decisions = ckpt(decisions, "05_decisions", pin=False)
 
     nodes = reps.select_columns(["url"])
     rep_clusters = C.connected_components(
         nodes, edges, max_iters=cfg.max_cluster_iters, driver_threshold=cluster_driver_threshold
     )
-    rep_clusters = ckpt(rep_clusters, "06_clusters")
+    rep_clusters = ckpt(rep_clusters, "06_clusters", pin=False)
 
     fact = build_fact(membership, rep_clusters, decisions, num_partitions=P)
     fact = ckpt(fact, "07_fact", extras=({"score_histogram": hist} if hist else None))

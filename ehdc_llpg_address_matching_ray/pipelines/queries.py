@@ -21,7 +21,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data as rd
-from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from ..functions import minhash as MH
 from ..rayutil import partition_by_key

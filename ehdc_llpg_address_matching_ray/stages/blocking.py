@@ -206,15 +206,19 @@ def build_blocks(
     cfg: BlockingConfig,
     concurrency=None,
     num_partitions: int = 8,
+    attach_payload: bool = True,
 ):
-    """reps Dataset -> unique candidate-pair Dataset with payloads.
+    """reps Dataset -> unique candidate-pair Dataset.
 
-    reps_ds columns: (url, text, canonical).  Returns columns
-    (url_a, url_b, text_a, text_b, canonical_a, canonical_b, dropped_pairs).
+    reps_ds columns: (url, text, canonical).  With ``attach_payload``
+    (the join path) returns columns (url_a, url_b, text_a, text_b,
+    canonical_a, canonical_b, dropped_pairs); otherwise the narrow
+    (url_a, url_b, dropped_pairs) — the caller resolves payloads from a
+    broadcast lookup inside the scorer (scoring.score_pairs payload_ref;
+    shipping full texts through two pair-sized join shuffles was ~5 GB
+    at 250k pages while the reps lookup is ~75 MB).
 
-    The band shuffle moves ONLY integer keys + url; payloads are
-    re-attached afterwards with two hash joins against the slim reps
-    table — the dedup-then-rejoin pattern (G3).
+    The band shuffle moves ONLY integer keys + url either way.
     """
     keyed = reps_ds.select_columns(["url", "canonical"]).map_batches(
         BandKeyEmitter,
@@ -227,6 +231,8 @@ def build_blocks(
     pairs = part.map_batches(
         lambda b: enumerate_block_pairs(b, cfg), batch_format="pyarrow", batch_size=None
     )
+    if not attach_payload:
+        return pairs
 
     payload = reps_ds.select_columns(["url", "text", "canonical"])
     side_a = payload.map_batches(

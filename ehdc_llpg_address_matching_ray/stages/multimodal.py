@@ -128,9 +128,8 @@ def frame_sample(ds: rd.Dataset, every_n: int = 10) -> rd.Dataset:
     over (item_id, frame_no) metadata, payload untouched."""
 
     def f(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = pc.equal(pc.mod(b["frame_no"], every_n), 0)
+        frames = b["frame_no"].to_numpy() if b.num_rows else np.empty(0, dtype=np.int64)
+        keep = pa.array((frames % every_n) == 0)
         return b.filter(keep)
 
     return ds.map_batches(f, batch_format="pyarrow")

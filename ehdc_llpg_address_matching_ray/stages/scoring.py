@@ -135,14 +135,20 @@ class PairScorer:
         prod: ProductionWeights | None = None,
         weights: FeatureWeights | None = None,
         fidelity: bool = False,
+        payload=None,
     ):
         try:
             import ray
 
             if idf is not None and isinstance(idf, ray.ObjectRef):
                 idf = ray.get(idf)
+            if payload is not None and isinstance(payload, ray.ObjectRef):
+                payload = ray.get(payload)
         except Exception:
             pass
+        # broadcast url -> (text, canonical) lookup (resolved ONCE per
+        # actor); None = pairs carry their own payload columns
+        self.payload: dict[str, tuple[str, str]] | None = payload
         self.idf: dict[str, float] = idf or {}
         self.default_idf = math.log(1 + max(1, n_docs)) + 1.0
         self.prod = prod or ProductionWeights()
@@ -152,10 +158,20 @@ class PairScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         url_a = batch["url_a"]
         url_b = batch["url_b"]
-        text_a = batch["text_a"].to_pylist()
-        text_b = batch["text_b"].to_pylist()
-        can_a = batch["canonical_a"].to_pylist()
-        can_b = batch["canonical_b"].to_pylist()
+        if self.payload is not None:
+            lut = self.payload
+            empty = ("", "")
+            pa_ = [lut.get(u, empty) for u in url_a.to_pylist()]
+            pb_ = [lut.get(u, empty) for u in url_b.to_pylist()]
+            text_a = [t for t, _ in pa_]
+            can_a = [c for _, c in pa_]
+            text_b = [t for t, _ in pb_]
+            can_b = [c for _, c in pb_]
+        else:
+            text_a = batch["text_a"].to_pylist()
+            text_b = batch["text_b"].to_pylist()
+            can_a = batch["canonical_a"].to_pylist()
+            can_b = batch["canonical_b"].to_pylist()
         n = len(text_a)
 
         jw = np.empty(n, dtype=np.float64)
@@ -217,6 +233,7 @@ def score_pairs(
     fidelity: bool = False,
     concurrency=(1, 8),
     batch_size: int = 8192,
+    payload_ref=None,
 ):
     """pairs Dataset -> scored-pairs Dataset via the actor pool.
 
@@ -228,7 +245,9 @@ def score_pairs(
     pairs_ds = pairs_ds.repartition(target_num_rows_per_block=batch_size)
     return pairs_ds.map_batches(
         PairScorer,
-        fn_constructor_kwargs=dict(idf=idf_ref, n_docs=n_docs, prod=prod, fidelity=fidelity),
+        fn_constructor_kwargs=dict(
+            idf=idf_ref, n_docs=n_docs, prod=prod, fidelity=fidelity, payload=payload_ref
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
