@@ -93,3 +93,32 @@ class TestUprnNormalizer:
         col = pa.array([" 10002341.00", "10002341", "1.000", "x.0", ""])
         out = normalize_uprn_batch(col).to_pylist()
         assert out == ["10002341", "10002341", "1", "x", ""]
+
+
+class TestCorrections:
+    def test_coalesce_override(self, ray_session):
+        """J3: corrections outrank every automatic tier
+        (cmd/matcher-v2/main.go:1200-1215)."""
+        import ray.data as rd
+
+        from ehdc_llpg_address_matching_ray.pipelines.corrections import apply_corrections
+
+        matches = rd.from_arrow(
+            pa.table(
+                {
+                    "src_id": ["a", "b", "c"],
+                    "matched_id": ["1", "2", ""],
+                    "score": [0.95, 0.7, 0.0],
+                    "decision": ["auto_accept", "review", "reject"],
+                    "method": ["fuzzy", "fuzzy", "none"],
+                }
+            )
+        )
+        corrections = rd.from_arrow(
+            pa.table({"src_id": ["b", "c"], "corrected_id": ["9", "7"]})
+        )
+        out = apply_corrections(matches, corrections).to_pandas().set_index("src_id")
+        assert out.loc["a", "matched_id"] == "1" and not out.loc["a", "was_corrected"]
+        assert out.loc["b", "matched_id"] == "9" and out.loc["b", "decision"] == "auto_accept"
+        assert out.loc["c", "matched_id"] == "7" and out.loc["c", "method"] == "corrected"
+        assert out.loc["b", "score"] == 1.0
