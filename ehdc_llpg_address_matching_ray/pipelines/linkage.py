@@ -293,7 +293,7 @@ def build_fact(
     from ..rayutil import partition_by_key
 
     stats = partition_by_key(
-        base.select_columns(["cluster_id", "url"]), ["cluster_id"], num_partitions
+        base.select_columns(["cluster_id", "url"]), ["cluster_id"], num_partitions, sort=False
     ).map_batches(
         lambda df: df.groupby("cluster_id", sort=False, as_index=False).agg(
             cluster_size=("url", "size"), cluster_rep_url=("url", "min")

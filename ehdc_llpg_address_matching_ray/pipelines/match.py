@@ -190,7 +190,7 @@ def _run_match_inner(
         out["method"] = "exact_canonical"
         return out[["src_id", "matched_id", "score", "decision", "method"]]
 
-    a2 = partition_by_key(a2_hits, ["id"], P).map_batches(
+    a2 = partition_by_key(a2_hits, ["id"], P, sort=False).map_batches(
         a2_resolve, batch_format="pandas", batch_size=None
     ).materialize()
 
@@ -231,23 +231,26 @@ def _run_match_inner(
     # stop-key rule: drop block keys hotter than max_key_freq on either
     # side (accounted, not silent)
     both = src_keys.union(gaz_keyed)
-    part = partition_by_key(both, ["block_key"], P)
+    part = partition_by_key(both, ["block_key"], P, sort=False)
 
-    def bipartite_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        if len(df) == 0:
-            return pd.DataFrame(
-                {
-                    "src_id": pd.Series([], dtype=str),
-                    "gaz_id": pd.Series([], dtype=str),
-                    "dropped_candidates": pd.Series([], dtype="int64"),
-                }
-            )
-        nk = sum(1 for c in df.columns if c.startswith("k") and c != "key")
-        kcols = [f"k{j:02d}" for j in range(nk)]
-        bk = df["block_key"].to_numpy()
-        side = df["side"].to_numpy()
-        ids = df["id"].to_numpy()
-        K = df[kcols].to_numpy()
+    def bipartite_pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src_id": pa.array([], pa.string()),
+                "gaz_id": pa.array([], pa.string()),
+                "dropped_candidates": pa.array([], pa.int64()),
+            }
+        )
+        if batch.num_rows == 0:
+            return empty
+        order = pc.sort_indices(
+            batch.select(["block_key"]), sort_keys=[("block_key", "ascending")]
+        )
+        batch = batch.take(order)
+        nk = sum(1 for c in batch.column_names if c.startswith("k"))
+        bk = batch["block_key"].to_numpy()
+        side = np.asarray(batch["side"].to_pylist(), dtype=object)
+        K = np.stack([batch[f"k{j:02d}"].to_numpy() for j in range(nk)], axis=1)
         boundaries = np.flatnonzero(np.diff(bk)) + 1
         starts = np.concatenate([[0], boundaries])
         ends = np.concatenate([boundaries, [len(bk)]])
@@ -272,17 +275,63 @@ def _run_match_inner(
             key_val = bk[s0]
             cur = ((Ka == key_val) & (Kb == key_val)).argmax(axis=1)
             keep = shared.argmax(axis=1) == cur
-            out_s.append(ids[ii[keep]])
-            out_g.append(ids[jj[keep]])
-        sa = np.concatenate(out_s) if out_s else np.empty(0, dtype=object)
-        ga = np.concatenate(out_g) if out_g else np.empty(0, dtype=object)
-        out = pd.DataFrame({"src_id": sa.astype(str), "gaz_id": ga.astype(str)})
-        out["dropped_candidates"] = np.zeros(len(out), dtype=np.int64)
-        if dropped and len(out):
-            out.iloc[0, out.columns.get_loc("dropped_candidates")] = dropped
-        return out
+            out_s.append(ii[keep])
+            out_g.append(jj[keep])
+        if not out_s or not any(len(x) for x in out_s):
+            if dropped:
+                return pa.table(
+                    {
+                        "src_id": pa.array([""], pa.string()),
+                        "gaz_id": pa.array([""], pa.string()),
+                        "dropped_candidates": pa.array([dropped], pa.int64()),
+                    }
+                ).slice(0, 0)
+            return empty
+        ii = np.concatenate(out_s)
+        jj = np.concatenate(out_g)
+        ids = batch["id"].combine_chunks() if isinstance(batch["id"], pa.ChunkedArray) else batch["id"]
+        dcol = np.zeros(len(ii), dtype=np.int64)
+        dcol[0] = dropped
+        return pa.table(
+            {
+                "src_id": pc.take(ids, pa.array(ii)),
+                "gaz_id": pc.take(ids, pa.array(jj)),
+                "dropped_candidates": pa.array(dcol, pa.int64()),
+            }
+        )
 
-    cand = part.map_batches(bipartite_pairs, batch_format="pandas", batch_size=None)
+    cand = part.map_batches(
+        bipartite_pairs, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    n_cand = cand.count()
+    if n_cand == 0:
+        fuzzy = rd.from_arrow(
+            pa.table(
+                {
+                    "src_id": pa.array([], pa.string()),
+                    "matched_id": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                    "decision": pa.array([], pa.string()),
+                    "method": pa.array([], pa.string()),
+                }
+            )
+        )
+        matches = a1.union(a2).union(fuzzy).materialize()
+        return {
+            "sources_normalized": src,
+            "gazetteer_normalized": gaz,
+            "tier_a1": a1,
+            "tier_a2": a2,
+            "candidate_pairs": cand,
+            "scored": cand,
+            "fuzzy": fuzzy,
+            "matches": matches,
+        }
+    # exact block count <= row count guarantees NO empty blocks: ray
+    # 2.49's hash-join schema broadcast breaks when a join input's FIRST
+    # block is empty ("No match or multiple matches for key field")
+    n_blocks = max(1, min(P, -(-n_cand // cfg.score_batch_size)))
+    cand = cand.repartition(n_blocks).materialize()
 
     # payload attach (dedup-then-rejoin, G3)
     s_payload = leftovers.map_batches(
@@ -319,7 +368,7 @@ def _run_match_inner(
         lambda b: pa.table({"src": b["url_a"], "cand": b["url_b"], "score": b["score"]}),
         batch_format="pyarrow",
     )
-    fuzzy_dec = partition_by_key(directed, ["src"], P).map_batches(
+    fuzzy_dec = partition_by_key(directed, ["src"], P, sort=False).map_batches(
         lambda df: D.decide_partition(df, cfg.tiers), batch_format="pandas", batch_size=None
     )
     fuzzy = fuzzy_dec.map_batches(

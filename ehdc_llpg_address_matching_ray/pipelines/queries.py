@@ -43,7 +43,7 @@ def _grouped(ds: rd.Dataset, keys: list[str], fn, num_partitions: int = 8) -> rd
     """Keyed repartition + one vectorized pandas call per partition — the
     engine's group-processing substrate (see rayutil.py; never
     Dataset.groupby aggregates: ~1 ms/group of Python overhead)."""
-    return partition_by_key(ds, keys, num_partitions).map_batches(
+    return partition_by_key(ds, keys, num_partitions, sort=False).map_batches(
         fn, batch_format="pandas", batch_size=None
     )
 

@@ -1,0 +1,231 @@
+"""G2 — group fuzzy rescue, and G7 — historic-key creation.
+
+G2 reference (cmd/matcher-v2/main.go:1367-1594): groups (size 2-30, by
+``group_key``/planning_app_base) where NO member matched above 0.5 pick
+their longest real address as representative (:1395-1401), fuzzy-match
+the representative against the gazetteer, accept when similarity >= 0.5
+and Levenshtein <= 25 (:1508-1509), and propagate the hit to every group
+member at banded confidence 0.85 / 0.75 / 0.65 for sim >= 0.7 / >= 0.5 /
+else (:1539-1543).
+
+G7 reference (cmd/bulk-historic-uprns/main.go:78-248 + doc
+ADDRESS_MATCHING_PROCESS.md:35-49): legacy keys present on sources but
+ABSENT from the gazetteer become new historic gazetteer rows —
+anti-join, distinct, append partition.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..config import PipelineConfig
+from ..functions import components as CP
+from ..functions import strings as S
+from ..rayutil import hash_shuffle, partition_by_key
+from .match import normalize_uprn_batch, run_match
+
+
+def group_rescue(
+    sources_ds: rd.Dataset,
+    matches_ds: rd.Dataset,
+    gazetteer_ds: rd.Dataset,
+    cfg: PipelineConfig | None = None,
+    source_id: str = "src_id",
+    source_text: str = "raw_address",
+    group_col: str = "group_key",
+    gaz_id: str = "uprn",
+    gaz_text: str = "full_address",
+    min_similarity: float = 0.5,
+    max_edit_distance: int = 25,
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Rescue corrections ``(src_id, corrected_id, group_key, confidence)``
+    for members of unmatched groups — feed into
+    ``corrections.apply_corrections``."""
+    cfg = cfg or PipelineConfig()
+    with hash_shuffle():
+        src = sources_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "src_id": b[source_id].cast(pa.string()),
+                    "raw_address": b[source_text],
+                    "group_key": b[group_col].cast(pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        scored = matches_ds.map_batches(
+            lambda b: pa.table({"m_src": b["src_id"], "m_score": b["score"]}),
+            batch_format="pyarrow",
+        )
+        j = src.join(
+            scored, join_type="left_outer", num_partitions=num_partitions,
+            on=("src_id",), right_on=("m_src",),
+        )
+
+        def pick_reps(df: pd.DataFrame) -> pd.DataFrame:
+            """Per group: size 2-30, best score < 0.5, >=1 real address ->
+            emit the longest real address as representative."""
+            df["m_score"] = df["m_score"].fillna(0.0)
+            out = []
+            for gk, g in df.groupby("group_key", sort=False):
+                if not (2 <= len(g) <= 30):
+                    continue
+                if g["m_score"].max() >= 0.5:
+                    continue
+                real = g[[CP.is_real_address(t) for t in g["raw_address"]]]
+                if len(real) == 0:
+                    continue
+                best = real.loc[
+                    real["raw_address"].str.len().sort_values(ascending=False).index[0]
+                ]
+                out.append({"group_key": gk, "rep_src": best["src_id"], "rep_address": best["raw_address"]})
+            return pd.DataFrame(out, columns=["group_key", "rep_src", "rep_address"])
+
+        reps = (
+            partition_by_key(j, ["group_key"], num_partitions, sort=False)
+            .map_batches(pick_reps, batch_format="pandas", batch_size=None)
+            # coalesce: the per-partition picker leaves empty (sometimes
+            # schema-degenerate) blocks that poison downstream joins; the
+            # reps table is tiny by construction (<= one row per group)
+            .repartition(1)
+            .materialize()
+        )
+        if reps.count() == 0:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "src_id": pa.array([], pa.string()),
+                        "corrected_id": pa.array([], pa.string()),
+                        "group_key": pa.array([], pa.string()),
+                        "confidence": pa.array([], pa.float64()),
+                    }
+                )
+            )
+
+        # fuzzy-match the representatives against the gazetteer (tier-B
+        # reuse: blocking + scoring + per-source decide)
+        rep_sources = reps.map_batches(
+            lambda b: pa.table({"src_id": b["group_key"], "raw_address": b["rep_address"]}),
+            batch_format="pyarrow",
+        )
+        rescue_cfg = cfg
+        m = run_match(
+            rep_sources, gazetteer_ds, rescue_cfg,
+            source_id="src_id", source_text="raw_address",
+            gaz_id=gaz_id, gaz_text=gaz_text,
+        )
+        hits = m["matches"].to_pandas()
+        rep_df = reps.to_pandas()
+        hits = hits.merge(rep_df, left_on="src_id", right_on="group_key")
+        gaz_lut = {
+            str(u): (t or "")
+            for u, t in zip(
+                *[_col(gazetteer_ds, c) for c in (gaz_id, gaz_text)]
+            )
+        }
+
+        keep = []
+        for row in hits.itertuples(index=False):
+            if not row.matched_id:
+                continue
+            cand_text = gaz_lut.get(str(row.matched_id), "")
+            lev = S.levenshtein_distance(
+                (row.rep_address or "").upper(), cand_text.upper()
+            )
+            sim = row.score
+            if sim >= min_similarity and lev <= max_edit_distance:
+                conf = 0.85 if sim >= 0.7 else (0.75 if sim >= 0.5 else 0.65)
+                keep.append((row.group_key, str(row.matched_id), conf))
+        if not keep:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "src_id": pa.array([], pa.string()),
+                        "corrected_id": pa.array([], pa.string()),
+                        "group_key": pa.array([], pa.string()),
+                        "confidence": pa.array([], pa.float64()),
+                    }
+                )
+            )
+        kdf = pd.DataFrame(keep, columns=["group_key", "corrected_id", "confidence"])
+        kt = rd.from_arrow(pa.Table.from_pandas(kdf, preserve_index=False))
+
+        # propagate to every group member (the fan-out join)
+        out = src.join(kt, join_type="inner", num_partitions=num_partitions, on=("group_key",))
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "src_id": b["src_id"],
+                    "corrected_id": b["corrected_id"],
+                    "group_key": b["group_key"],
+                    "confidence": b["confidence"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+
+def _col(ds: rd.Dataset, name: str) -> list:
+    out: list = []
+    for b in ds.select_columns([name]).iter_batches(batch_size=8192, batch_format="pyarrow"):
+        out.extend(b[name].to_pylist())
+    return out
+
+
+def create_historic_keys(
+    sources_ds: rd.Dataset,
+    gazetteer_ds: rd.Dataset,
+    source_key: str = "legacy_uprn",
+    source_text: str = "raw_address",
+    gaz_id: str = "uprn",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """G7: source legacy keys absent from the gazetteer -> distinct new
+    historic gazetteer rows ``(uprn, full_address, historic)`` ready to
+    append as a partition (anti-join -> distinct -> append)."""
+    with hash_shuffle():
+        keys = sources_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "legacy_key": normalize_uprn_batch(b[source_key]),
+                    "raw_address": b[source_text],
+                }
+            ),
+            batch_format="pyarrow",
+        ).map_batches(
+            lambda b: b.filter(
+                pc.and_(pc.is_valid(b["legacy_key"]), pc.not_equal(pc.coalesce(b["legacy_key"], ""), ""))
+            ),
+            batch_format="pyarrow",
+        )
+        gaz_keys = gazetteer_ds.map_batches(
+            lambda b: pa.table(
+                {"g_key": b[gaz_id].cast(pa.string()), "present": pa.array([1] * b.num_rows, pa.int8())}
+            ),
+            batch_format="pyarrow",
+        )
+        j = keys.join(
+            gaz_keys, join_type="left_outer", num_partitions=num_partitions,
+            on=("legacy_key",), right_on=("g_key",),
+        )
+        missing = j.map_batches(
+            lambda b: b.filter(pc.is_null(b["present"])), batch_format="pyarrow"
+        )
+        # distinct by key, keep the longest source address as the label
+        return partition_by_key(
+            missing.select_columns(["legacy_key", "raw_address"]), ["legacy_key"], num_partitions,
+            sort=False,
+        ).map_batches(
+            lambda df: df.assign(_len=df["raw_address"].str.len())
+            .sort_values(["legacy_key", "_len"], ascending=[True, False], kind="mergesort")
+            .drop_duplicates("legacy_key", keep="first")
+            .rename(columns={"legacy_key": "uprn", "raw_address": "full_address"})
+            .assign(historic=True)[["uprn", "full_address", "historic"]],
+            batch_format="pandas",
+            batch_size=None,
+        )

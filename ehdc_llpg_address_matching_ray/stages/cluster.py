@@ -134,7 +134,7 @@ def label_propagation(
         # groupby aggregate costs ~1 ms/group of Python, and the group
         # count here equals the node count
         new_labels = (
-            partition_by_key(combined, ["node_id"], num_partitions)
+            partition_by_key(combined, ["node_id"], num_partitions, sort=False)
             .map_batches(
                 lambda df: df.groupby("node_id", sort=False, as_index=False)["label"].min(),
                 batch_format="pandas",

@@ -91,7 +91,7 @@ def decide(scored_pairs_ds, tiers: MatchTiers | None = None, num_partitions: int
     """scored pairs -> per-source DECISIONS Dataset."""
     tiers = tiers or MatchTiers()
     directed = scored_pairs_ds.map_batches(to_directed, batch_format="pyarrow")
-    part = partition_by_key(directed, ["src"], num_partitions)
+    part = partition_by_key(directed, ["src"], num_partitions, sort=False)
     return part.map_batches(
         lambda df: decide_partition(df, tiers), batch_format="pandas", batch_size=None
     )
