@@ -206,3 +206,32 @@ def passes_hard_filters(features: dict, src_raw: str, cand_raw: str) -> bool:
         if not has_common_element(src_house, cand_house) and not has_close_numbers(src_house, cand_house):
             return False
     return True
+
+def score_features_alt(features: dict, spatial_boost: float = 0.0, status_live: bool = False) -> float:
+    """P3 — the engine package's alternative fuzzy blend
+    (internal/engine/fuzzy.go:287-331): 0.50*trgm + 0.40*jaro +
+    0.05*locality + 0.05*street + 0.08[house] + 0.02[alpha] +
+    0.03[phonetic>0] + 0.05*spatial + 0.02[status=1]
+    - 0.03[no-phonetic & trgm<0.85], clamped to [0,1].
+
+    The primary engine uses P2 (score_features, the documented
+    ADDRESS_MATCHING_ALGORITHM.md:208-223 formula); P3 is kept for parity
+    checks and configurable experimentation (SURVEY.md §7.5)."""
+    trgm = features.get("trigram_similarity", 0.0)
+    score = 0.50 * trgm
+    score += 0.40 * features.get("jaro_similarity", 0.0)
+    score += 0.05 * features.get("locality_overlap", 0.0)
+    score += 0.05 * features.get("street_overlap", 0.0)
+    if features.get("same_house_number"):
+        score += 0.08
+    if features.get("same_house_alpha"):
+        score += 0.02
+    phonetic_hits = features.get("phonetic_hits", 0)
+    if phonetic_hits > 0:
+        score += 0.03
+    score += spatial_boost * 0.05
+    if status_live:
+        score += 0.02
+    if phonetic_hits == 0 and trgm < 0.85:
+        score -= 0.03
+    return max(0.0, min(1.0, score))

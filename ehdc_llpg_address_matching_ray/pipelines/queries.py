@@ -877,6 +877,49 @@ SELECT doc_id, length(text)::BIGINT AS n_bytes, md5(text) AS digest FROM documen
 """
 
 
+
+
+def q_match_documents(sf_dir: str) -> rd.Dataset:
+    """Two-table match cascade (pipelines/match.py — the reference's
+    production flow): every 5th document is the "gazetteer", the rest are
+    sources; returns per-source decisions (rows-only: the tier cascade is
+    not ANSI-SQL-expressible)."""
+    from .match import run_match
+    from ..config import PipelineConfig
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def gaz_side(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        out = b.filter(pa.array(ids % 5 == 0))
+        return pa.table(
+            {"uprn": pc.cast(out["doc_id"], pa.string()), "full_address": out["text"]}
+        )
+
+    def src_side(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        out = b.filter(pa.array(ids % 5 != 0))
+        return pa.table(
+            {"src_id": pc.cast(out["doc_id"], pa.string()), "raw_address": out["text"]}
+        )
+
+    gaz = docs.map_batches(gaz_side, batch_format="pyarrow")
+    srcs = docs.map_batches(src_side, batch_format="pyarrow")
+    out = run_match(srcs, gaz, PipelineConfig())
+    return out["matches"].map_batches(
+        lambda b: pa.table(
+            {
+                "src_id": pa.array(b["src_id"].to_pylist(), pa.string()),
+                "matched_id": pa.array(b["matched_id"].to_pylist(), pa.string()),
+                "score": pc.round(pa.array(b["score"].to_pylist(), pa.float64()), 4),
+                "decision": pa.array(b["decision"].to_pylist(), pa.string()),
+                "method": pa.array(b["method"].to_pylist(), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -908,6 +951,7 @@ QUERIES = {
     "rule_transform": q_rule_transform,
     "range_expand": q_range_expand,
     "multimodal_featurize": q_multimodal_featurize,
+    "match_documents": q_match_documents,
 }
 
 ORACLE_SQL = {

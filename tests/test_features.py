@@ -181,3 +181,23 @@ class TestPhonetics:
         assert n == 1
         assert P.count_phonetic_matches(["SMITH", "ROAD"], ["SMYTH", "ROAD"]) == 2
         assert P.count_phonetic_matches([], ["X"]) == 0
+
+
+class TestAlternativeScore:
+    def test_p3_blend(self):
+        from ehdc_llpg_address_matching_ray.functions.features import score_features_alt
+
+        f = {
+            "trigram_similarity": 1.0,
+            "jaro_similarity": 1.0,
+            "locality_overlap": 1.0,
+            "street_overlap": 1.0,
+            "same_house_number": True,
+            "same_house_alpha": True,
+            "phonetic_hits": 2,
+        }
+        assert score_features_alt(f, spatial_boost=1.0, status_live=True) == 1.0
+        # no-phonetic penalty below trgm 0.85
+        low = {"trigram_similarity": 0.5, "jaro_similarity": 0.5, "phonetic_hits": 0}
+        assert abs(score_features_alt(low) - (0.25 + 0.2 - 0.03)) < 1e-9
+        assert score_features_alt({}) == 0.0
