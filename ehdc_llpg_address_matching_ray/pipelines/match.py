@@ -33,7 +33,7 @@ import ray.data as rd
 from ..config import BlockingConfig, MatchTiers, PipelineConfig
 from ..functions import normalize as N
 from ..functions import textstats as TS
-from ..rayutil import default_concurrency, default_partitions, hash_shuffle, partition_by_key
+from ..rayutil import anti_join, default_concurrency, default_partitions, hash_shuffle, partition_by_key
 from ..stages import decide as D
 from ..stages import scoring as SC
 from ..stages.blocking import BandKeyEmitter
@@ -154,17 +154,12 @@ def _run_match_inner(
             )
         )
 
-    matched_ids = {r["src_id"] for r in a1.iter_rows()} if a1.count() else set()
-    matched_ref = ray.put(matched_ids)
-
-    def drop_matched(b: pa.Table, ref=matched_ref) -> pa.Table:
-        done = ray.get(ref)
-        if not done:
-            return b
-        mask = pa.array([i not in done for i in b["id"].to_pylist()])
-        return b.filter(mask)
-
-    remaining = src.map_batches(drop_matched, batch_format="pyarrow").materialize()
+    # J10 anti-join: src rows not matched by A1 (distributed, no driver set —
+    # a1 is unique on src_id because gaz ids are unique and each src carries
+    # one legacy key)
+    remaining = anti_join(src, a1, key="id", right_key="src_id", num_partitions=P).materialize()
+    # compact: join inputs must not lead with an empty block (Ray 2.49)
+    remaining = remaining.repartition(max(1, min(P, remaining.count()))).materialize()
 
     # ---- Tier A2: exact canonical equality (J2) -----------------------------
     gaz_hash = gaz.map_batches(
@@ -194,17 +189,10 @@ def _run_match_inner(
         a2_resolve, batch_format="pandas", batch_size=None
     ).materialize()
 
-    a2_ids = {r["src_id"] for r in a2.iter_rows()} if a2.count() else set()
-    a2_ref = ray.put(a2_ids)
-
-    def drop_a2(b: pa.Table, ref=a2_ref) -> pa.Table:
-        done = ray.get(ref)
-        if not done:
-            return b
-        mask = pa.array([i not in done for i in b["id"].to_pylist()])
-        return b.filter(mask)
-
-    leftovers = remaining.map_batches(drop_a2, batch_format="pyarrow").materialize()
+    # J10 anti-join: remaining rows not resolved by A2 (a2_resolve emits
+    # exactly one row per source id, so a2 is unique on src_id)
+    leftovers = anti_join(remaining, a2, key="id", right_key="src_id", num_partitions=P).materialize()
+    leftovers = leftovers.repartition(max(1, min(P, leftovers.count()))).materialize()
 
     # ---- Tier B: bipartite LSH blocking + scoring ---------------------------
     idf, n_docs = fit_idf_from_reps(

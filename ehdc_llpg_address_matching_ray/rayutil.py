@@ -72,6 +72,53 @@ def partition_by_key(
     return ds.repartition(num_partitions, keys=keys, sort=sort)
 
 
+def anti_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    right_key: str | None = None,
+    num_partitions: int = 8,
+    right_rows: int | None = None,
+) -> rd.Dataset:
+    """Left-anti join: rows of ``left`` whose ``key`` does NOT appear in
+    ``right[right_key]`` — the J10 "still unmatched" pattern
+    (internal/engine/matcher.go:150-160) as a distributed left_outer join +
+    null filter, NOT a driver-side id set (which would materialize every
+    matched id on the driver and rescan batches in Python at scale).
+
+    ``right`` must be unique on ``right_key`` (or left rows duplicate).
+    The marks side is repartitioned to <= its row count so no block is
+    empty (Ray 2.49 hash-join breaks when a join input's first block is
+    empty).
+    """
+    import pyarrow as pa
+
+    right_key = right_key or key
+    n = right_rows if right_rows is not None else right.count()
+    if n == 0:
+        return left
+    marks = (
+        right.map_batches(
+            lambda b, rk=right_key, k=key: pa.table(
+                {k: b[rk], "__aj_hit": pa.array([1] * b.num_rows, pa.int8())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+        .repartition(max(1, min(num_partitions, n)))
+        .materialize()
+    )
+    joined = left.join(marks, join_type="left_outer", num_partitions=num_partitions, on=(key,))
+
+    def keep_misses(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = b.filter(pc.is_null(b["__aj_hit"]))
+        return out.drop_columns(["__aj_hit"])
+
+    return joined.map_batches(keep_misses, batch_format="pyarrow")
+
+
 def cluster_cpus(default: int = 8) -> int:
     """Logical CPUs of the current Ray cluster (driver-side)."""
     try:
