@@ -87,8 +87,10 @@ def fuzzy_token_overlap(tokens_a: list[str], tokens_b: list[str]) -> float:
         return 1.0 if not tokens_a and not tokens_b else 0.0
     sa, sb = set(tokens_a), set(tokens_b)
     common = len(sa & sb)
-    rest_a = [t for t in sa - sb if t.isalpha() and len(t) >= 3]
-    rest_b = [t for t in sb - sa if t.isalpha() and len(t) >= 3]
+    # sorted: the greedy DL pass is order-dependent; deterministic order
+    # keeps this scalar kernel bit-identical to the cached batch variant
+    rest_a = sorted(t for t in sa - sb if t.isalpha() and len(t) >= 3)
+    rest_b = sorted(t for t in sb - sa if t.isalpha() and len(t) >= 3)
     # the fuzzy pass is O(|rest_a|*|rest_b|) DL computations — meaningful
     # for short address-like strings (leftovers 1-3) but quadratic noise
     # for long documents; cap the work, exact overlap dominates there
@@ -154,6 +156,74 @@ class PairScorer:
         self.prod = prod or ProductionWeights()
         self.weights = weights or FeatureWeights()
         self.fidelity = fidelity
+        # per-actor caches: each distinct text participates in many pairs,
+        # so token vectors / sets are computed once per TEXT, not per pair
+        self._vec_cache: dict[str, tuple[dict, float]] = {}
+        self._set_cache: dict[str, tuple[frozenset, tuple]] = {}
+
+    def _tok_vec(self, canon: str) -> tuple[dict, float]:
+        """idf-weighted term vector + L2 norm, cached per canonical text."""
+        v = self._vec_cache.get(canon)
+        if v is None:
+            if len(self._vec_cache) > 200_000:
+                self._vec_cache.clear()
+            toks = canon.split(" ") if canon else []
+            wv = {}
+            for t, c in Counter(toks).items():
+                wv[t] = c * self.idf.get(t, self.default_idf)
+            norm = math.sqrt(sum(x * x for x in wv.values()))
+            v = (wv, norm)
+            self._vec_cache[canon] = v
+        return v
+
+    def _tok_set(self, canon: str) -> tuple[frozenset, tuple]:
+        """(token set, fuzzy-eligible tokens) cached per canonical text."""
+        v = self._set_cache.get(canon)
+        if v is None:
+            if len(self._set_cache) > 200_000:
+                self._set_cache.clear()
+            sa = frozenset(canon.split(" ")) if canon else frozenset()
+            rest = tuple(sorted(t for t in sa if t.isalpha() and len(t) >= 3))
+            v = (sa, rest)
+            self._set_cache[canon] = v
+        return v
+
+    def _tfidf_pair(self, ca: str, cb: str) -> float:
+        wa, na = self._tok_vec(ca)
+        wb, nb = self._tok_vec(cb)
+        if not wa or not wb:
+            return 1.0 if not wa and not wb else 0.0
+        if len(wb) < len(wa):
+            wa, wb = wb, wa
+        dot = 0.0
+        for t, x in wa.items():
+            y = wb.get(t)
+            if y is not None:
+                dot += x * y
+        if dot == 0.0 or na == 0.0 or nb == 0.0:
+            return 0.0
+        return dot / (na * nb)
+
+    def _overlap_pair(self, ca: str, cb: str) -> float:
+        """fuzzy_token_overlap with per-text cached sets."""
+        sa, rest_a_all = self._tok_set(ca)
+        sb, rest_b_all = self._tok_set(cb)
+        if not sa or not sb:
+            return 1.0 if not sa and not sb else 0.0
+        common = len(sa & sb)
+        rest_a = [t for t in rest_a_all if t not in sb]
+        rest_b = [t for t in rest_b_all if t not in sa]
+        if rest_a and rest_b and len(rest_a) * len(rest_b) <= 64:
+            used = [False] * len(rest_b)
+            for ta in rest_a:
+                for j, tb in enumerate(rest_b):
+                    if used[j] or abs(len(ta) - len(tb)) > 1:
+                        continue
+                    if SS.damerau_levenshtein(ta, tb, 1) == 1:
+                        used[j] = True
+                        common += 1
+                        break
+        return min(1.0, common / min(len(sa), len(sb)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         url_a = batch["url_a"]
@@ -174,19 +244,18 @@ class PairScorer:
             can_b = batch["canonical_b"].to_pylist()
         n = len(text_a)
 
-        jw = np.empty(n, dtype=np.float64)
         ts = np.empty(n, dtype=np.float64)
         tf = np.empty(n, dtype=np.float64)
         veto = np.zeros(n, dtype=bool)
 
         mjl = self.prod.max_jw_len
+        # batched numpy Jaro-Winkler (bit-identical to the scalar port,
+        # which stays as the parity oracle — see tests/test_strings.py)
+        jw = S.jaro_winkler_batch([c[:mjl] for c in can_a], [c[:mjl] for c in can_b])
         for i in range(n):
             ca, cb = can_a[i], can_b[i]
-            ta = ca.split(" ") if ca else []
-            tb = cb.split(" ") if cb else []
-            jw[i] = S.jaro_winkler(ca[:mjl], cb[:mjl])
-            ts[i] = fuzzy_token_overlap(ta, tb)
-            tf[i] = tfidf_cosine(ta, tb, self.idf, self.default_idf)
+            ts[i] = self._overlap_pair(ca, cb)
+            tf[i] = self._tfidf_pair(ca, cb)
             veto[i] = house_number_veto(text_a[i], text_b[i])
 
         w = self.prod

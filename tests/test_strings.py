@@ -104,3 +104,48 @@ class TestTokenSetRatio:
         assert S.token_set_ratio([], []) == 1.0
         assert S.token_set_ratio(["A"], []) == 0.0
         assert S.token_set_ratio(["A", "A", "B"], ["A", "B"]) == 1.0
+
+
+class TestJaroWinklerBatch:
+    """The numpy batch kernel must be bit-identical to the scalar port
+    (the scalar is the parity oracle; the batch runs in production)."""
+
+    def test_parity_random(self):
+        import random
+
+        random.seed(123)
+        alphabet = "abcdefghijklmnop 0123456789é"
+
+        def rnd():
+            return "".join(
+                random.choice(alphabet) for _ in range(random.randint(0, 64))
+            )
+
+        A = [rnd() for _ in range(500)] + ["", "", "abc", "monks orchard 4"]
+        B = [rnd() for _ in range(500)] + ["", "x", "abc", "monks orchard 16"]
+        got = S.jaro_winkler_batch(A, B)
+        for a, b, g in zip(A, B, got):
+            assert g == pytest.approx(S.jaro_winkler(a, b), abs=1e-12), (a, b)
+
+    def test_hypothesis_parity(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.lists(
+                st.tuples(st.text(max_size=40), st.text(max_size=40)),
+                min_size=1,
+                max_size=8,
+            )
+        )
+        def check(pairs):
+            A = [p[0] for p in pairs]
+            B = [p[1] for p in pairs]
+            got = S.jaro_winkler_batch(A, B)
+            for a, b, g in zip(A, B, got):
+                assert abs(g - S.jaro_winkler(a, b)) < 1e-12
+
+        check()
+
+    def test_empty_batch(self):
+        assert len(S.jaro_winkler_batch([], [])) == 0
