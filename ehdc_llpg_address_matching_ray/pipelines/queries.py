@@ -838,6 +838,30 @@ def q_range_expand(sf_dir: str) -> rd.Dataset:
     )
 
 
+# The synthesized ranges are always plain numeric "lo-hi" with lo<hi
+# (when p_size%5>0), span<=4, numbers<=94 — so every validation branch
+# of range_expander.go:140-181 reduces to hi>lo, and the expansion is
+# exactly generate_series (the reference's own SQL twin,
+# sql/expand_llpg_ranges.sql:1-40)
+SQL_RANGE_EXPAND = """
+WITH synth AS (
+  SELECT p_partkey,
+         (p_partkey % 90) + 1 AS lo,
+         (p_partkey % 90) + 1 + (p_size % 5) AS hi
+  FROM part
+), expanded AS (
+  SELECT p_partkey, lo, hi, unnest(generate_series(lo, hi)) AS u
+  FROM synth WHERE hi > lo
+)
+SELECT p_partkey,
+       CAST(u AS VARCHAR) || ' HIGH STREET, ALTON' AS full_address,
+       CAST(u AS VARCHAR) || ' HIGH STREET ALTON' AS canonical,
+       CAST(u AS VARCHAR) AS unit_number,
+       'range_expansion' AS expansion_type
+FROM expanded
+"""
+
+
 
 
 def q_multimodal_featurize(sf_dir: str) -> rd.Dataset:
@@ -920,6 +944,125 @@ def q_match_documents(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_match_exact_tiers(sf_dir: str) -> rd.Dataset:
+    """SQL-checkable projection of the match cascade's exact tiers
+    (J1/J2): gazetteer = ALL documents, sources = the doc_id%3!=0 subset
+    (so every source has at least one exact-canonical gazetteer hit, and
+    duplicate texts exercise the multi-hit review branch), returning the
+    tier-A2 exact-canonical decisions — a pure hash-equality join +
+    per-source resolve, expressible in ANSI SQL (generator.go:174-206)."""
+    from .match import run_match
+    from ..config import PipelineConfig
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def gaz_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"uprn": pc.cast(b["doc_id"], pa.string()), "full_address": b["text"]}
+        )
+
+    def src_side(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        out = b.filter(pa.array(ids % 3 != 0))
+        return pa.table(
+            {"src_id": pc.cast(out["doc_id"], pa.string()), "raw_address": out["text"]}
+        )
+
+    gaz = docs.map_batches(gaz_side, batch_format="pyarrow")
+    srcs = docs.map_batches(src_side, batch_format="pyarrow")
+    out = run_match(srcs, gaz, PipelineConfig())
+    exact = out["tier_a1"].union(out["tier_a2"])
+    return exact.map_batches(
+        lambda b: pa.table(
+            {
+                "src_id": pa.array(b["src_id"].to_pylist(), pa.string()),
+                "matched_id": pa.array(b["matched_id"].to_pylist(), pa.string()),
+                "score": pa.array(b["score"].to_pylist(), pa.float64()),
+                "decision": pa.array(b["decision"].to_pylist(), pa.string()),
+                "method": pa.array(b["method"].to_pylist(), pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_MATCH_CANON = m1_canonical_sql("text")[0]
+
+SQL_MATCH_EXACT_TIERS = f"""
+WITH gaz AS (
+  SELECT CAST(doc_id AS VARCHAR) AS gid, {_SQL_MATCH_CANON} AS canonical
+  FROM documents
+), src AS (
+  SELECT CAST(doc_id AS VARCHAR) AS sid, {_SQL_MATCH_CANON} AS canonical
+  FROM documents WHERE doc_id % 3 <> 0
+), hits AS (
+  SELECT s.sid, g.gid FROM src s JOIN gaz g ON s.canonical = g.canonical
+), agg AS (
+  SELECT sid, min(gid) AS matched_id, count(*) AS c FROM hits GROUP BY sid
+)
+SELECT sid AS src_id,
+       matched_id,
+       CASE WHEN c > 1 THEN 0.90 ELSE 0.99 END AS score,
+       CASE WHEN c > 1 THEN 'review' ELSE 'auto_accept' END AS decision,
+       'exact_canonical' AS method
+FROM agg
+"""
+
+
+def q_linkage_exact_projection(sf_dir: str) -> rd.Dataset:
+    """Hard oracle for the flagship pipeline: run the full linkage DAG
+    (SymSpell off — a supported config — so canonicalization is the pure
+    M1 chain) and project the SQL-derivable fact columns: url, canonical,
+    text_hash, is_exact_dup (url != min url of its hash-identical group).
+    The driver's value-hash over these columns pins the flagship's
+    normalize→dedup→membership→fact path end to end."""
+    from ..config import PipelineConfig, SymSpellConfig
+    from .linkage import run_linkage
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pc.binary_join_element_wise(
+                    pa.array(["doc://"] * b.num_rows), pc.cast(b["doc_id"], pa.string()), ""
+                ),
+                "text": b["text"],
+                "lang": b["lang"],
+            }
+        )
+
+    pages = _t(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+    cfg = PipelineConfig(symspell=SymSpellConfig(enabled=False))
+    out = run_linkage(pages, cfg, from_html=False)
+    return out["fact"].map_batches(
+        lambda b: pa.table(
+            {
+                "url": b["url"],
+                "canonical": b["canonical"],
+                "text_hash": b["text_hash"],
+                "is_exact_dup": b["is_exact_dup"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_SQL_LINK_CANON = m1_canonical_sql("text")[0]
+
+SQL_LINKAGE_EXACT_PROJECTION = f"""
+WITH pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, {_SQL_LINK_CANON} AS canonical
+  FROM documents
+), hashed AS (
+  SELECT url, canonical, md5(canonical) AS text_hash FROM pages
+)
+SELECT url, canonical, text_hash,
+       url <> min(url) OVER (PARTITION BY text_hash) AS is_exact_dup
+FROM hashed
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -952,6 +1095,8 @@ QUERIES = {
     "range_expand": q_range_expand,
     "multimodal_featurize": q_multimodal_featurize,
     "match_documents": q_match_documents,
+    "match_exact_tiers": q_match_exact_tiers,
+    "linkage_exact_projection": q_linkage_exact_projection,
 }
 
 ORACLE_SQL = {
@@ -976,4 +1121,7 @@ ORACLE_SQL = {
     "real_address_filter": SQL_REAL_ADDRESS_FILTER,
     "rule_transform": SQL_RULE_TRANSFORM,
     "multimodal_featurize": SQL_MULTIMODAL_FEATURIZE,
+    "range_expand": SQL_RANGE_EXPAND,
+    "match_exact_tiers": SQL_MATCH_EXACT_TIERS,
+    "linkage_exact_projection": SQL_LINKAGE_EXACT_PROJECTION,
 }
