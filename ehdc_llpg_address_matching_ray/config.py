@@ -114,6 +114,11 @@ class PipelineConfig:
     # 250k pages).  Larger corpora fall back to hash joins (the only
     # option at 10^12 scale).
     broadcast_payload_max: int = 2_000_000
+    # hard BYTE budget for the same broadcast: row count alone is the
+    # wrong gate (2M long documents would blow the driver heap); the LUT
+    # build aborts to the hash-join path the moment cumulative text bytes
+    # exceed this
+    broadcast_payload_max_bytes: int = 1 << 31
 
     def config_hash(self) -> str:
         """Stable hash of the whole config for lineage manifests."""

@@ -43,14 +43,24 @@ def fit_idf_from_reps(
     sample_fraction: float = 1.0,
     max_vocab: int = 200_000,
     seed: int = 42,
+    auto_sample_docs: int = 2_000_000,
 ) -> tuple[dict[str, float], int]:
     """Fit the idf dictionary on (a sample of) the representative texts.
 
     At 100-TB scale the idf is fit on a small seeded sample and the
     resulting bounded dict is broadcast once (ray.put) — never reshipped
-    per batch.  Returns (idf, n_docs_sampled).
+    per batch.  Above ``auto_sample_docs`` rows the corpus is
+    seeded-sampled automatically so the driver pass never scales with
+    the data.  Returns (idf, n_docs_sampled).
     """
     ds = reps_ds.select_columns(["canonical"])
+    if sample_fraction >= 1.0:
+        try:
+            n_rows = reps_ds.count()
+        except Exception:
+            n_rows = None
+        if n_rows and n_rows > auto_sample_docs:
+            sample_fraction = auto_sample_docs / n_rows
     if sample_fraction < 1.0:
         ds = ds.random_sample(sample_fraction, seed=seed)
     df_counts: Counter[str] = Counter()
@@ -165,14 +175,23 @@ def _run_linkage_inner(
     if broadcast:
         # small-side broadcast (ray.put once, read once per actor): the
         # pair table stays narrow and the two payload-join shuffles
-        # disappear; above the threshold we hash-join instead
+        # disappear; above the ROW threshold we hash-join instead, and
+        # the build also aborts on a cumulative BYTE budget (row count is
+        # the wrong gate for long documents)
         lut: dict[str, tuple[str, str]] = {}
+        lut_bytes = 0
         for b in reps_slim.iter_batches(batch_size=8192, batch_format="pyarrow"):
             for u, t, c in zip(
                 b["url"].to_pylist(), b["text"].to_pylist(), b["canonical"].to_pylist()
             ):
                 lut[u] = (t, c)
-        payload_ref = ray.put(lut)
+                lut_bytes += len(u) + len(t or "") + len(c or "")
+            if lut_bytes > cfg.broadcast_payload_max_bytes:
+                lut = {}
+                broadcast = False
+                break
+        if broadcast:
+            payload_ref = ray.put(lut)
     pairs = B.build_blocks(
         reps_slim, cfg.blocking, concurrency=conc, num_partitions=P,
         attach_payload=not broadcast,

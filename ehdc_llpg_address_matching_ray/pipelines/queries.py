@@ -337,48 +337,58 @@ SELECT o_custkey, o_orderkey, o_totalprice, rnk::BIGINT AS rnk FROM (
 
 
 def q_revenue_by_nation(sf_dir: str) -> rd.Dataset:
-    """Large⋈large hash join (lineitem⋈orders) + BROADCAST small-side
-    lookups (customer→nation→region via ray.put, read once per actor —
-    never a shuffle for the small sides)."""
-    cust = {
-        int(k): int(v)
-        for k, v in zip(
-            *[
-                pq_col(sf_dir, "customer", c)
-                for c in ("c_custkey", "c_nationkey")
-            ]
-        )
-    }
+    """Large⋈large hash joins (lineitem⋈orders⋈customer — customer SCALES
+    with sf, so it is joined, never a driver dict) + a BROADCAST lookup
+    only for the genuinely fixed-size nation dimension (25 rows, ray.put
+    once, read once per actor).  Revenue is PARTIALLY aggregated per
+    block before the final ~25-row groupby, so the last shuffle moves
+    O(blocks × nations) rows, not O(lineitem)."""
     nation = {
-        int(k): str(v) for k, v in zip(pq_col(sf_dir, "nation", "n_nationkey"), pq_col(sf_dir, "nation", "n_name"))
+        int(k): str(v)
+        for k, v in zip(pq_col(sf_dir, "nation", "n_nationkey"), pq_col(sf_dir, "nation", "n_name"))
     }
-    lookup_ref = ray.put((cust, nation))
+    nation_ref = ray.put(nation)
 
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = li.join(orders, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",))
+    o_n = orders.join(
+        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
+    ).select_columns(["o_orderkey", "c_nationkey"])
+    joined = li.join(
+        o_n, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
 
-    class Annotate:
+    class PartialAgg:
         def __init__(self, ref):
-            self.cust, self.nation = ray.get(ref)
+            self.nation = ray.get(ref)
 
         def __call__(self, b: pa.Table) -> pa.Table:
-            nk = [self.cust.get(c, -1) for c in b["o_custkey"].to_pylist()]
-            names = [self.nation.get(k, "?") for k in nk]
             rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
-            return pa.table({"n_name": pa.array(names, pa.string()), "rev": rev})
+            t = pa.table({"nk": b["c_nationkey"], "rev": rev})
+            g = t.group_by("nk").aggregate([("rev", "sum"), ("rev", "count")])
+            names = [self.nation.get(int(k), "?") for k in g["nk"].to_pylist()]
+            return pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "rev": g["rev_sum"],
+                    "n": g["rev_count"].cast(pa.int64()),
+                }
+            )
 
-    ann = joined.map_batches(Annotate, fn_constructor_args=(lookup_ref,), batch_format="pyarrow", concurrency=(1, 4))
+    partial = joined.map_batches(
+        PartialAgg, fn_constructor_args=(nation_ref,), batch_format="pyarrow", concurrency=(1, 4)
+    )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("n_name", sort=False, as_index=False).agg(
-            revenue=("rev", "sum"), n_items=("rev", "size")
+            revenue=("rev", "sum"), n_items=("n", "sum")
         )
         g["revenue"] = g["revenue"].round(2)
         g["n_items"] = g["n_items"].astype("int64")
         return g
 
-    return _grouped(ann, ["n_name"], final)
+    return _grouped(partial, ["n_name"], final)
 
 
 SQL_REVENUE_BY_NATION = """
@@ -602,8 +612,20 @@ def q_ann_topk(sf_dir: str) -> rd.Dataset:
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     scored = ds.map_batches(Score, fn_constructor_args=(q_ref,), batch_format="pyarrow", concurrency=(1, 4))
-    top = scored.sort(["sim", "vec_id"], descending=[True, False]).limit(10)
-    return top
+
+    # per-block partial top-k, then one ≤ k·blocks-row merge — NOT a
+    # global sort (an all-data shuffle for a 10-row answer)
+    def block_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            b, sort_keys=[("sim", "descending"), ("vec_id", "ascending")]
+        )
+        return b.take(idx[:10])
+
+    return (
+        scored.map_batches(block_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+    )
 
 
 SQL_ANN_TOPK = """

@@ -96,16 +96,7 @@ def group_rescue(
             .materialize()
         )
         if reps.count() == 0:
-            return rd.from_arrow(
-                pa.table(
-                    {
-                        "src_id": pa.array([], pa.string()),
-                        "corrected_id": pa.array([], pa.string()),
-                        "group_key": pa.array([], pa.string()),
-                        "confidence": pa.array([], pa.float64()),
-                    }
-                )
-            )
+            return _empty_corrections()
 
         # fuzzy-match the representatives against the gazetteer (tier-B
         # reuse: blocking + scoring + per-source decide)
@@ -119,41 +110,79 @@ def group_rescue(
             source_id="src_id", source_text="raw_address",
             gaz_id=gaz_id, gaz_text=gaz_text,
         )
-        hits = m["matches"].to_pandas()
-        rep_df = reps.to_pandas()
-        hits = hits.merge(rep_df, left_on="src_id", right_on="group_key")
-        gaz_lut = {
-            str(u): (t or "")
-            for u, t in zip(
-                *[_col(gazetteer_ds, c) for c in (gaz_id, gaz_text)]
+        # DISTRIBUTED rejoin (no driver gazetteer LUT, which would be
+        # O(gazetteer) driver memory at scale): matched reps ⋈ reps (their
+        # own text) ⋈ gazetteer (candidate text), then the similarity +
+        # Levenshtein gate (:1508-1509) and confidence banding
+        # (:1539-1543) inside a map_batches.
+        hits = (
+            m["matches"]
+            .map_batches(
+                lambda b: b.filter(
+                    pc.and_(
+                        pc.is_valid(b["matched_id"]),
+                        pc.not_equal(pc.coalesce(b["matched_id"], ""), ""),
+                    )
+                ).select(["src_id", "matched_id", "score"]),
+                batch_format="pyarrow",
             )
-        }
+            .materialize()
+        )
+        n_hits = hits.count()
+        if n_hits == 0:
+            return _empty_corrections()
+        hits = hits.repartition(max(1, min(num_partitions, n_hits))).materialize()
 
-        keep = []
-        for row in hits.itertuples(index=False):
-            if not row.matched_id:
-                continue
-            cand_text = gaz_lut.get(str(row.matched_id), "")
-            lev = S.levenshtein_distance(
-                (row.rep_address or "").upper(), cand_text.upper()
+        rep_txt = reps.map_batches(
+            lambda b: pa.table({"src_id": b["group_key"], "rep_address": b["rep_address"]}),
+            batch_format="pyarrow",
+        )
+        hits = hits.join(
+            rep_txt, join_type="inner", num_partitions=num_partitions, on=("src_id",)
+        ).materialize()
+        n_hits = hits.count()
+        if n_hits == 0:
+            return _empty_corrections()
+        hits = hits.repartition(max(1, min(num_partitions, n_hits))).materialize()
+
+        gaz_txt = gazetteer_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "matched_id": b[gaz_id].cast(pa.string()),
+                    "cand_text": pc.coalesce(b[gaz_text], ""),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        hits = hits.join(gaz_txt, join_type="inner", num_partitions=num_partitions, on=("matched_id",))
+
+        def gate(b: pa.Table) -> pa.Table:
+            gks, cids, confs = [], [], []
+            for gk, mid, sim, rep_addr, cand in zip(
+                b["src_id"].to_pylist(),
+                b["matched_id"].to_pylist(),
+                b["score"].to_pylist(),
+                b["rep_address"].to_pylist(),
+                b["cand_text"].to_pylist(),
+            ):
+                lev = S.levenshtein_distance((rep_addr or "").upper(), (cand or "").upper())
+                if sim >= min_similarity and lev <= max_edit_distance:
+                    gks.append(gk)
+                    cids.append(str(mid))
+                    confs.append(0.85 if sim >= 0.7 else (0.75 if sim >= 0.5 else 0.65))
+            return pa.table(
+                {
+                    "group_key": pa.array(gks, pa.string()),
+                    "corrected_id": pa.array(cids, pa.string()),
+                    "confidence": pa.array(confs, pa.float64()),
+                }
             )
-            sim = row.score
-            if sim >= min_similarity and lev <= max_edit_distance:
-                conf = 0.85 if sim >= 0.7 else (0.75 if sim >= 0.5 else 0.65)
-                keep.append((row.group_key, str(row.matched_id), conf))
-        if not keep:
-            return rd.from_arrow(
-                pa.table(
-                    {
-                        "src_id": pa.array([], pa.string()),
-                        "corrected_id": pa.array([], pa.string()),
-                        "group_key": pa.array([], pa.string()),
-                        "confidence": pa.array([], pa.float64()),
-                    }
-                )
-            )
-        kdf = pd.DataFrame(keep, columns=["group_key", "corrected_id", "confidence"])
-        kt = rd.from_arrow(pa.Table.from_pandas(kdf, preserve_index=False))
+
+        kt = hits.map_batches(gate, batch_format="pyarrow").materialize()
+        n_keep = kt.count()
+        if n_keep == 0:
+            return _empty_corrections()
+        kt = kt.repartition(max(1, min(num_partitions, n_keep))).materialize()
 
         # propagate to every group member (the fan-out join)
         out = src.join(kt, join_type="inner", num_partitions=num_partitions, on=("group_key",))
@@ -170,11 +199,17 @@ def group_rescue(
         )
 
 
-def _col(ds: rd.Dataset, name: str) -> list:
-    out: list = []
-    for b in ds.select_columns([name]).iter_batches(batch_size=8192, batch_format="pyarrow"):
-        out.extend(b[name].to_pylist())
-    return out
+def _empty_corrections() -> rd.Dataset:
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src_id": pa.array([], pa.string()),
+                "corrected_id": pa.array([], pa.string()),
+                "group_key": pa.array([], pa.string()),
+                "confidence": pa.array([], pa.float64()),
+            }
+        )
+    )
 
 
 def create_historic_keys(

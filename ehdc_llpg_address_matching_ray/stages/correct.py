@@ -36,14 +36,28 @@ def fit_token_df(
     sample_fraction: float = 1.0,
     max_vocab: int = 200_000,
     seed: int = 42,
+    auto_sample_docs: int = 2_000_000,
 ) -> tuple[Counter, int]:
     """One driver pass over (a sample of) the normalized canonical texts,
     deduplicated by text_hash: token document frequencies + doc count.
 
     This single pass feeds BOTH the SymSpell dictionary (ST1) and the
     idf vector (P1's TF-IDF cosine) so the corpus is scanned once.
+
+    The driver pass is BOUNDED: above ``auto_sample_docs`` rows the
+    corpus is seeded-sampled down to ~that many docs before streaming, so
+    driver time/memory never scales with the corpus (document frequencies
+    are a distributional statistic — a 2M-doc sample pins them; the vocab
+    is further capped at ``max_vocab``).
     """
     ds = normalized_ds.select_columns(["canonical", "text_hash"])
+    if sample_fraction >= 1.0:
+        try:
+            n_rows = normalized_ds.count()
+        except Exception:
+            n_rows = None
+        if n_rows and n_rows > auto_sample_docs:
+            sample_fraction = auto_sample_docs / n_rows
     if sample_fraction < 1.0:
         ds = ds.random_sample(sample_fraction, seed=seed)
     df: Counter = Counter()
