@@ -1031,6 +1031,115 @@ FROM agg
 """
 
 
+def _is_real_sql(col: str) -> str:
+    """DuckDB twin of components.is_real_address (the reference's own
+    plpgsql predicate, cmd/matcher-v2/main.go:766-793)."""
+    t = f"trim({col})"
+    return (
+        f"(length({t}) >= 10"
+        f" AND NOT regexp_matches({t}, '^[A-Z]{{1,3}}[0-9]+/?[0-9]*$')"
+        f" AND upper({t}) NOT IN ('N/A','NOT APPLICABLE','NONE','NULL','TBC')"
+        f" AND (regexp_matches({t}, '(street|road|avenue|lane|way|close|drive|court|place|crescent|gardens|park|hill|view|house|cottage|farm|manor|hall)', 'i')"
+        f"      OR contains({t}, ',')))"
+    )
+
+
+def q_group_consensus(sf_dir: str) -> rd.Dataset:
+    """G1 SAFE group-consensus corrections (cmd/matcher-v2/main.go:801-1012)
+    over deterministic synthetic groups: group = doc_id//10, members with
+    doc_id%3!=0 are pre-matched to 'U'+group at score 0.6+(doc_id%4)*0.1.
+    The full gate set runs distributed (pipelines/consensus.py); the
+    oracle is a direct SQL transliteration of the reference's own
+    consensus SQL."""
+    from .consensus import group_consensus_corrections
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    # deterministic address-shaped member strings (the documents' web text
+    # has all-distinct 20-char prefixes, which would trip the variation
+    # gate for every group): member = "<id%3> High Street, Alton", every
+    # 10th member a planning-ref shape (exercises the real-ratio and
+    # planning-ref gates)
+    def to_sources(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        addrs = [
+            (f"F{int(i)}" if i % 10 == 9 else f"{int(i) % 3} High Street, Alton")
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "src_id": pc.cast(b["doc_id"], pa.string()),
+                "raw_address": pa.array(addrs, pa.string()),
+                "group_key": pa.array((ids // 10).astype("int64").astype(str), pa.string()),
+            }
+        )
+
+    def to_matches(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        keep = ids % 3 != 0
+        ids = ids[keep]
+        return pa.table(
+            {
+                "src_id": pa.array(ids.astype(str), pa.string()),
+                "matched_id": pa.array(
+                    ["U" + s for s in (ids // 10).astype("int64").astype(str)], pa.string()
+                ),
+                "score": pa.array(0.6 + (ids % 4) * 0.1, pa.float64()),
+            }
+        )
+
+    sources = docs.map_batches(to_sources, batch_format="pyarrow")
+    matches = docs.map_batches(to_matches, batch_format="pyarrow")
+    return group_consensus_corrections(sources, matches)
+
+
+SQL_GROUP_CONSENSUS = f"""
+WITH src AS (
+  SELECT CAST(doc_id AS VARCHAR) AS src_id,
+         CASE WHEN doc_id % 10 = 9 THEN 'F' || CAST(doc_id AS VARCHAR)
+              ELSE CAST(doc_id % 3 AS VARCHAR) || ' High Street, Alton' END AS raw_address,
+         CAST(doc_id // 10 AS VARCHAR) AS group_key,
+         CASE WHEN doc_id % 3 <> 0 THEN 'U' || CAST(doc_id // 10 AS VARCHAR) END AS matched_id,
+         CASE WHEN doc_id % 3 <> 0 THEN 0.6 + (doc_id % 4) * 0.1 ELSE 0.0 END AS m_score,
+         {_is_real_sql("(CASE WHEN doc_id % 10 = 9 THEN 'F' || CAST(doc_id AS VARCHAR) ELSE CAST(doc_id % 3 AS VARCHAR) || ' High Street, Alton' END)")} AS is_real
+  FROM documents
+), grp AS (
+  SELECT group_key,
+         count(*) AS total_docs,
+         count(*) FILTER (m_score > 0) AS matched_docs,
+         count(*) FILTER (is_real) AS real_addresses,
+         count(*) FILTER (NOT is_real) AS planning_refs,
+         count(DISTINCT substring(raw_address, 1, 20)) FILTER (is_real) AS variations
+  FROM src GROUP BY group_key
+), votes AS (
+  SELECT group_key, matched_id, count(*) AS votes, max(m_score) AS best
+  FROM src WHERE m_score > 0.5 AND matched_id IS NOT NULL
+  GROUP BY group_key, matched_id
+), best AS (
+  SELECT group_key, matched_id AS best_id, votes FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY group_key ORDER BY votes DESC, best DESC, matched_id
+    ) AS rn FROM votes
+  ) WHERE rn = 1
+), safe AS (
+  SELECT g.group_key, b.best_id, b.votes,
+         CASE WHEN b.votes >= 5 THEN 0.95 WHEN b.votes >= 3 THEN 0.90 ELSE 0.85 END AS confidence
+  FROM grp g JOIN best b USING (group_key)
+  WHERE g.total_docs BETWEEN 2 AND 30
+    AND g.matched_docs > 0 AND g.matched_docs < g.total_docs
+    AND g.real_addresses >= g.total_docs * 0.6
+    AND g.planning_refs <= 3
+    AND g.variations <= 5
+    AND b.votes >= 2
+    AND b.votes >= g.matched_docs * 0.4
+)
+SELECT s.src_id, sf.best_id AS corrected_id, s.group_key, sf.confidence
+FROM src s JOIN safe sf USING (group_key)
+WHERE s.is_real
+  AND (s.m_score < 0.5 OR s.matched_id IS NULL OR s.matched_id <> sf.best_id)
+"""
+
+
 def q_linkage_exact_projection(sf_dir: str) -> rd.Dataset:
     """Hard oracle for the flagship pipeline: run the full linkage DAG
     (SymSpell off — a supported config — so canonicalization is the pure
@@ -1119,6 +1228,7 @@ QUERIES = {
     "match_documents": q_match_documents,
     "match_exact_tiers": q_match_exact_tiers,
     "linkage_exact_projection": q_linkage_exact_projection,
+    "group_consensus": q_group_consensus,
 }
 
 ORACLE_SQL = {
@@ -1146,4 +1256,5 @@ ORACLE_SQL = {
     "range_expand": SQL_RANGE_EXPAND,
     "match_exact_tiers": SQL_MATCH_EXACT_TIERS,
     "linkage_exact_projection": SQL_LINKAGE_EXACT_PROJECTION,
+    "group_consensus": SQL_GROUP_CONSENSUS,
 }
