@@ -244,6 +244,7 @@ def _empty_outputs(normalized: rd.Dataset, membership: rd.Dataset) -> dict[str, 
         "url_a": pa.string(), "url_b": pa.string(),
         "jaro_winkler": pa.float64(), "token_set_ratio": pa.float64(),
         "tfidf_cosine": pa.float64(), "house_veto": pa.bool_(),
+        "has_same_house_num": pa.bool_(), "locality_overlap": pa.float64(),
         "score": pa.float64(), "is_edge": pa.bool_(), "dropped_pairs": pa.int64(),
     }
     fact_cols = {

@@ -353,7 +353,15 @@ def _run_match_inner(
 
     # directed decide: sources only (url_a side)
     directed = scored.map_batches(
-        lambda b: pa.table({"src": b["url_a"], "cand": b["url_b"], "score": b["score"]}),
+        lambda b: pa.table(
+            {
+                "src": b["url_a"],
+                "cand": b["url_b"],
+                "score": b["score"],
+                "has_same_house_num": b["has_same_house_num"],
+                "locality_overlap": b["locality_overlap"],
+            }
+        ),
         batch_format="pyarrow",
     )
     fuzzy_dec = partition_by_key(directed, ["src"], P, sort=False).map_batches(

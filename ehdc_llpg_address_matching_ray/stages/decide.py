@@ -24,13 +24,20 @@ from ..rayutil import partition_by_key
 
 
 def to_directed(batch: pa.Table) -> pa.Table:
-    """Each undirected scored pair -> two directed (src, cand) rows."""
+    """Each undirected scored pair -> two directed (src, cand) rows.
+
+    Carries the D2 medium-tier features (symmetric per pair) when the
+    scorer provides them."""
     base = {
         "src": pa.concat_arrays([batch["url_a"].combine_chunks(), batch["url_b"].combine_chunks()]),
         "cand": pa.concat_arrays([batch["url_b"].combine_chunks(), batch["url_a"].combine_chunks()]),
     }
     arr = batch["score"].combine_chunks()
     base["score"] = pa.concat_arrays([arr, arr])
+    for col in ("has_same_house_num", "locality_overlap"):
+        if col in batch.column_names:
+            a = batch[col].combine_chunks()
+            base[col] = pa.concat_arrays([a, a])
     return pa.table(base)
 
 
@@ -38,9 +45,13 @@ def decide_partition(df: pd.DataFrame, tiers: MatchTiers) -> pd.DataFrame:
     """Vectorized per-source decision over one src-partition.
 
     Per source: sort candidates desc (done partition-wide), take top-1 +
-    margin to top-2, apply the D2 tier logic (the 0.88 medium tier's
-    house/locality conditions evaluate False in the production path —
-    those features live in the fidelity scorer)."""
+    margin to top-2, apply the FULL D2 tier logic including the 0.88
+    medium tier (scorer.go:177-188): top >= auto_accept_medium with
+    margin >= winner_margin+0.02 auto-accepts when the top candidate
+    shares a house number and locality overlap >= 0.5.  The feature
+    columns arrive from the scorer via ``to_directed``; when absent
+    (feature-less callers) the medium tier evaluates False, preserving
+    the old subset semantics."""
     if len(df) == 0:
         return pd.DataFrame(
             {
@@ -70,6 +81,16 @@ def decide_partition(df: pd.DataFrame, tiers: MatchTiers) -> pd.DataFrame:
     margin = np.where(has_second, top_score - second, 1.0)
 
     auto = (top_score >= tiers.auto_accept_high) & (margin >= tiers.winner_margin)
+    if "has_same_house_num" in df.columns:
+        top_house = d["has_same_house_num"].to_numpy()[firsts].astype(bool)
+        top_loc = d["locality_overlap"].to_numpy()[firsts]
+        medium = (
+            (top_score >= tiers.auto_accept_medium)
+            & (margin >= tiers.winner_margin + 0.02)
+            & top_house
+            & (top_loc >= 0.5)
+        )
+        auto = auto | medium
     review = ~auto & (top_score >= tiers.review_threshold)
     rejected = top_score < tiers.min_threshold
     decision = np.where(rejected, "reject", np.where(auto, "auto_accept", np.where(review, "review", "reject")))

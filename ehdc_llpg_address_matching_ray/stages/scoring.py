@@ -112,6 +112,11 @@ def _house_numbers_cached(text: str) -> tuple[str, ...]:
     return tuple(N.extract_house_numbers(text))
 
 
+@lru_cache(maxsize=65536)
+def _locality_tokens_cached(text: str) -> tuple[str, ...]:
+    return tuple(N.extract_locality_tokens(text))
+
+
 def house_number_veto(text_a: str, text_b: str) -> bool:
     """True = vetoed (reject pair).  Exact-common-number rule (P6).
     Per-side extraction is cached: each text reappears in many pairs."""
@@ -247,6 +252,8 @@ class PairScorer:
         ts = np.empty(n, dtype=np.float64)
         tf = np.empty(n, dtype=np.float64)
         veto = np.zeros(n, dtype=bool)
+        same_house = np.zeros(n, dtype=bool)
+        loc_overlap = np.zeros(n, dtype=np.float64)
 
         mjl = self.prod.max_jw_len
         # batched numpy Jaro-Winkler (bit-identical to the scalar port,
@@ -256,7 +263,18 @@ class PairScorer:
             ca, cb = can_a[i], can_b[i]
             ts[i] = self._overlap_pair(ca, cb)
             tf[i] = self._tfidf_pair(ca, cb)
-            veto[i] = house_number_veto(text_a[i], text_b[i])
+            ha = _house_numbers_cached(text_a[i])
+            hb = _house_numbers_cached(text_b[i])
+            common = bool(ha and hb and F.has_common_element(list(ha), list(hb)))
+            veto[i] = bool(ha and hb) and not common
+            # D2 medium-tier inputs, carried through the scored schema so
+            # the distributed decide can evaluate the 0.88 tier
+            # (scorer.go:177-188)
+            same_house[i] = common
+            loc_overlap[i] = N.token_overlap(
+                list(_locality_tokens_cached(text_a[i])),
+                list(_locality_tokens_cached(text_b[i])),
+            )
 
         w = self.prod
         score = w.jaro_winkler * jw + w.token_set * ts + w.tfidf_cosine * tf
@@ -269,6 +287,8 @@ class PairScorer:
             "token_set_ratio": pa.array(ts),
             "tfidf_cosine": pa.array(tf),
             "house_veto": pa.array(veto),
+            "has_same_house_num": pa.array(same_house),
+            "locality_overlap": pa.array(loc_overlap),
             "score": pa.array(score),
             "is_edge": pa.array(is_edge),
         }

@@ -201,3 +201,61 @@ class TestAlternativeScore:
         low = {"trigram_similarity": 0.5, "jaro_similarity": 0.5, "phonetic_hits": 0}
         assert abs(score_features_alt(low) - (0.25 + 0.2 - 0.03)) < 1e-9
         assert score_features_alt({}) == 0.0
+
+
+class TestMediumTierParity:
+    """decide_partition (distributed D2) must agree with make_decision
+    (the scorer.go:142-198 port) on the SAME candidate lists, including
+    the 0.88 medium tier's house/locality conditions."""
+
+    def test_parity_random_candidates(self):
+        import random
+
+        import pandas as pd
+
+        from ehdc_llpg_address_matching_ray.config import MatchTiers
+        from ehdc_llpg_address_matching_ray.functions.features import (
+            ScoredCandidate,
+            make_decision,
+        )
+        from ehdc_llpg_address_matching_ray.stages.decide import decide_partition
+
+        random.seed(5)
+        tiers = MatchTiers()
+        rows = []
+        expected = {}
+        for s in range(200):
+            src = f"s{s:03d}"
+            cands = []
+            for c in range(random.randint(1, 4)):
+                score = round(random.uniform(0.6, 1.0), 3)
+                house = random.random() < 0.5
+                loc = random.choice([0.0, 0.3, 0.5, 1.0])
+                cands.append((f"c{c}", score, house, loc))
+            cands.sort(key=lambda x: (-x[1], x[0]))
+            sc = [
+                ScoredCandidate(
+                    cand_id=cid, score=scr, has_same_house_num=h, locality_overlap_ratio=l
+                )
+                for cid, scr, h, l in cands
+            ]
+            expected[src] = make_decision(sc, tiers)
+            rows.extend((src, cid, scr, h, l) for cid, scr, h, l in cands)
+
+        df = pd.DataFrame(
+            rows, columns=["src", "cand", "score", "has_same_house_num", "locality_overlap"]
+        )
+        out = decide_partition(df, tiers)
+        assert len(out) == 200
+        medium_hits = 0
+        for r in out.itertuples(index=False):
+            exp_dec, exp_acc = expected[r.url]
+            assert (r.decision, r.accepted_url) == (exp_dec, exp_acc), r.url
+            if (
+                exp_dec == "auto_accept"
+                and r.top_score < tiers.auto_accept_high + 1e-12
+                and r.top_score >= tiers.auto_accept_medium
+            ):
+                medium_hits += 1
+        # the random pool must actually exercise the medium tier
+        assert medium_hits > 0
