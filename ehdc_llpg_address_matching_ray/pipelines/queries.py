@@ -688,6 +688,133 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40
 """
 
 
+def _lsh_planes(n_tables: int = 4, n_bits: int = 10, dim: int = 64, seed: int = 42):
+    """Deterministic ±1 random-projection planes (Achlioptas sparse
+    projections): shape (tables, bits, dim)."""
+    rng = np.random.default_rng(seed)
+    return rng.choice([-1.0, 1.0], size=(n_tables, n_bits, dim))
+
+
+_LSH_TABLES, _LSH_BITS = 4, 10
+
+
+def q_embedding_neardup_lsh(sf_dir: str) -> rd.Dataset:
+    """Embedding near-dup via REAL embedding-space bucketing (the 100-TB
+    scale path): random-hyperplane LSH signatures over the vectors
+    themselves (no given label column), bucket groupby per table, exact
+    in-bucket cosine >= 0.40, cross-table dedup by the first-shared-key
+    rule.  Signatures use integer-quantized embeddings
+    (floor(x*1000+0.5)) so the DuckDB oracle computes bit-identical
+    buckets — integer dot products are exact in both engines."""
+    planes = _lsh_planes(_LSH_TABLES, _LSH_BITS)
+    T, B = _LSH_TABLES, _LSH_BITS
+    pow2 = 2.0 ** np.arange(B)
+
+    def signatures(b: pa.Table) -> pa.Table:
+        mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        q = np.floor(mat * 1000.0 + 0.5)
+        keys = np.empty((len(mat), T), dtype=np.int64)
+        for t in range(T):
+            dots = q @ planes[t].T  # n × B, exact: integer-valued doubles
+            bits = (dots >= 0).astype(np.float64)
+            keys[:, t] = (bits @ pow2).astype(np.int64) + (t << B)
+        n = len(mat)
+        idx = np.repeat(np.arange(n), T)
+        cols: dict = {
+            "block_key": pa.array(keys.reshape(-1), pa.int64()),
+            "vec_id": b["vec_id"].take(pa.array(idx)),
+            "embedding": b["embedding"].take(pa.array(idx)),
+        }
+        flat = keys[idx]
+        for t in range(T):
+            cols[f"k{t:02d}"] = pa.array(flat[:, t], pa.int64())
+        return pa.table(cols)
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in df.groupby("block_key", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+            mat = np.array(list(g["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            matn = mat / norms[:, None]
+            sims = matn @ matn.T
+            iu, il = np.triu_indices(len(g), k=1)
+            mask = sims[iu, il] >= 0.40
+            if not mask.any():
+                continue
+            iu, il = iu[mask], il[mask]
+            # first-shared-key dedup: keep the pair only in the FIRST
+            # table whose buckets collide (same rule as MinHash blocking)
+            K = np.stack([g[f"k{t:02d}"].to_numpy() for t in range(_LSH_TABLES)], axis=1)
+            shared = K[iu] == K[il]
+            key_val = g["block_key"].iloc[0]
+            cur = ((K[iu] == key_val) & (K[il] == key_val)).argmax(axis=1)
+            keep = shared.argmax(axis=1) == cur
+            if not keep.any():
+                continue
+            ids = g["vec_id"].to_numpy()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": ids[iu[keep]].astype("int64"),
+                        "vec_b": ids[il[keep]].astype("int64"),
+                        "sim": np.round(sims[iu[keep], il[keep]], 2),
+                    }
+                )
+            )
+        if not frames:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    keyed = ds.map_batches(signatures, batch_format="pyarrow")
+    return _grouped(keyed, ["block_key"], bucket_pairs)
+
+
+def _lsh_oracle_sql() -> str:
+    """Oracle twin of q_embedding_neardup_lsh: the SAME planes rendered
+    as SQL literals (generated from one seeded RNG so Ray and SQL can't
+    drift); integer-quantized dots are exact in double, so bucket
+    membership is bit-identical."""
+    planes = _lsh_planes(_LSH_TABLES, _LSH_BITS)
+    T, B = _LSH_TABLES, _LSH_BITS
+    sig_exprs = []
+    for t in range(T):
+        bits = []
+        for j in range(B):
+            lit = "[" + ",".join(str(int(v)) for v in planes[t, j]) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(qe, {lit}::DOUBLE[]) >= 0 THEN {1 << j} ELSE 0 END)"
+            )
+        sig_exprs.append(f"({' + '.join(bits)} + {t << B}) AS s{t}")
+    shared = " OR ".join(f"a.s{t} = b.s{t}" for t in range(T))
+    return f"""
+WITH q AS (
+  SELECT vec_id, embedding,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x*1000 + 0.5)) AS qe
+  FROM embeddings
+), sig AS (
+  SELECT vec_id, embedding, {', '.join(sig_exprs)} FROM q
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 2) AS sim
+FROM sig a JOIN sig b ON a.vec_id < b.vec_id AND ({shared})
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.40
+"""
+
+
+SQL_EMBEDDING_NEARDUP_LSH = _lsh_oracle_sql()
+
+
 # ---------------------------------------------------------------------------
 # Rows-only (non-SQL-expressible) operators
 # ---------------------------------------------------------------------------
@@ -1218,6 +1345,7 @@ QUERIES = {
     "expand_size_range": q_expand_size_range,
     "ann_topk": q_ann_topk,
     "embedding_neardup_blocked": q_embedding_neardup_blocked,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "minhash_neardup": q_minhash_neardup,
     "simhash_codes": q_simhash_codes,
     "linkage_fact": q_linkage_fact,
@@ -1250,6 +1378,7 @@ ORACLE_SQL = {
     "expand_size_range": SQL_EXPAND_SIZE_RANGE,
     "ann_topk": SQL_ANN_TOPK,
     "embedding_neardup_blocked": SQL_EMBEDDING_NEARDUP_BLOCKED,
+    "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
     "real_address_filter": SQL_REAL_ADDRESS_FILTER,
     "rule_transform": SQL_RULE_TRANSFORM,
     "multimodal_featurize": SQL_MULTIMODAL_FEATURIZE,
