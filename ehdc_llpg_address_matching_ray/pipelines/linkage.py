@@ -83,7 +83,7 @@ def run_linkage(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     idf_sample_fraction: float = 1.0,
-    cluster_driver_threshold: int = 200_000,
+    cluster_driver_threshold: int = 2_000_000,
 ) -> dict[str, rd.Dataset]:
     """Run the full linkage DAG; returns the named stage Datasets.
 
@@ -109,6 +109,16 @@ def _run_linkage_inner(
     idf_sample_fraction, cluster_driver_threshold,
 ):
     conc = cfg.scorer_concurrency or default_concurrency()
+    _trace = os.environ.get("RAY_GRAFT_STAGE_TIMING") == "1"
+    _t_last = [__import__("time").time()]
+
+    def _mark(name: str) -> None:
+        if _trace:
+            import time as _time
+
+            now = _time.time()
+            print(f"[stage-timing] {name}: {now - _t_last[0]:.2f}s", flush=True)
+            _t_last[0] = now
 
     def ckpt(ds: rd.Dataset, name: str, extras=None, pin: bool = True) -> rd.Dataset:
         """Checkpoint to parquet when a checkpoint_dir is given, else pin
@@ -119,10 +129,14 @@ def _run_linkage_inner(
         lazy — each skipped materialization saves a full object-store
         round-trip of the stage's data."""
         if checkpoint_dir is None:
-            return ds.materialize() if pin else ds
-        return checkpoint(
+            out = ds.materialize() if pin else ds
+            _mark(name)
+            return out
+        out = checkpoint(
             ds, os.path.join(checkpoint_dir, name), chash, name, extras=extras, resume=resume
         )
+        _mark(name)
+        return out
 
     head_fn = X.extract_and_normalize if from_html else X.normalize_pages
     normalized = pages_ds.map_batches(
@@ -211,7 +225,12 @@ def _run_linkage_inner(
 
     edges = scored.filter(expr="is_edge == True").select_columns(["url_a", "url_b"])
     decisions = D.decide(scored, cfg.tiers, num_partitions=P)
-    decisions = ckpt(decisions, "05_decisions", pin=False)
+    # pin=True: decisions is small (one row per source) but its lazy
+    # subtree carries the directed-pair shuffle — leaving it lazy fuses
+    # that shuffle into the fact build's join graph, and the overlapping
+    # aggregator pools stall nondeterministically (observed 30s vs 99s
+    # for the same fact stage)
+    decisions = ckpt(decisions, "05_decisions")
 
     nodes = reps.select_columns(["url"])
     rep_clusters = C.connected_components(

@@ -118,7 +118,43 @@ def label_propagation(
         batch_format="pyarrow",
     ).materialize()
 
+    def min_with_changed(df):
+        """Per-partition groupby-min WITH the convergence count folded in
+        (labels are monotonically non-increasing, so changed = new < old;
+        a separate diff-join per round would cost one more full shuffle).
+        The partition's changed count rides in the first row's ``changed``
+        column; ``Dataset.sum`` collects it without a shuffle."""
+        import pandas as pd
+
+        if len(df) == 0:
+            return pd.DataFrame(
+                {
+                    "node_id": pd.Series([], dtype="int64"),
+                    "label": pd.Series([], dtype="int64"),
+                    "changed": pd.Series([], dtype="int64"),
+                }
+            )
+        new = df.groupby("node_id", sort=False, as_index=False)["label"].min()
+        old = df[df["src"] == 0].set_index("node_id")["label"]
+        n_changed = int(
+            (new["label"].to_numpy() < old.reindex(new["node_id"]).to_numpy()).sum()
+        )
+        new["changed"] = 0
+        if len(new):
+            new.iloc[0, new.columns.get_loc("changed")] = n_changed
+        return new
+
     for _ in range(max_iters):
+        base = labels.map_batches(
+            lambda b: pa.table(
+                {
+                    "node_id": pa.array(b["node_id"].to_pylist(), pa.int64()),
+                    "label": pa.array(b["label"].to_pylist(), pa.int64()),
+                    "src": pa.array([0] * b.num_rows, pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
         prop = edges.join(
             labels,
             join_type="inner",
@@ -126,36 +162,40 @@ def label_propagation(
             on=("u",),
             right_on=("node_id",),
         ).map_batches(
-            lambda b: pa.table({"node_id": b["v"], "label": b["label"]}),
+            lambda b: pa.table(
+                {
+                    "node_id": b["v"],
+                    "label": b["label"],
+                    "src": pa.array([1] * b.num_rows, pa.int8()),
+                }
+            ),
             batch_format="pyarrow",
         )
-        combined = labels.union(prop)
+        combined = base.union(prop)
         # keyed repartition + C-speed pandas min per partition: Ray's
         # groupby aggregate costs ~1 ms/group of Python, and the group
         # count here equals the node count
         new_labels = (
             partition_by_key(combined, ["node_id"], num_partitions, sort=False)
+            .map_batches(min_with_changed, batch_format="pandas", batch_size=None)
             .map_batches(
-                lambda df: df.groupby("node_id", sort=False, as_index=False)["label"].min(),
-                batch_format="pandas",
-                batch_size=None,
+                lambda b: pa.table(
+                    {
+                        "node_id": pa.array(b["node_id"].to_pylist(), pa.int64()),
+                        "label": pa.array(b["label"].to_pylist(), pa.int64()),
+                        "changed": pa.array(b["changed"].to_pylist(), pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
             )
-            .map_batches(_rebuild_labels, batch_format="pyarrow")
             .materialize()
         )
-        # convergence check: any label changed?
-        diff = labels.join(
-            new_labels,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("node_id",),
-            right_on=("node_id",),
-            right_suffix="_new",
-        ).filter(expr="label != label_new")
-        changed = diff.count()
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.sum("changed")
+        labels = new_labels.select_columns(["node_id", "label"])
+        if not changed:
+            labels = labels.materialize()
             break
+        labels = labels.materialize()
 
     out = nodes.join(
         labels,
@@ -222,9 +262,18 @@ def connected_components(
     nodes_ds: rd.Dataset,
     edges_ds: rd.Dataset,
     max_iters: int = 25,
-    driver_threshold: int = 200_000,
+    driver_threshold: int = 2_000_000,
 ) -> rd.Dataset:
-    """Choose the path by measured edge count (the pipeline's default)."""
+    """Choose the path by measured edge count (the pipeline's default).
+
+    The driver threshold is generous (2M edges ≈ 32 MB of int64 pairs —
+    seconds of driver CPU): below it the classic union-find beats J
+    rounds of join+groupby shuffle whose per-round overhead dominates
+    small graphs; the distributed path exists for the 100-TB regime
+    where the edge list dwarfs any single machine."""
+    # materialize: edges is usually a lazy filter over the (wide) scored
+    # table; the count + the chosen path would otherwise each rescan it
+    edges_ds = edges_ds.materialize()
     n_edges = edges_ds.count()
     if n_edges <= driver_threshold:
         return driver_union_find(nodes_ds, edges_ds)

@@ -74,9 +74,19 @@ def decide_partition(df: pd.DataFrame, tiers: MatchTiers) -> pd.DataFrame:
     ends = np.concatenate([firsts[1:], [len(d)]])
     n_cands = ends - firsts
 
+    # with the partial_top2 combiner upstream, the surviving rows are a
+    # superset of each source's global top-2; the true candidate count is
+    # the sum of the per-block partial counts
+    if "pcount" in df.columns:
+        pcount = d["pcount"].to_numpy()
+        n_cands = np.add.reduceat(pcount, firsts).astype(np.int64)
+        n_rows = ends - firsts
+        has_second = n_rows >= 2
+    else:
+        has_second = n_cands >= 2
+
     top_score = score[firsts]
     second = np.full(len(firsts), np.nan)
-    has_second = n_cands >= 2
     second[has_second] = score[firsts[has_second] + 1]
     margin = np.where(has_second, top_score - second, 1.0)
 
@@ -108,11 +118,33 @@ def decide_partition(df: pd.DataFrame, tiers: MatchTiers) -> pd.DataFrame:
     )
 
 
+def partial_top2(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-BLOCK top-2 candidates per source (combiner before the src
+    shuffle): the global top-2 of a source is contained in the union of
+    its per-block top-2s (anything better in the same block would rank
+    higher there too), so top-1 + margin survive exactly; the true
+    candidate count rides along as ``pcount`` partial sums.  Pairs from
+    one block key are adjacent in the scored table, so sources repeat
+    within blocks and the directed table shrinks severalfold before the
+    decide shuffle."""
+    if len(df) == 0:
+        df = df.copy()
+        df["pcount"] = pd.Series([], dtype="int64")
+        return df
+    d = df.sort_values(["src", "score", "cand"], ascending=[True, False, True], kind="mergesort")
+    grp = d.groupby("src", sort=False)
+    keep = grp.cumcount() < 2
+    counts = grp["src"].transform("size")
+    d = d.assign(pcount=np.where(grp.cumcount() == 0, counts, 0).astype("int64"))
+    return d[keep.to_numpy()]
+
+
 def decide(scored_pairs_ds, tiers: MatchTiers | None = None, num_partitions: int = 8):
     """scored pairs -> per-source DECISIONS Dataset."""
     tiers = tiers or MatchTiers()
-    directed = scored_pairs_ds.map_batches(to_directed, batch_format="pyarrow")
-    part = partition_by_key(directed, ["src"], num_partitions, sort=False)
+    directed = scored_pairs_ds.map_batches(to_directed, batch_format="pyarrow", batch_size=None)
+    reduced = directed.map_batches(partial_top2, batch_format="pandas", batch_size=None)
+    part = partition_by_key(reduced, ["src"], num_partitions, sort=False)
     return part.map_batches(
         lambda df: decide_partition(df, tiers), batch_format="pandas", batch_size=None
     )
