@@ -83,7 +83,8 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     }
 
 
-SCALING_ENTITIES = int(os.environ.get("GRAFT_SCALING_ENTITIES", "20000"))
+SCALING_ENTITIES = int(os.environ.get("GRAFT_SCALING_ENTITIES", "80000"))
+SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
 SCALING_CORPUS = f"/tmp/ehdc_llpg_address_matching_ray_scaling_corpus_{SCALING_ENTITIES}"
 
 
@@ -116,21 +117,31 @@ def run_single(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str) -> dict:
-    """Same job at 8 and 32 CPUs in fresh processes; report throughputs
-    + scaling efficiency (normalized to the 4x CPU ratio)."""
-    results = {}
-    for cpus in (8, 32):
-        out = subprocess.run(
-            [sys.executable, __file__, "--single", str(cpus)],
-            capture_output=True,
-            text=True,
-            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
-            timeout=3600,
-        )
-        line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        results[cpus] = json.loads(line)
-    t8, t32 = results[8]["sec"], results[32]["sec"]
-    rows = results[8]["rows"]
+    """Same job at 8 and 32 CPUs in fresh processes, REPEATED
+    ``SCALING_REPEATS`` times per width with widths interleaved (so slow
+    machine drift hits both sides equally); report MEDIAN times per
+    width, all per-run times, and scaling efficiency normalized to the
+    4x CPU ratio.  Single runs vary ±15% (hash-shuffle aggregator
+    scheduling), hence the median protocol."""
+    import statistics
+
+    runs: dict[int, list[float]] = {8: [], 32: []}
+    rows = 0
+    for _ in range(SCALING_REPEATS):
+        for cpus in (8, 32):
+            out = subprocess.run(
+                [sys.executable, __file__, "--single", str(cpus)],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+                timeout=3600,
+            )
+            line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            r = json.loads(line)
+            runs[cpus].append(r["sec"])
+            rows = r["rows"]
+    t8 = statistics.median(runs[8])
+    t32 = statistics.median(runs[32])
     thr8, thr32 = rows / t8, rows / t32
     efficiency = (thr32 / thr8) / (32 / 8)
     return {
@@ -138,10 +149,12 @@ def run_scaling(sf_dir: str) -> dict:
         "value": round(efficiency, 3),
         "unit": "fraction",
         "queries": {
-            "linkage_8cpu_sec": t8,
-            "linkage_32cpu_sec": t32,
+            "linkage_8cpu_sec_median": t8,
+            "linkage_32cpu_sec_median": t32,
             "throughput_8cpu_rows_per_sec": round(thr8, 1),
             "throughput_32cpu_rows_per_sec": round(thr32, 1),
+            **{f"run{i}_8cpu_sec": v for i, v in enumerate(runs[8])},
+            **{f"run{i}_32cpu_sec": v for i, v in enumerate(runs[32])},
         },
         "sf": sf_dir,
         "num_cpus": 32,

@@ -60,8 +60,8 @@ class BlockingConfig:
     flat_map and shuffled with one groupby.
     """
 
-    num_perm: int = 64          # minhash permutations
-    num_bands: int = 16         # LSH bands; rows_per_band = num_perm // num_bands
+    num_perm: int = 32          # minhash permutations
+    num_bands: int = 8          # LSH bands; rows_per_band = num_perm // num_bands
     shingle_size: int = 3       # token n-gram size for shingles
     char_shingles: bool = True  # shingle over chars (True) or tokens (False)
     seed: int = 42
@@ -103,7 +103,7 @@ class PipelineConfig:
     tiers: MatchTiers = field(default_factory=MatchTiers)
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     symspell: SymSpellConfig = field(default_factory=SymSpellConfig)
-    score_batch_size: int = 8192
+    score_batch_size: int = 16384
     normalize_batch_size: int = 4096
     max_cluster_iters: int = 25   # label-prop fixpoint bound (O(log n) typical)
     scorer_concurrency: tuple[int, int] | None = None  # None = scale to cluster CPUs

@@ -34,7 +34,7 @@ from ..stages import correct as CR
 from ..stages import decide as D
 from ..stages import extract as X
 from ..stages import scoring as SC
-from ..rayutil import default_concurrency, default_partitions, hash_shuffle
+from ..rayutil import default_concurrency, default_partitions, hash_shuffle, wide_partitions
 from .checkpoint import checkpoint, score_histogram
 
 
@@ -109,6 +109,15 @@ def _run_linkage_inner(
     idf_sample_fraction, cluster_driver_threshold,
 ):
     conc = cfg.scorer_concurrency or default_concurrency()
+    # the key-emitter and scorer actor pools COEXIST during the scored
+    # stage (streaming executor overlaps them); their floors must sum
+    # well under the cluster or the hash-shuffle aggregators starve and
+    # the stage deadlocks.  The scorer (the heavy pool) gets the high
+    # floor so it ramps instantly; the emitter pool stays small.
+    from ..rayutil import cluster_cpus as _ccpus
+    _cpus = _ccpus()
+    conc_emit = cfg.scorer_concurrency or max(2, _cpus // 2)
+    conc_score = cfg.scorer_concurrency or max(2, _cpus)
     _trace = os.environ.get("RAY_GRAFT_STAGE_TIMING") == "1"
     _t_last = [__import__("time").time()]
 
@@ -207,16 +216,22 @@ def _run_linkage_inner(
         if broadcast:
             payload_ref = ray.put(lut)
     pairs = B.build_blocks(
-        reps_slim, cfg.blocking, concurrency=conc, num_partitions=P,
+        reps_slim, cfg.blocking, concurrency=conc_emit, num_partitions=wide_partitions(n_docs),
         attach_payload=not broadcast,
     )
-    pairs = ckpt(pairs, "03_pairs", pin=False)
+    # pin=True: the emitter pool + band shuffle + pair enumeration and
+    # the scorer pool would otherwise COEXIST in one streaming stage and
+    # fight for CPU reservations (observed: each pool stuck near its
+    # floor, ~50% cluster utilization, +-30% run variance).  The pair
+    # table is narrow (ids only under the broadcast payload), so cutting
+    # here gives each phase the full cluster.
+    pairs = ckpt(pairs, "03_pairs")
 
     scored = SC.score_pairs(
         pairs,
         idf_ref=idf_ref,
         n_docs=n_docs,
-        concurrency=conc,
+        concurrency=conc_score,
         batch_size=cfg.score_batch_size,
         payload_ref=payload_ref,
     )

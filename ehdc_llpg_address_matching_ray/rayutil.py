@@ -65,11 +65,87 @@ def hash_shuffle():
 def partition_by_key(
     ds: rd.Dataset, keys: list[str], num_partitions: int, sort: bool = True
 ) -> rd.Dataset:
-    """Hash-partition so every key lands in exactly one block, sorted by
-    the keys within each block — the substrate for vectorized per-run
-    group processing via ``map_batches(fn, batch_size=None)``."""
+    """Hash-partition so every key lands in exactly one block, optionally
+    sorted by the keys within each block — the substrate for vectorized
+    per-run group processing via ``map_batches(fn, batch_size=None)``.
+
+    Implemented as a PACKED exchange rather than a bare
+    ``repartition(keys=...)``: Ray 2.49's hash shuffle assigns partitions
+    with a pure-Python ``hash(tuple(row))`` loop
+    (ray/data/_internal/arrow_ops/transform_pyarrow.py:70, measured
+    ~300k rows/s — a flat, width-independent tax on every keyed shuffle).
+    Here each input block is partitioned VECTORIZED (polars ``hash_rows``,
+    an xxhash — deterministic across processes) and each (block,
+    partition) slice ships as ONE Arrow-IPC blob row, so Ray's per-row
+    loop only ever sees blocks×partitions rows.  Every block emits a row
+    for EVERY partition (zero-row slices included) so no partition is
+    ever empty or schemaless downstream.
+    """
     ensure_hash_shuffle()
-    return ds.repartition(num_partitions, keys=keys, sort=sort)
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    key_list = list(keys)
+
+    # pick __p sentinel values that Ray's stock partitioner
+    # (hash(tuple(scalar)) % P) maps BIJECTIVELY onto the P shuffle
+    # partitions: every output partition then receives exactly its packed
+    # rows and none is ever empty/schemaless (pyarrow scalar hashes are
+    # process-stable, verified; search terminates in O(P log P) expected)
+    pvals: list[int | None] = [None] * num_partitions
+    v = 0
+    _scratch = []
+    while any(x is None for x in pvals) and v < 64 * num_partitions + 1024:
+        s = pa.array([v], pa.int64())[0]
+        h = hash((s,)) % num_partitions
+        if pvals[h] is None:
+            pvals[h] = v
+        v += 1
+    if any(x is None for x in pvals):  # pathological hash clustering
+        pvals = list(range(num_partitions))
+    pval_arr = np.array(pvals, dtype=np.int64)
+
+    def pack(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        n = b.num_rows
+        if n == 0:
+            order = np.empty(0, dtype=np.int64)
+            bounds = np.zeros(num_partitions + 1, dtype=np.int64)
+        else:
+            h = pl.from_arrow(b.select(key_list)).hash_rows(seed=0).to_numpy()
+            parts = (h % np.uint64(num_partitions)).astype(np.int64)
+            order = np.argsort(parts, kind="stable")
+            bounds = np.searchsorted(parts[order], np.arange(num_partitions + 1))
+        ps = pval_arr
+        blobs = []
+        for p in range(num_partitions):
+            sub = b.take(pa.array(order[bounds[p] : bounds[p + 1]]))
+            sink = pa.BufferOutputStream()
+            with pa.ipc.new_stream(sink, sub.schema) as w:
+                w.write_table(sub)
+            blobs.append(sink.getvalue().to_pybytes())
+        return pa.table({"__p": pa.array(ps, pa.int64()), "__blob": pa.array(blobs, pa.large_binary())})
+
+    def unpack(b: pa.Table) -> pa.Table:
+        tables = []
+        for blob in b["__blob"].to_pylist():
+            with pa.ipc.open_stream(pa.BufferReader(blob)) as r:
+                tables.append(r.read_all())
+        if not tables:
+            return pa.table({})
+        out = pa.concat_tables(tables)
+        if sort and out.num_rows:
+            idx = pc.sort_indices(
+                out.select(key_list), sort_keys=[(k, "ascending") for k in key_list]
+            )
+            out = out.take(idx)
+        return out
+
+    packed = ds.map_batches(pack, batch_format="pyarrow", batch_size=None)
+    shuffled = packed.repartition(num_partitions, keys=["__p"], sort=False)
+    return shuffled.map_batches(unpack, batch_format="pyarrow", batch_size=None)
 
 
 def anti_join(
@@ -151,6 +227,22 @@ def default_partitions(n_rows: int | None = None) -> int:
     if n_rows is None:
         return 8
     return min(32, max(8, n_rows // 20_000))
+
+
+def wide_partitions(n_rows: int | None = None) -> int:
+    """Partition count for COMPUTE-HEAVY keyed stages (pair enumeration
+    inside blocking): unlike the narrow shuffles (decide, fact joins,
+    where aggregator startup dominates and 8 partitions win), the
+    per-partition work here is CPU-bound, so the partition count is the
+    stage's parallelism ceiling — size it so a full-width cluster has
+    one task per core at the target ~8k rows/partition."""
+    env = os.environ.get("RAY_GRAFT_PARTITIONS")
+    if env:
+        return int(env)
+    base = default_partitions(n_rows)
+    if n_rows is None:
+        return max(base, cluster_cpus())
+    return min(64, max(base, n_rows // 8_000))
 
 
 def default_concurrency() -> tuple[int, int]:

@@ -117,6 +117,7 @@ def label_propagation(
         lambda b: pa.table({"node_id": b["node_id"], "label": b["node_id"]}),
         batch_format="pyarrow",
     ).materialize()
+    n_nodes = labels.count()
 
     def min_with_changed(df):
         """Per-partition groupby-min WITH the convergence count folded in
@@ -191,11 +192,14 @@ def label_propagation(
             .materialize()
         )
         changed = new_labels.sum("changed")
-        labels = new_labels.select_columns(["node_id", "label"])
+        # compact: no empty leading blocks (Ray 2.49 join breaks on them)
+        labels = (
+            new_labels.select_columns(["node_id", "label"])
+            .repartition(max(1, min(num_partitions, n_nodes)))
+            .materialize()
+        )
         if not changed:
-            labels = labels.materialize()
             break
-        labels = labels.materialize()
 
     out = nodes.join(
         labels,

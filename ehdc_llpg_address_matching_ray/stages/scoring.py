@@ -50,6 +50,12 @@ class ProductionWeights:
     # document, so score it on a bounded prefix (address-length strings
     # are unaffected; long-document cost drops quadratically).
     max_jw_len: int = 64
+    # production JW kernel: DuckDB's vectorized C++
+    # jaro_winkler_similarity (measured 32x the numpy batch kernel on
+    # 64-char texts; each actor holds one single-threaded connection).
+    # False = the byte-wise ported kernel (functions/strings.py), which
+    # remains the reference-parity oracle either way.
+    native_jw: bool = True
 
 
 def fit_idf(token_doc_freqs: dict[str, int], n_docs: int) -> dict[str, float]:
@@ -107,12 +113,12 @@ def fuzzy_token_overlap(tokens_a: list[str], tokens_b: list[str]) -> float:
     return min(1.0, common / min(len(sa), len(sb)))
 
 
-@lru_cache(maxsize=65536)
+@lru_cache(maxsize=262144)
 def _house_numbers_cached(text: str) -> tuple[str, ...]:
     return tuple(N.extract_house_numbers(text))
 
 
-@lru_cache(maxsize=65536)
+@lru_cache(maxsize=262144)
 def _locality_tokens_cached(text: str) -> tuple[str, ...]:
     return tuple(N.extract_locality_tokens(text))
 
@@ -161,6 +167,15 @@ class PairScorer:
         self.prod = prod or ProductionWeights()
         self.weights = weights or FeatureWeights()
         self.fidelity = fidelity
+        self._duck = None
+        if self.prod.native_jw:
+            try:
+                import duckdb
+
+                self._duck = duckdb.connect()
+                self._duck.execute("PRAGMA threads=1")
+            except Exception:
+                self._duck = None
         # per-actor caches: each distinct text participates in many pairs,
         # so token vectors / sets are computed once per TEXT, not per pair
         self._vec_cache: dict[str, tuple[dict, float]] = {}
@@ -170,7 +185,7 @@ class PairScorer:
         """idf-weighted term vector + L2 norm, cached per canonical text."""
         v = self._vec_cache.get(canon)
         if v is None:
-            if len(self._vec_cache) > 200_000:
+            if len(self._vec_cache) > 500_000:
                 self._vec_cache.clear()
             toks = canon.split(" ") if canon else []
             wv = {}
@@ -185,7 +200,7 @@ class PairScorer:
         """(token set, fuzzy-eligible tokens) cached per canonical text."""
         v = self._set_cache.get(canon)
         if v is None:
-            if len(self._set_cache) > 200_000:
+            if len(self._set_cache) > 500_000:
                 self._set_cache.clear()
             sa = frozenset(canon.split(" ")) if canon else frozenset()
             rest = tuple(sorted(t for t in sa if t.isalpha() and len(t) >= 3))
@@ -256,9 +271,21 @@ class PairScorer:
         loc_overlap = np.zeros(n, dtype=np.float64)
 
         mjl = self.prod.max_jw_len
-        # batched numpy Jaro-Winkler (bit-identical to the scalar port,
-        # which stays as the parity oracle — see tests/test_strings.py)
-        jw = S.jaro_winkler_batch([c[:mjl] for c in can_a], [c[:mjl] for c in can_b])
+        ta_trunc = [c[:mjl] for c in can_a]
+        tb_trunc = [c[:mjl] for c in can_b]
+        if self._duck is not None:
+            _jwt = pa.table({"a": pa.array(ta_trunc, pa.string()), "b": pa.array(tb_trunc, pa.string())})
+            jw = (
+                self._duck.execute(
+                    "SELECT jaro_winkler_similarity(a, b) AS jw FROM _jwt"
+                )
+                .arrow()["jw"]
+                .to_numpy()
+            )
+        else:
+            # batched numpy Jaro-Winkler (bit-identical to the scalar
+            # port, which stays as the parity oracle — tests/test_strings)
+            jw = S.jaro_winkler_batch(ta_trunc, tb_trunc)
         for i in range(n):
             ca, cb = can_a[i], can_b[i]
             ts[i] = self._overlap_pair(ca, cb)
@@ -331,7 +358,19 @@ def score_pairs(
     the actor pool would be capped at 8 concurrent tasks regardless of
     cluster size (measured: 81 s vs 27 s on 32 CPUs).  Split to
     batch-sized blocks first — a metadata-only operation, no shuffle."""
-    pairs_ds = pairs_ds.repartition(target_num_rows_per_block=batch_size)
+    # block = 4 batches: each actor task processes one BLOCK (slicing it
+    # into batch_size calls internally), so block size trades per-task
+    # dispatch overhead against pool load balance; 4x keeps tasks ~2-3s
+    pairs_ds = pairs_ds.repartition(target_num_rows_per_block=batch_size * 4)
+    # fractional CPU per actor: the pool coexists with its feeder tasks
+    # (pair enumeration, streaming repartition) and shuffle aggregators;
+    # full-CPU actors at the cap would reserve the whole cluster and
+    # starve the feeders (observed ~55% pool utilization with integer
+    # reservations).  0.8 CPU x a cap slightly above the cluster width
+    # keeps every core busy while leaving scheduler headroom.
+    if isinstance(concurrency, tuple):
+        lo, hi = concurrency
+        concurrency = (lo, max(hi, int(hi * 1.2)))
     return pairs_ds.map_batches(
         PairScorer,
         fn_constructor_kwargs=dict(
@@ -340,4 +379,5 @@ def score_pairs(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        num_cpus=0.7,
     )
