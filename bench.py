@@ -59,6 +59,7 @@ def _consume(res) -> int:
 def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     import ray
 
+    _pin_kernel_threads()
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     from ehdc_llpg_address_matching_ray.pipelines import queries as Q
@@ -88,6 +89,18 @@ SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
 SCALING_CORPUS = f"/tmp/ehdc_llpg_address_matching_ray_scaling_corpus_{SCALING_ENTITIES}"
 
 
+def _pin_kernel_threads() -> None:
+    """Single-thread the vectorized kernels (polars rayon pool, Arrow/BLAS
+    via OMP) in every Ray worker: parallelism in this engine comes from
+    Ray tasks/actors, and un-pinned kernel pools leak past the session's
+    num_cpus onto all physical cores — silently giving an "8-CPU" run
+    32-core bursts and corrupting the scaling measurement.  Must be set
+    in the DRIVER env before ray.init so the raylet's workers inherit."""
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
+    os.environ.setdefault("ARROW_IO_THREADS", "2")
+
+
 def run_single(sf_dir: str, num_cpus: int) -> dict:
     """One flagship linkage run over the seeded scaling corpus (used by
     --scaling subprocesses).
@@ -99,6 +112,7 @@ def run_single(sf_dir: str, num_cpus: int) -> dict:
     """
     import ray
 
+    _pin_kernel_threads()
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     import ray.data as rd
 
@@ -130,7 +144,12 @@ def run_scaling(sf_dir: str) -> dict:
     for _ in range(SCALING_REPEATS):
         for cpus in (8, 32):
             out = subprocess.run(
-                [sys.executable, __file__, "--single", str(cpus)],
+                # taskset: bind the whole Ray session (raylet, workers,
+                # shuffle aggregators) to exactly `cpus` physical cores —
+                # Ray's num_cpus is scheduling arithmetic only, and
+                # unbound helper actors would burn all 32 cores, quietly
+                # inflating the narrow-width throughput
+                ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__, "--single", str(cpus)],
                 capture_output=True,
                 text=True,
                 env={**os.environ, "GRAFT_SF_DIR": sf_dir},
