@@ -106,3 +106,42 @@ class TestHelpers:
         assert P.looks_like_locality("Petersfield")
         assert P.looks_like_locality("Headley Down")  # suffix TON/HAM... 'HEADLEY'
         assert not P.looks_like_locality("Some Very Long Multi Word Name")
+
+
+class TestMatchOneExplain:
+    """Single-query explain API (cmd/matcher-v2/main.go:522-578,
+    engine.go:320-337)."""
+
+    def make_index(self):
+        from ehdc_llpg_address_matching_ray.state import GazetteerIndex
+
+        return GazetteerIndex(
+            [
+                ("U1", "12 Monks Orchard Road, Alton"),
+                ("U2", "14 Monks Orchard Road, Alton"),
+                ("U3", "7 Mill Lane, Liss"),
+            ]
+        )
+
+    def test_exact_query_auto_accepts(self):
+        idx = self.make_index()
+        r = idx.match_one("12 Monks Orchard Rd, Alton")
+        assert r["decision"] == "auto_accept"
+        assert r["accepted_id"] == "U1"
+        exp = r["explanation"]["top_candidate"]
+        assert exp["final_score"] == 1.0
+        assert exp["jaro_winkler_contribution"] + exp["token_set_contribution"] + exp[
+            "tfidf_contribution"
+        ] == 1.0
+
+    def test_house_number_veto_blocks_auto_accept(self):
+        idx = self.make_index()
+        # different house number, same street: must not auto-accept U1/U2
+        r = idx.match_one("16 Monks Orchard Road, Alton")
+        assert r["decision"] != "auto_accept" or r["accepted_id"] == ""
+
+    def test_no_candidates(self):
+        idx = self.make_index()
+        r = idx.match_one("zzz qqq completely unrelated text 999999")
+        assert r["decision"] == "reject"
+        assert r["candidate_count"] == 0
