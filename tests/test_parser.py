@@ -145,3 +145,30 @@ class TestMatchOneExplain:
         r = idx.match_one("zzz qqq completely unrelated text 999999")
         assert r["decision"] == "reject"
         assert r["candidate_count"] == 0
+
+
+class TestParserStage:
+    def test_component_columns(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+
+        from ehdc_llpg_address_matching_ray.stages.parse import parse_components
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "src_id": ["a", "b"],
+                    "raw_address": [
+                        "168 Station Road, Liss, GU33 7AA",
+                        "Land at Mill Lane, Liss",
+                    ],
+                }
+            )
+        )
+        out = parse_components(ds, concurrency=(1, 2)).to_pandas().set_index("src_id")
+        assert out.loc["a", "parsed_house_number"] == "168"
+        assert out.loc["a", "parsed_street"] == "STATION ROAD"
+        assert out.loc["a", "parsed_postcode"] == "GU33 7AA"
+        assert out.loc["a", "parsed_valid_for_matching"]
+        assert out.loc["a", "parsed_street_key"] == "STATION ROAD"
+        assert not out.loc["b", "parsed_house_number"]
