@@ -103,6 +103,9 @@ class PipelineConfig:
     tiers: MatchTiers = field(default_factory=MatchTiers)
     blocking: BlockingConfig = field(default_factory=BlockingConfig)
     symspell: SymSpellConfig = field(default_factory=SymSpellConfig)
+    # P3 selector: "production" (P2 blend, the primary) or "alt" (the
+    # engine package's alternative fuzzy blend, fuzzy.go:287-331)
+    score_formula: str = "production"
     score_batch_size: int = 16384
     normalize_batch_size: int = 4096
     max_cluster_iters: int = 25   # label-prop fixpoint bound (O(log n) typical)

@@ -220,11 +220,17 @@ def score_features_alt(features: dict, spatial_boost: float = 0.0, status_live: 
     trgm = features.get("trigram_similarity", 0.0)
     score = 0.50 * trgm
     score += 0.40 * features.get("jaro_similarity", 0.0)
-    score += 0.05 * features.get("locality_overlap", 0.0)
-    score += 0.05 * features.get("street_overlap", 0.0)
-    if features.get("same_house_number"):
+    # Accept both the compute_pair_features key names (the engine path)
+    # and the short fuzzy.go-style aliases (unit-test / ad-hoc dicts)
+    score += 0.05 * features.get(
+        "locality_overlap_ratio", features.get("locality_overlap", 0.0)
+    )
+    score += 0.05 * features.get(
+        "street_overlap_ratio", features.get("street_overlap", 0.0)
+    )
+    if features.get("has_same_house_num", features.get("same_house_number")):
         score += 0.08
-    if features.get("same_house_alpha"):
+    if features.get("has_same_house_alpha", features.get("same_house_alpha")):
         score += 0.02
     phonetic_hits = features.get("phonetic_hits", 0)
     if phonetic_hits > 0:

@@ -231,6 +231,7 @@ def _run_linkage_inner(
         pairs,
         idf_ref=idf_ref,
         n_docs=n_docs,
+        prod=SC.ProductionWeights(formula=cfg.score_formula),
         concurrency=conc_score,
         batch_size=cfg.score_batch_size,
         payload_ref=payload_ref,

@@ -56,6 +56,13 @@ class ProductionWeights:
     # False = the byte-wise ported kernel (functions/strings.py), which
     # remains the reference-parity oracle either way.
     native_jw: bool = True
+    # P3 — scoring formula selector (internal/engine/fuzzy.go:287-331):
+    # "production" = the P2 linear blend above (the documented primary,
+    # ADDRESS_MATCHING_ALGORITHM.md:208-223); "alt" = the engine package's
+    # alternative fuzzy blend (functions.features.score_features_alt),
+    # evaluated on the full per-pair feature set.  The house-number veto
+    # applies under both formulas.
+    formula: str = "production"
 
 
 def fit_idf(token_doc_freqs: dict[str, int], n_docs: int) -> dict[str, float]:
@@ -304,7 +311,20 @@ class PairScorer:
             )
 
         w = self.prod
-        score = w.jaro_winkler * jw + w.token_set * ts + w.tfidf_cosine * tf
+        if w.formula == "alt":
+            # P3 alternative fuzzy blend: needs the full feature set per
+            # pair (trigram, phonetics, house/street components), so this
+            # path pays the per-pair feature computation — it is the
+            # parity/experimentation engine, not the throughput path
+            score = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                feats = F.compute_pair_features(
+                    text_a[i], can_a[i], can_a[i].split(" ") if can_a[i] else [],
+                    text_b[i], can_b[i], can_b[i].split(" ") if can_b[i] else [],
+                )
+                score[i] = F.score_features_alt(feats)
+        else:
+            score = w.jaro_winkler * jw + w.token_set * ts + w.tfidf_cosine * tf
         is_edge = (score >= w.edge_threshold) & ~veto
 
         cols: dict = {

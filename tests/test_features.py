@@ -259,3 +259,69 @@ class TestMediumTierParity:
                 medium_hits += 1
         # the random pool must actually exercise the medium tier
         assert medium_hits > 0
+
+
+class TestAltFormulaEnginePath:
+    def test_pair_scorer_alt_formula_parity(self):
+        """P3 wired as an engine option: PairScorer(formula='alt') must score
+        each pair exactly as score_features_alt(compute_pair_features(...)),
+        with the house-number veto still applied to edge selection."""
+        import pyarrow as pa
+
+        from ehdc_llpg_address_matching_ray.functions import normalize as N
+        from ehdc_llpg_address_matching_ray.stages.scoring import (
+            PairScorer,
+            ProductionWeights,
+        )
+
+        raws = [
+            ("12 High Street, Alton", "12 HIGH ST ALTON"),
+            ("14 High Street, Alton", "12 High Street, Alton"),  # veto pair
+            ("The Old Barn, Selborne Road", "Old Barn Selbourne Rd"),
+            ("Flat 2, 7 Mill Lane", "7 Mill Lane Flat 2"),
+        ]
+        text_a = [a for a, _ in raws]
+        text_b = [b for _, b in raws]
+        can_a = [N.canonical_address(t)[0] for t in text_a]
+        can_b = [N.canonical_address(t)[0] for t in text_b]
+        batch = pa.table(
+            {
+                "url_a": [f"a{i}" for i in range(len(raws))],
+                "url_b": [f"b{i}" for i in range(len(raws))],
+                "text_a": text_a,
+                "text_b": text_b,
+                "canonical_a": can_a,
+                "canonical_b": can_b,
+            }
+        )
+        alt = PairScorer(prod=ProductionWeights(formula="alt"))
+        out = alt(batch)
+        scores = out["score"].to_pylist()
+        for i in range(len(raws)):
+            feats = F.compute_pair_features(
+                text_a[i],
+                can_a[i],
+                can_a[i].split(" ") if can_a[i] else [],
+                text_b[i],
+                can_b[i],
+                can_b[i].split(" ") if can_b[i] else [],
+            )
+            assert abs(scores[i] - F.score_features_alt(feats)) < 1e-12
+        # full-feature terms must contribute (locality/street/house keys
+        # spelled as compute_pair_features emits them)
+        f0 = F.compute_pair_features(
+            text_a[0], can_a[0], can_a[0].split(" "), text_b[0], can_b[0], can_b[0].split(" ")
+        )
+        assert f0["has_same_house_num"]
+        assert F.score_features_alt(f0) > 0.5 * f0["trigram_similarity"] + 0.4 * f0["jaro_similarity"]
+        # veto pair: different house numbers -> not an edge even under alt
+        veto = out["house_veto"].to_pylist()
+        is_edge = out["is_edge"].to_pylist()
+        assert veto[1] and not is_edge[1]
+
+    def test_config_formula_flows_to_weights(self):
+        from ehdc_llpg_address_matching_ray.config import PipelineConfig
+        from ehdc_llpg_address_matching_ray.stages.scoring import ProductionWeights
+
+        cfg = PipelineConfig(score_formula="alt")
+        assert ProductionWeights(formula=cfg.score_formula).formula == "alt"
