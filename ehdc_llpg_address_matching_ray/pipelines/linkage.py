@@ -139,6 +139,11 @@ def _run_linkage_inner(
         round-trip of the stage's data."""
         if checkpoint_dir is None:
             out = ds.materialize() if pin else ds
+            if _trace and pin:
+                try:
+                    print(f"[stage-rows] {name}: {out.count()}", flush=True)
+                except Exception:
+                    pass
             _mark(name)
             return out
         out = checkpoint(
@@ -158,10 +163,12 @@ def _run_linkage_inner(
     token_df, n_docs = CR.fit_token_df(
         normalized, sample_fraction=idf_sample_fraction, seed=cfg.blocking.seed
     )
+    _mark("01a_fit_token_df[driver]")
     P = default_partitions(n_docs)
     if cfg.symspell.enabled:
         sym = CR.build_symspell(token_df, cfg.symspell)
         sym_ref = ray.put(sym)
+        _mark("01a2_symspell_build[driver]")
         normalized = CR.apply_symspell(
             normalized, sym_ref, cfg.symspell,
             concurrency=conc, batch_size=cfg.normalize_batch_size,
@@ -178,6 +185,7 @@ def _run_linkage_inner(
 
     idf = SC.fit_idf(dict(token_df), n_docs)
     idf_ref = ray.put(idf)
+    _mark("01c_df_remap_idf[driver]")
 
     if n_docs == 1 and normalized.count() == 0:
         # degenerate empty corpus: the hash-shuffle joins/groupbys
@@ -196,25 +204,20 @@ def _run_linkage_inner(
     broadcast = n_docs <= cfg.broadcast_payload_max
     payload_ref = None
     if broadcast:
-        # small-side broadcast (ray.put once, read once per actor): the
-        # pair table stays narrow and the two payload-join shuffles
-        # disappear; above the ROW threshold we hash-join instead, and
-        # the build also aborts on a cumulative BYTE budget (row count is
-        # the wrong gate for long documents)
-        lut: dict[str, tuple[str, str]] = {}
-        lut_bytes = 0
-        for b in reps_slim.iter_batches(batch_size=8192, batch_format="pyarrow"):
-            for u, t, c in zip(
-                b["url"].to_pylist(), b["text"].to_pylist(), b["canonical"].to_pylist()
-            ):
-                lut[u] = (t, c)
-                lut_bytes += len(u) + len(t or "") + len(c or "")
-            if lut_bytes > cfg.broadcast_payload_max_bytes:
-                lut = {}
-                broadcast = False
-                break
-        if broadcast:
-            payload_ref = ray.put(lut)
+        # small-side broadcast: the pair table stays narrow and the two
+        # payload-join shuffles disappear.  The driver ships the
+        # MATERIALIZED Arrow block refs (no O(n) driver pass, no pickle
+        # of a Python dict — blocks are already in the object store);
+        # each scorer actor ray.gets the blocks zero-copy and builds its
+        # lookup once in __init__.  Row gate above, BYTE gate from block
+        # metadata (row count is the wrong gate for long documents);
+        # above either budget we hash-join instead.
+        reps_slim = reps_slim.materialize()
+        if reps_slim.size_bytes() > cfg.broadcast_payload_max_bytes:
+            broadcast = False
+        else:
+            payload_ref = reps_slim.to_arrow_refs()
+    _mark("02b_payload_lut[driver]")
     pairs = B.build_blocks(
         reps_slim, cfg.blocking, concurrency=conc_emit, num_partitions=wide_partitions(n_docs),
         attach_payload=not broadcast,
@@ -325,8 +328,11 @@ def build_fact(
         lambda b: pa.table({"rep_url": b["url"], "cluster_id": b["cluster_id"]}),
         batch_format="pyarrow",
     )
-    base = membership.select_columns(["url", "canonical", "text_hash", "rep_url"]).join(
-        rc, join_type="inner", num_partitions=num_partitions, on=("rep_url",)
+    from ..rayutil import engine_join
+
+    base = engine_join(
+        membership.select_columns(["url", "canonical", "text_hash", "rep_url"]),
+        rc, ("rep_url",), how="inner", num_partitions=num_partitions,
     )
 
     dec = decisions.map_batches(
@@ -339,8 +345,8 @@ def build_fact(
         ),
         batch_format="pyarrow",
     )
-    base = base.join(
-        dec, join_type="left_outer", num_partitions=num_partitions, on=("rep_url",)
+    base = engine_join(
+        base, dec, ("rep_url",), how="left_outer", num_partitions=num_partitions
     ).materialize()
 
     # cluster stats via keyed repartition + C-speed pandas (cluster count
@@ -365,7 +371,7 @@ def build_fact(
         ),
         batch_format="pyarrow",
     )
-    base = base.join(stats, join_type="inner", num_partitions=num_partitions, on=("cluster_id",))
+    base = engine_join(base, stats, ("cluster_id",), how="inner", num_partitions=num_partitions)
 
     def finalize(b: pa.Table) -> pa.Table:
         decision = pc.coalesce(b["decision"], "no_candidates")

@@ -62,6 +62,196 @@ def hash_shuffle():
         ctx.shuffle_strategy = prev
 
 
+def _exchange_mode() -> str:
+    """Keyed-exchange implementation: ``tasks`` (default) = raw-task
+    map-reduce shuffle; ``packed`` = Arrow-IPC blobs through Ray Data's
+    hash shuffle.  RAY_GRAFT_EXCHANGE overrides."""
+    import os as _os
+
+    return _os.environ.get("RAY_GRAFT_EXCHANGE", "tasks")
+
+
+def _hash_partition_block(block, key_list: list[str], P: int):
+    """Vectorized partition assignment for one Arrow block: polars
+    ``hash_rows`` (xxhash — deterministic across processes) % P, rows
+    stably reordered so each partition is one contiguous slice."""
+    import numpy as np
+    import polars as pl
+    import pyarrow as pa
+
+    n = block.num_rows
+    if n == 0:
+        return [block] * 0, None
+    h = pl.from_arrow(block.select(key_list)).hash_rows(seed=0).to_numpy()
+    parts = (h % np.uint64(P)).astype(np.int64)
+    order = np.argsort(parts, kind="stable")
+    bounds = np.searchsorted(parts[order], np.arange(P + 1))
+    ordered = block.take(pa.array(order))
+    return ordered, bounds
+
+
+def _task_pack(block, key_list: list[str], P: int):
+    ordered, bounds = _hash_partition_block(block, key_list, P)
+    if bounds is None:
+        out = [block.slice(0, 0)] * P
+    else:
+        out = [ordered.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(P)]
+    return out[0] if P == 1 else tuple(out)
+
+
+def _task_merge(key_list: list[str], sort: bool, *parts):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    tables = [t for t in parts if t.num_rows]
+    if not tables:
+        return parts[0].slice(0, 0)
+    out = pa.concat_tables(tables)
+    if sort:
+        idx = pc.sort_indices(
+            out.select(key_list), sort_keys=[(k, "ascending") for k in key_list]
+        )
+        out = out.take(idx)
+    return out
+
+
+def _partition_by_key_tasks(
+    ds: rd.Dataset, key_list: list[str], num_partitions: int, sort: bool
+) -> rd.Dataset:
+    """Raw-task map-reduce exchange (the classic Ray shuffle): one pack
+    task per input block returning ``P`` slice objects, one merge task
+    per partition.  Tasks run on Ray's long-lived warm workers — unlike
+    Ray Data's hash-shuffle operator, which spawns a fresh aggregator
+    ACTOR (process + package import) per partition per shuffle op: with
+    several keyed exchanges per pipeline those spawns were the dominant
+    width-independent floor.  The driver coordinates only O(blocks × P)
+    object refs — metadata, never data.
+
+    Scale note: object count is blocks × P.  At multi-node 100-TB scale
+    prefer ``RAY_GRAFT_EXCHANGE=packed`` (streaming hash shuffle with
+    IPC-packed rows) once blocks × P approaches object-store metadata
+    limits; the semantics and hash function are identical.
+    """
+    import ray
+
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    P = num_partitions
+    if not refs or P <= 0:
+        return mat
+    pack = ray.remote(_task_pack)
+    merge = ray.remote(_task_merge)
+    if P == 1:
+        outs = [merge.remote(key_list, sort, *[pack.remote(r, key_list, 1) for r in refs])]
+    else:
+        packs = [
+            pack.options(num_returns=P).remote(r, key_list, P) for r in refs
+        ]
+        outs = [
+            merge.remote(key_list, sort, *[packs[i][p] for i in range(len(refs))])
+            for p in range(P)
+        ]
+    return rd.from_arrow_refs(outs)
+
+
+def _task_join_merge(on: list[str], how: str, n_left: int, *parts):
+    """Join one co-partition: concat the left / right slices and join
+    vectorized via polars (single-threaded; parallelism is one task per
+    partition).  Empty sides still produce the correct joined schema."""
+    import polars as pl
+    import pyarrow as pa
+
+    def _side(side_parts):
+        live = [t for t in side_parts if t.num_rows]
+        if live:
+            return pa.concat_tables(live)
+        # all-empty partition: prefer a typed empty (blocks emitted by
+        # empty map outputs can be SCHEMALESS pa.table({}) — useless as
+        # a schema carrier)
+        for t in side_parts:
+            if t.num_columns:
+                return t.slice(0, 0)
+        return side_parts[0]
+
+    left = _side(parts[:n_left])
+    right = _side(parts[n_left:])
+    if left.num_columns == 0 or right.num_columns == 0:
+        # a schemaless side cannot be joined; inner/anti semantics give
+        # the only sensible typed results
+        return left if how == "anti" else left.slice(0, 0)
+    how_pl = {"inner": "inner", "left_outer": "left", "anti": "anti"}[how]
+    out = pl.from_arrow(left).join(pl.from_arrow(right), on=on, how=how_pl).to_arrow()
+    # cast back to the input Arrow types: the polars roundtrip rewrites
+    # string -> large_string, which breaks type-strict downstream
+    # consumers (acero joins refuse mixed string/large_string keys)
+    types = {f.name: f.type for f in right.schema}
+    types.update({f.name: f.type for f in left.schema})
+    cols = []
+    fields = []
+    for name in out.column_names:
+        col = out[name]
+        want = types.get(name)
+        if want is not None and col.type != want:
+            col = col.cast(want)
+        cols.append(col)
+        fields.append(pa.field(name, col.type))
+    return pa.Table.from_arrays([c.combine_chunks() for c in cols], schema=pa.schema(fields))
+
+
+def task_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: tuple | list,
+    how: str = "inner",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Distributed hash join as raw tasks on warm workers: co-partition
+    both sides with the same xxhash (one pack task per block), then one
+    polars join task per partition.  Replaces ``Dataset.join`` where the
+    join sits on the pipeline's critical path: Ray 2.49's join operator
+    spawns a fresh aggregator-actor pool per op (width-independent
+    process-spawn floor) and partitions rows with a per-row Python hash
+    loop.  Join keys must share names on both sides (rename first).
+
+    ``how``: inner | left_outer | anti (anti = rows of ``left`` with no
+    key match in ``right`` — the J10 pattern).  Same scale note as
+    _partition_by_key_tasks: object count is blocks × P.
+    """
+    import ray
+
+    on = list(on)
+    P = max(1, num_partitions)
+    lrefs = left.materialize().to_arrow_refs()
+    rrefs = right.materialize().to_arrow_refs()
+    pack = ray.remote(_task_pack)
+    join = ray.remote(_task_join_merge)
+    if not lrefs or not rrefs:
+        # a side with ZERO blocks (not even a typed empty) can't convey
+        # its schema to the join tasks
+        if how == "anti":
+            return left  # empty right excludes nothing; empty left is empty
+        ensure_hash_shuffle()
+        return left.join(right, join_type=how, num_partitions=P, on=tuple(on))
+    if P == 1:
+        lcol = [pack.remote(r, on, 1) for r in lrefs]
+        rcol = [pack.remote(r, on, 1) for r in rrefs]
+        outs = [join.remote(on, how, len(lcol), *lcol, *rcol)]
+    else:
+        lp = [pack.options(num_returns=P).remote(r, on, P) for r in lrefs]
+        rp = [pack.options(num_returns=P).remote(r, on, P) for r in rrefs]
+        outs = [
+            join.remote(
+                on,
+                how,
+                len(lrefs),
+                *[lp[i][p] for i in range(len(lrefs))],
+                *[rp[j][p] for j in range(len(rrefs))],
+            )
+            for p in range(P)
+        ]
+    return rd.from_arrow_refs(outs)
+
+
 def partition_by_key(
     ds: rd.Dataset, keys: list[str], num_partitions: int, sort: bool = True
 ) -> rd.Dataset:
@@ -69,18 +259,26 @@ def partition_by_key(
     sorted by the keys within each block — the substrate for vectorized
     per-run group processing via ``map_batches(fn, batch_size=None)``.
 
-    Implemented as a PACKED exchange rather than a bare
-    ``repartition(keys=...)``: Ray 2.49's hash shuffle assigns partitions
-    with a pure-Python ``hash(tuple(row))`` loop
-    (ray/data/_internal/arrow_ops/transform_pyarrow.py:70, measured
-    ~300k rows/s — a flat, width-independent tax on every keyed shuffle).
-    Here each input block is partitioned VECTORIZED (polars ``hash_rows``,
-    an xxhash — deterministic across processes) and each (block,
-    partition) slice ships as ONE Arrow-IPC blob row, so Ray's per-row
-    loop only ever sees blocks×partitions rows.  Every block emits a row
-    for EVERY partition (zero-row slices included) so no partition is
-    ever empty or schemaless downstream.
+    Two implementations (same xxhash partition function, identical
+    output partitioning):
+
+    - ``tasks`` (default): raw-task map-reduce exchange on warm workers
+      (_partition_by_key_tasks) — no aggregator-actor spawns, no per-row
+      Python hashing.
+    - ``packed``: Arrow-IPC blobs through Ray Data's streaming hash
+      shuffle.  Ray 2.49's hash shuffle assigns partitions with a
+      pure-Python ``hash(tuple(row))`` loop
+      (ray/data/_internal/arrow_ops/transform_pyarrow.py:70, measured
+      ~300k rows/s — a flat, width-independent tax on every keyed
+      shuffle), so each input block is partitioned VECTORIZED (polars
+      ``hash_rows``) and each (block, partition) slice ships as ONE
+      IPC blob row; Ray's per-row loop only ever sees
+      blocks×partitions rows.  Every block emits a row for EVERY
+      partition (zero-row slices included) so no partition is ever
+      empty or schemaless downstream.
     """
+    if _exchange_mode() == "tasks":
+        return _partition_by_key_tasks(ds, list(keys), num_partitions, sort)
     ensure_hash_shuffle()
     import numpy as np
     import pyarrow as pa
@@ -148,6 +346,23 @@ def partition_by_key(
     return shuffled.map_batches(unpack, batch_format="pyarrow", batch_size=None)
 
 
+def engine_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    on: tuple | list,
+    how: str = "inner",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """Join dispatch: task-based hash join (default) or Ray Data's
+    native join operator (``RAY_GRAFT_JOIN=native``)."""
+    import os as _os
+
+    if _os.environ.get("RAY_GRAFT_JOIN", "tasks") == "tasks":
+        return task_join(left, right, on, how=how, num_partitions=num_partitions)
+    ensure_hash_shuffle()
+    return left.join(right, join_type=how, num_partitions=num_partitions, on=tuple(on))
+
+
 def anti_join(
     left: rd.Dataset,
     right: rd.Dataset,
@@ -162,14 +377,23 @@ def anti_join(
     null filter, NOT a driver-side id set (which would materialize every
     matched id on the driver and rescan batches in Python at scale).
 
-    ``right`` must be unique on ``right_key`` (or left rows duplicate).
-    The marks side is repartitioned to <= its row count so no block is
-    empty (Ray 2.49 hash-join breaks when a join input's first block is
-    empty).
+    ``right`` must be unique on ``right_key`` (or left rows duplicate)
+    under the native path; the task-join path tolerates duplicates (a
+    true hash anti-join).  The marks side is repartitioned to <= its row
+    count so no block is empty (Ray 2.49 hash-join breaks when a join
+    input's first block is empty).
     """
+    import os as _os
+
     import pyarrow as pa
 
     right_key = right_key or key
+    if _os.environ.get("RAY_GRAFT_JOIN", "tasks") == "tasks":
+        keys_only = right.map_batches(
+            lambda b, rk=right_key, k=key: pa.table({k: b[rk]}),
+            batch_format="pyarrow",
+        )
+        return task_join(left, keys_only, [key], how="anti", num_partitions=num_partitions)
     n = right_rows if right_rows is not None else right.count()
     if n == 0:
         return left
@@ -193,6 +417,52 @@ def anti_join(
         return out.drop_columns(["__aj_hit"])
 
     return joined.map_batches(keep_misses, batch_format="pyarrow")
+
+
+_TASK_STATE: dict[str, tuple[str, object]] = {}
+
+
+def worker_cached(stage: str, token: str, build):
+    """Per-worker-process single-slot state cache for TASK-based stateful
+    map_batches stages.
+
+    Actor pools pay a fresh process spawn + package import per actor per
+    stage (~2-4 s of pool-startup floor per stage, width-independent —
+    the dominant fixed cost in the linkage DAG).  Plain map_batches
+    TASKS instead run on Ray's long-lived worker processes, which are
+    already warm from earlier stages; this cache gives tasks the same
+    build-once-per-process semantics an actor's ``__init__`` provides:
+    the first task on a worker builds the state (resolving any broadcast
+    ObjectRefs from the LOCAL object store), subsequent tasks reuse it.
+
+    ``token`` fingerprints the state's inputs (object-ref hex + config
+    repr); one slot per stage name, so a new run's state evicts the old
+    (bounded memory), while coexisting stages don't evict each other.
+    """
+    cur = _TASK_STATE.get(stage)
+    if cur is None or cur[0] != token:
+        cur = (token, build())
+        _TASK_STATE[stage] = cur
+    return cur[1]
+
+
+def ref_token(*parts) -> str:
+    """Stable fingerprint for worker_cached: ObjectRefs by hex, lists
+    element-wise, everything else by repr."""
+    out = []
+    try:
+        import ray
+
+        for p in parts:
+            if isinstance(p, ray.ObjectRef):
+                out.append(p.hex())
+            elif isinstance(p, list) and p and isinstance(p[0], ray.ObjectRef):
+                out.append(",".join(r.hex() for r in p))
+            else:
+                out.append(repr(p))
+    except Exception:
+        out = [repr(p) for p in parts]
+    return "|".join(out)
 
 
 def cluster_cpus(default: int = 8) -> int:

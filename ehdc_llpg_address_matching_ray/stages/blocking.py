@@ -220,12 +220,19 @@ def build_blocks(
 
     The band shuffle moves ONLY integer keys + url either way.
     """
+    from ..rayutil import ref_token, worker_cached
+
+    _tok = ref_token(cfg)
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        # task-based stateful stage: the seeded permutation matrices are
+        # built once per (warm, reused) worker process instead of once
+        # per freshly-spawned pool actor — no pool-startup floor
+        emitter = worker_cached("band_key_emitter", _tok, lambda: BandKeyEmitter(cfg))
+        return emitter(batch)
+
     keyed = reps_ds.select_columns(["url", "canonical"]).map_batches(
-        BandKeyEmitter,
-        fn_constructor_args=(cfg,),
-        batch_format="pyarrow",
-        concurrency=concurrency or (1, 8),
-        batch_size=4096,
+        _emit, batch_format="pyarrow", batch_size=4096
     )
     part = partition_by_key(keyed, ["block_key"], num_partitions, sort=False)
     pairs = part.map_batches(

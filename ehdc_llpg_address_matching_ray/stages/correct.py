@@ -30,6 +30,10 @@ from ..config import SymSpellConfig
 from ..functions import symspell as SS
 from ..functions import textstats as TS
 
+# token-column sentinel carrying each block's distinct-doc count in the
+# distributed df fit (no canonical token can contain a NUL byte)
+_DOCS_SENTINEL = "\x00docs\x00"
+
 
 def fit_token_df(
     normalized_ds: rd.Dataset,
@@ -37,6 +41,7 @@ def fit_token_df(
     max_vocab: int = 200_000,
     seed: int = 42,
     auto_sample_docs: int = 2_000_000,
+    distributed_threshold: int = 100_000,
 ) -> tuple[Counter, int]:
     """One driver pass over (a sample of) the normalized canonical texts,
     deduplicated by text_hash: token document frequencies + doc count.
@@ -51,6 +56,7 @@ def fit_token_df(
     is further capped at ``max_vocab``).
     """
     ds = normalized_ds.select_columns(["canonical", "text_hash"])
+    n_rows = None
     if sample_fraction >= 1.0:
         try:
             n_rows = normalized_ds.count()
@@ -60,19 +66,60 @@ def fit_token_df(
             sample_fraction = auto_sample_docs / n_rows
     if sample_fraction < 1.0:
         ds = ds.random_sample(sample_fraction, seed=seed)
+
     df: Counter = Counter()
-    seen: set[str] = set()
     n_docs = 0
-    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        texts = batch["canonical"].to_pylist()
-        hashes = batch["text_hash"].to_pylist()
-        for t, h in zip(texts, hashes):
-            if h in seen:
-                continue
-            seen.add(h)
-            n_docs += 1
-            if t:
-                df.update(set(t.split(" ")))
+    if n_rows is not None and n_rows > distributed_threshold:
+        # Distributed partial fit: each block counts its own token dfs
+        # (deduplicating by text_hash WITHIN the block) and emits a
+        # vocab-sized (token, df) table plus a doc-count sentinel; the
+        # driver merges only these bounded partials — O(vocab x blocks),
+        # never O(corpus).  Exact-duplicate texts split across blocks
+        # count once per block, inflating n_docs and their tokens' dfs by
+        # the same factor, so idf = log(n/df) shifts only to second
+        # order; below the threshold the driver path keeps the exact
+        # globally-deduplicated semantics (and all small-corpus results
+        # byte-stable).
+        def _block_df(b: pa.Table) -> pa.Table:
+            texts = b["canonical"].to_pylist()
+            hashes = b["text_hash"].to_pylist()
+            seen: set[str] = set()
+            bdf: Counter = Counter()
+            n = 0
+            for t, h in zip(texts, hashes):
+                if h in seen:
+                    continue
+                seen.add(h)
+                n += 1
+                if t:
+                    bdf.update(set(t.split(" ")))
+            bdf.pop(_DOCS_SENTINEL, None)
+            toks = list(bdf.keys())
+            return pa.table(
+                {
+                    "token": pa.array(toks + [_DOCS_SENTINEL], pa.string()),
+                    "df": pa.array([bdf[t] for t in toks] + [0], pa.int64()),
+                    "docs": pa.array([0] * len(toks) + [n], pa.int64()),
+                }
+            )
+
+        partials = ds.map_batches(_block_df, batch_format="pyarrow", batch_size=None)
+        pdf = partials.to_pandas()
+        is_sent = pdf["token"] == _DOCS_SENTINEL
+        n_docs = int(pdf.loc[is_sent, "docs"].sum())
+        df = Counter(pdf[~is_sent].groupby("token", sort=False)["df"].sum().to_dict())
+    else:
+        seen_all: set[str] = set()
+        for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            texts = batch["canonical"].to_pylist()
+            hashes = batch["text_hash"].to_pylist()
+            for t, h in zip(texts, hashes):
+                if h in seen_all:
+                    continue
+                seen_all.add(h)
+                n_docs += 1
+                if t:
+                    df.update(set(t.split(" ")))
     if len(df) > max_vocab:
         df = Counter(dict(df.most_common(max_vocab)))
     return df, max(1, n_docs)
@@ -148,11 +195,18 @@ def apply_symspell(
     concurrency=(1, 8),
     batch_size: int = 4096,
 ) -> rd.Dataset:
-    """normalized -> corrected-normalized (same schema, canonical rewritten)."""
+    """normalized -> corrected-normalized (same schema, canonical
+    rewritten).  Task-based: the broadcast dictionary ref resolves from
+    the local object store once per warm worker (rayutil.worker_cached)
+    instead of once per freshly-spawned pool actor."""
+    from ..rayutil import ref_token, worker_cached
+
+    _tok = ref_token(sym_ref, cfg)
+
+    def _correct(batch: pa.Table) -> pa.Table:
+        stage = worker_cached("symspell", _tok, lambda: SymSpellStage(sym_ref, cfg))
+        return stage(batch)
+
     return normalized_ds.map_batches(
-        SymSpellStage,
-        fn_constructor_args=(sym_ref, cfg),
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
+        _correct, batch_format="pyarrow", batch_size=batch_size
     )

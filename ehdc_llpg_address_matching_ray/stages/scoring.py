@@ -164,6 +164,21 @@ class PairScorer:
                 idf = ray.get(idf)
             if payload is not None and isinstance(payload, ray.ObjectRef):
                 payload = ray.get(payload)
+            if isinstance(payload, list) and payload and isinstance(payload[0], ray.ObjectRef):
+                # broadcast as materialized Arrow block refs (url, text,
+                # canonical): zero-copy reads from the object store; the
+                # per-actor dict build replaces a driver-side O(n) pass
+                tables = [tb for tb in ray.get(payload) if tb.num_rows]
+                if tables:
+                    t = pa.concat_tables(tables)
+                    payload = dict(
+                        zip(
+                            t["url"].to_pylist(),
+                            zip(t["text"].to_pylist(), t["canonical"].to_pylist()),
+                        )
+                    )
+                else:
+                    payload = {}
         except Exception:
             pass
         # broadcast url -> (text, canonical) lookup (resolved ONCE per
@@ -370,18 +385,43 @@ def score_pairs(
     concurrency=(1, 8),
     batch_size: int = 8192,
     payload_ref=None,
+    task_based: bool = True,
 ):
-    """pairs Dataset -> scored-pairs Dataset via the actor pool.
+    """pairs Dataset -> scored-pairs Dataset.
 
     The pair table arrives in one block per shuffle partition (8 by
     default); map_batches hands one BLOCK per task, so without resplitting
-    the actor pool would be capped at 8 concurrent tasks regardless of
+    parallelism would be capped at 8 concurrent tasks regardless of
     cluster size (measured: 81 s vs 27 s on 32 CPUs).  Split to
-    batch-sized blocks first — a metadata-only operation, no shuffle."""
-    # block = 4 batches: each actor task processes one BLOCK (slicing it
-    # into batch_size calls internally), so block size trades per-task
-    # dispatch overhead against pool load balance; 4x keeps tasks ~2-3s
+    batch-sized blocks first — a metadata-only operation, no shuffle.
+
+    ``task_based=True`` (default) runs the scorer as plain map_batches
+    TASKS with the per-worker state cache (rayutil.worker_cached): warm
+    worker processes skip the actor pool's spawn+import floor, and the
+    broadcast idf/payload refs resolve from the local object store once
+    per worker.  ``task_based=False`` keeps the actor-pool path (an
+    explicit pool with sized reservations — the right choice when the
+    stage must coexist with other heavy pools)."""
+    # block = 4 batches: each task processes one BLOCK (slicing it into
+    # batch_size calls internally), so block size trades per-task
+    # dispatch overhead against load balance; 4x keeps tasks ~2-3s
     pairs_ds = pairs_ds.repartition(target_num_rows_per_block=batch_size * 4)
+    if task_based:
+        from ..rayutil import ref_token, worker_cached
+
+        token = ref_token(idf_ref, payload_ref, prod, n_docs, fidelity)
+
+        def _score(batch: pa.Table) -> pa.Table:
+            scorer = worker_cached(
+                "pair_scorer",
+                token,
+                lambda: PairScorer(
+                    idf=idf_ref, n_docs=n_docs, prod=prod, fidelity=fidelity, payload=payload_ref
+                ),
+            )
+            return scorer(batch)
+
+        return pairs_ds.map_batches(_score, batch_format="pyarrow", batch_size=batch_size)
     # fractional CPU per actor: the pool coexists with its feeder tasks
     # (pair enumeration, streaming repartition) and shuffle aggregators;
     # full-CPU actors at the cap would reserve the whole cluster and
