@@ -59,7 +59,11 @@ def _consume(res) -> int:
 def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     import ray
 
-    _pin_kernel_threads()
+    # NO kernel-thread pinning here: pinning exists solely to keep the
+    # --scaling measurement honest (kernel pools leak past num_cpus and
+    # inflate the narrow width).  The headline bench wants full speed —
+    # Arrow parquet decode and polars kernels legitimately parallelize
+    # (measured: pinning costs ~5s PER QUERY on single-file reads).
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     from ehdc_llpg_address_matching_ray.pipelines import queries as Q
