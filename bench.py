@@ -105,6 +105,18 @@ def _pin_kernel_threads() -> None:
     os.environ.setdefault("ARROW_IO_THREADS", "2")
 
 
+def _steal_cs() -> int:
+    """Cumulative hypervisor steal time (centiseconds) across all CPUs —
+    this sandbox VM shares a host, and co-tenant bursts inflate wall
+    times 2-4x.  Each --single run reports its steal delta so the
+    scaling protocol can flag/retry polluted measurements."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except Exception:
+        return 0
+
+
 def run_single(sf_dir: str, num_cpus: int) -> dict:
     """One flagship linkage run over the seeded scaling corpus (used by
     --scaling subprocesses).
@@ -126,12 +138,21 @@ def run_single(sf_dir: str, num_cpus: int) -> dict:
 
     d = write_corpus(SCALING_CORPUS, n_entities=SCALING_ENTITIES, seed=42, shards=32)
     pages = rd.read_parquet(os.path.join(d, "pages"))
+    s0 = _steal_cs()
     t0 = time.time()
     out = run_linkage(pages, PipelineConfig(), from_html=True)
     n = out["fact"].count()
     el = time.time() - t0
     ray.shutdown()
-    return {"rows": n, "sec": round(el, 3), "num_cpus": num_cpus}
+    # steal fraction: stolen core-seconds / (wall x ALL host cores) —
+    # >2-3% means a co-tenant burst polluted this run
+    steal_frac = (_steal_cs() - s0) / 100.0 / max(el * (os.cpu_count() or 32), 1e-9)
+    return {
+        "rows": n,
+        "sec": round(el, 3),
+        "num_cpus": num_cpus,
+        "steal_frac": round(steal_frac, 4),
+    }
 
 
 def run_scaling(sf_dir: str) -> dict:
@@ -144,24 +165,34 @@ def run_scaling(sf_dir: str) -> dict:
     import statistics
 
     runs: dict[int, list[float]] = {8: [], 32: []}
+    steals: dict[int, list[float]] = {8: [], 32: []}
     rows = 0
+    max_retries = int(os.environ.get("GRAFT_SCALING_MAX_RETRIES", "2"))
     for _ in range(SCALING_REPEATS):
         for cpus in (8, 32):
-            out = subprocess.run(
-                # taskset: bind the whole Ray session (raylet, workers,
-                # shuffle aggregators) to exactly `cpus` physical cores —
-                # Ray's num_cpus is scheduling arithmetic only, and
-                # unbound helper actors would burn all 32 cores, quietly
-                # inflating the narrow-width throughput
-                ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__, "--single", str(cpus)],
-                capture_output=True,
-                text=True,
-                env={**os.environ, "GRAFT_SF_DIR": sf_dir},
-                timeout=3600,
-            )
-            line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
-            r = json.loads(line)
+            for attempt in range(max_retries + 1):
+                out = subprocess.run(
+                    # taskset: bind the whole Ray session (raylet, workers,
+                    # shuffle aggregators) to exactly `cpus` physical cores —
+                    # Ray's num_cpus is scheduling arithmetic only, and
+                    # unbound helper actors would burn all 32 cores, quietly
+                    # inflating the narrow-width throughput
+                    ["taskset", "-c", f"0-{cpus - 1}", sys.executable, __file__, "--single", str(cpus)],
+                    capture_output=True,
+                    text=True,
+                    env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+                    timeout=3600,
+                )
+                line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+                r = json.loads(line)
+                # co-tenant bursts (steal >3% of all host cores for the
+                # run's duration) inflate wall time 2-4x and hit the wide
+                # width hardest — retry polluted runs, keep the last
+                # attempt regardless
+                if r.get("steal_frac", 0.0) <= 0.03 or attempt == max_retries:
+                    break
             runs[cpus].append(r["sec"])
+            steals[cpus].append(r.get("steal_frac", 0.0))
             rows = r["rows"]
     t8 = statistics.median(runs[8])
     t32 = statistics.median(runs[32])
@@ -178,6 +209,8 @@ def run_scaling(sf_dir: str) -> dict:
             "throughput_32cpu_rows_per_sec": round(thr32, 1),
             **{f"run{i}_8cpu_sec": v for i, v in enumerate(runs[8])},
             **{f"run{i}_32cpu_sec": v for i, v in enumerate(runs[32])},
+            **{f"run{i}_8cpu_steal": v for i, v in enumerate(steals[8])},
+            **{f"run{i}_32cpu_steal": v for i, v in enumerate(steals[32])},
         },
         "sf": sf_dir,
         "num_cpus": 32,
