@@ -83,7 +83,7 @@ def run_linkage(
     checkpoint_dir: str | None = None,
     resume: bool = True,
     idf_sample_fraction: float = 1.0,
-    cluster_driver_threshold: int = 2_000_000,
+    cluster_driver_threshold: int = 20_000_000,
 ) -> dict[str, rd.Dataset]:
     """Run the full linkage DAG; returns the named stage Datasets.
 

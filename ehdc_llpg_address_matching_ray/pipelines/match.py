@@ -365,7 +365,7 @@ def _run_match_inner(
         batch_format="pyarrow",
     )
     fuzzy_dec = partition_by_key(directed, ["src"], P, sort=False).map_batches(
-        lambda df: D.decide_partition(df, cfg.tiers), batch_format="pandas", batch_size=None
+        lambda b: D.decide_partition(b, cfg.tiers), batch_format="pyarrow", batch_size=None
     )
     fuzzy = fuzzy_dec.map_batches(
         lambda b: pa.table(

@@ -90,13 +90,32 @@ def _hash_partition_block(block, key_list: list[str], P: int):
     return ordered, bounds
 
 
-def _task_pack(block, key_list: list[str], P: int):
+def _task_pack(key_list: list[str], P: int, *blocks):
+    """Partition a GROUP of blocks (concatenated) into P contiguous
+    slices.  Grouping upstream blocks into one pack task is what bounds
+    the exchange's object count: refs = packs x P with packs ~ 2 x CPUs,
+    independent of how finely the producing stage blocked its output
+    (a map stage emitting thousands of small blocks would otherwise cost
+    thousands x P refs and melt driver scheduling — measured 43x
+    slowdown on a 100M-row exchange)."""
+    import pyarrow as pa
+
+    live = [b for b in blocks if b.num_rows]
+    if not live:
+        typed = next((b for b in blocks if b.num_columns), blocks[0])
+        out = [typed.slice(0, 0)] * P
+        return out[0] if P == 1 else tuple(out)
+    block = live[0] if len(live) == 1 else pa.concat_tables(live, promote_options="default")
     ordered, bounds = _hash_partition_block(block, key_list, P)
-    if bounds is None:
-        out = [block.slice(0, 0)] * P
-    else:
-        out = [ordered.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(P)]
+    out = [ordered.slice(bounds[p], bounds[p + 1] - bounds[p]) for p in range(P)]
     return out[0] if P == 1 else tuple(out)
+
+
+def _group_refs(refs: list, target_groups: int) -> list[list]:
+    """Chunk block refs into at most ``target_groups`` contiguous groups
+    (one pack task each)."""
+    k = max(1, -(-len(refs) // max(1, target_groups)))
+    return [refs[i : i + k] for i in range(0, len(refs), k)]
 
 
 def _task_merge(key_list: list[str], sort: bool, *parts):
@@ -127,10 +146,13 @@ def _partition_by_key_tasks(
     width-independent floor.  The driver coordinates only O(blocks × P)
     object refs — metadata, never data.
 
-    Scale note: object count is blocks × P.  At multi-node 100-TB scale
-    prefer ``RAY_GRAFT_EXCHANGE=packed`` (streaming hash shuffle with
-    IPC-packed rows) once blocks × P approaches object-store metadata
-    limits; the semantics and hash function are identical.
+    Scale note: object count is packs × P with packs capped at ~2 × CPUs
+    (input blocks are grouped per pack task), so the ref count stays
+    bounded no matter how finely the producer blocked its output.  At
+    multi-node 100-TB scale prefer ``RAY_GRAFT_EXCHANGE=packed``
+    (streaming hash shuffle with IPC-packed rows) once packs × P
+    approaches object-store metadata limits; the semantics and hash
+    function are identical.
     """
     import ray
 
@@ -141,14 +163,13 @@ def _partition_by_key_tasks(
         return mat
     pack = ray.remote(_task_pack)
     merge = ray.remote(_task_merge)
+    groups = _group_refs(refs, 2 * cluster_cpus())
     if P == 1:
-        outs = [merge.remote(key_list, sort, *[pack.remote(r, key_list, 1) for r in refs])]
+        outs = [merge.remote(key_list, sort, *[pack.remote(key_list, 1, *g) for g in groups])]
     else:
-        packs = [
-            pack.options(num_returns=P).remote(r, key_list, P) for r in refs
-        ]
+        packs = [pack.options(num_returns=P).remote(key_list, P, *g) for g in groups]
         outs = [
-            merge.remote(key_list, sort, *[packs[i][p] for i in range(len(refs))])
+            merge.remote(key_list, sort, *[packs[i][p] for i in range(len(groups))])
             for p in range(P)
         ]
     return rd.from_arrow_refs(outs)
@@ -232,20 +253,22 @@ def task_join(
             return left  # empty right excludes nothing; empty left is empty
         ensure_hash_shuffle()
         return left.join(right, join_type=how, num_partitions=P, on=tuple(on))
+    lgroups = _group_refs(lrefs, 2 * cluster_cpus())
+    rgroups = _group_refs(rrefs, 2 * cluster_cpus())
     if P == 1:
-        lcol = [pack.remote(r, on, 1) for r in lrefs]
-        rcol = [pack.remote(r, on, 1) for r in rrefs]
+        lcol = [pack.remote(on, 1, *g) for g in lgroups]
+        rcol = [pack.remote(on, 1, *g) for g in rgroups]
         outs = [join.remote(on, how, len(lcol), *lcol, *rcol)]
     else:
-        lp = [pack.options(num_returns=P).remote(r, on, P) for r in lrefs]
-        rp = [pack.options(num_returns=P).remote(r, on, P) for r in rrefs]
+        lp = [pack.options(num_returns=P).remote(on, P, *g) for g in lgroups]
+        rp = [pack.options(num_returns=P).remote(on, P, *g) for g in rgroups]
         outs = [
             join.remote(
                 on,
                 how,
-                len(lrefs),
-                *[lp[i][p] for i in range(len(lrefs))],
-                *[rp[j][p] for j in range(len(rrefs))],
+                len(lgroups),
+                *[lp[i][p] for i in range(len(lgroups))],
+                *[rp[j][p] for j in range(len(rgroups))],
             )
             for p in range(P)
         ]

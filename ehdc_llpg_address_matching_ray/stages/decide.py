@@ -42,8 +42,21 @@ def to_directed(batch: pa.Table) -> pa.Table:
     return pa.table(base)
 
 
-def decide_partition(df: pd.DataFrame, tiers: MatchTiers) -> pd.DataFrame:
-    """Vectorized per-source decision over one src-partition.
+_EMPTY_DECISIONS = pa.table(
+    {
+        "url": pa.array([], pa.string()),
+        "decision": pa.array([], pa.string()),
+        "accepted_url": pa.array([], pa.string()),
+        "top_score": pa.array([], pa.float64()),
+        "margin": pa.array([], pa.float64()),
+        "n_candidates": pa.array([], pa.int64()),
+    }
+)
+
+
+def decide_partition(t, tiers: MatchTiers):
+    """Vectorized per-source decision over one src-partition (Arrow in,
+    Arrow out).
 
     Per source: sort candidates desc (done partition-wide), take top-1 +
     margin to top-2, apply the FULL D2 tier logic including the 0.88
@@ -52,37 +65,38 @@ def decide_partition(df: pd.DataFrame, tiers: MatchTiers) -> pd.DataFrame:
     shares a house number and locality overlap >= 0.5.  The feature
     columns arrive from the scorer via ``to_directed``; when absent
     (feature-less callers) the medium tier evaluates False, preserving
-    the old subset semantics."""
-    if len(df) == 0:
-        return pd.DataFrame(
-            {
-                "url": pd.Series([], dtype=str),
-                "decision": pd.Series([], dtype=str),
-                "accepted_url": pd.Series([], dtype=str),
-                "top_score": pd.Series([], dtype="float64"),
-                "margin": pd.Series([], dtype="float64"),
-                "n_candidates": pd.Series([], dtype="int64"),
-            }
-        )
-    d = df.sort_values(["src", "score", "cand"], ascending=[True, False, True], kind="mergesort")
-    src = d["src"].to_numpy()
-    cand = d["cand"].to_numpy()
-    score = d["score"].to_numpy()
+    the old subset semantics.
 
-    is_first = np.ones(len(d), dtype=bool)
-    is_first[1:] = src[1:] != src[:-1]
+    All sorting and run detection happen on Arrow buffers / dictionary
+    codes — the url strings never convert to Python/pandas objects (an
+    object-string mergesort on a multi-million-row partition dominated
+    this stage at scale)."""
+    if isinstance(t, pd.DataFrame):  # compat: direct callers with frames
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    if t.num_rows == 0:
+        return _EMPTY_DECISIONS
+    idx = pc.sort_indices(
+        t,
+        sort_keys=[("src", "ascending"), ("score", "descending"), ("cand", "ascending")],
+    )
+    d = t.take(idx)
+    codes = pc.dictionary_encode(d["src"].combine_chunks()).indices.to_numpy()
+    score = d["score"].to_numpy()
+    n = len(codes)
+
+    is_first = np.ones(n, dtype=bool)
+    is_first[1:] = codes[1:] != codes[:-1]
     firsts = np.flatnonzero(is_first)
-    ends = np.concatenate([firsts[1:], [len(d)]])
+    ends = np.concatenate([firsts[1:], [n]])
     n_cands = ends - firsts
 
     # with the partial_top2 combiner upstream, the surviving rows are a
     # superset of each source's global top-2; the true candidate count is
     # the sum of the per-block partial counts
-    if "pcount" in df.columns:
+    if "pcount" in t.column_names:
         pcount = d["pcount"].to_numpy()
         n_cands = np.add.reduceat(pcount, firsts).astype(np.int64)
-        n_rows = ends - firsts
-        has_second = n_rows >= 2
+        has_second = (ends - firsts) >= 2
     else:
         has_second = n_cands >= 2
 
@@ -92,8 +106,8 @@ def decide_partition(df: pd.DataFrame, tiers: MatchTiers) -> pd.DataFrame:
     margin = np.where(has_second, top_score - second, 1.0)
 
     auto = (top_score >= tiers.auto_accept_high) & (margin >= tiers.winner_margin)
-    if "has_same_house_num" in df.columns:
-        top_house = d["has_same_house_num"].to_numpy()[firsts].astype(bool)
+    if "has_same_house_num" in t.column_names:
+        top_house = d["has_same_house_num"].to_numpy(zero_copy_only=False)[firsts].astype(bool)
         top_loc = d["locality_overlap"].to_numpy()[firsts]
         medium = (
             (top_score >= tiers.auto_accept_medium)
@@ -104,17 +118,24 @@ def decide_partition(df: pd.DataFrame, tiers: MatchTiers) -> pd.DataFrame:
         auto = auto | medium
     review = ~auto & (top_score >= tiers.review_threshold)
     rejected = top_score < tiers.min_threshold
-    decision = np.where(rejected, "reject", np.where(auto, "auto_accept", np.where(review, "review", "reject")))
-    accepted = np.where(auto & ~rejected, cand[firsts], "")
+    decision = np.where(
+        rejected, "reject", np.where(auto, "auto_accept", np.where(review, "review", "reject"))
+    )
+    first_idx = pa.array(firsts, pa.int64())
+    url = d["src"].take(first_idx).combine_chunks()
+    cand_first = d["cand"].take(first_idx).combine_chunks()
+    # accepted_url = top candidate where auto-accepted, else ""
+    accept_mask = pa.array(auto & ~rejected)
+    accepted = pc.if_else(accept_mask, cand_first, pa.scalar("", pa.string()))
 
-    return pd.DataFrame(
+    return pa.table(
         {
-            "url": src[firsts].astype(str),
-            "decision": decision.astype(str),
-            "accepted_url": accepted.astype(str),
-            "top_score": top_score,
-            "margin": margin,
-            "n_candidates": n_cands.astype(np.int64),
+            "url": url,
+            "decision": pa.array(decision.astype(str), pa.string()),
+            "accepted_url": accepted,
+            "top_score": pa.array(top_score, pa.float64()),
+            "margin": pa.array(margin, pa.float64()),
+            "n_candidates": pa.array(n_cands, pa.int64()),
         }
     )
 
@@ -158,5 +179,5 @@ def decide(scored_pairs_ds, tiers: MatchTiers | None = None, num_partitions: int
     reduced = directed.map_batches(partial_top2, batch_format="pyarrow", batch_size=None)
     part = partition_by_key(reduced, ["src"], num_partitions, sort=False)
     return part.map_batches(
-        lambda df: decide_partition(df, tiers), batch_format="pandas", batch_size=None
+        lambda b: decide_partition(b, tiers), batch_format="pyarrow", batch_size=None
     )

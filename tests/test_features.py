@@ -245,7 +245,7 @@ class TestMediumTierParity:
         df = pd.DataFrame(
             rows, columns=["src", "cand", "score", "has_same_house_num", "locality_overlap"]
         )
-        out = decide_partition(df, tiers)
+        out = decide_partition(df, tiers).to_pandas()
         assert len(out) == 200
         medium_hits = 0
         for r in out.itertuples(index=False):
