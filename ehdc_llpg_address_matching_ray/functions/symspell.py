@@ -76,6 +76,39 @@ def damerau_levenshtein(a: str, b: str, max_distance: int) -> int:
     return prev[len_a] if prev[len_a] <= max_distance else -1
 
 
+def within_one_edit(a: str, b: str) -> bool:
+    """True iff restricted Damerau-Levenshtein distance(a, b) == 1 —
+    i.e. ``damerau_levenshtein(a, b, 1) == 1`` — in O(n) via C-speed
+    slice comparisons instead of the banded DP (the DP dominated the
+    pair scorer's fuzzy-token pass; equivalence is property-tested
+    against the ported DP)."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        if a == b:
+            return False  # distance 0
+        i = 0
+        while a[i] == b[i]:
+            i += 1
+        if a[i + 1 :] == b[i + 1 :]:
+            return True  # one substitution
+        # one adjacent transposition
+        return (
+            la - i >= 2
+            and a[i] == b[i + 1]
+            and a[i + 1] == b[i]
+            and a[i + 2 :] == b[i + 2 :]
+        )
+    if la == lb + 1:
+        a, b, la, lb = b, a, lb, la
+    elif lb != la + 1:
+        return False
+    # lb == la + 1: one insertion into a
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1 :]
+
+
 def _generate_deletes(term: str, max_distance: int) -> set[str]:
     """All delete variants within max_distance (symspell.go:150-180)."""
     deletes: set[str] = set()

@@ -113,7 +113,7 @@ def fuzzy_token_overlap(tokens_a: list[str], tokens_b: list[str]) -> float:
             for j, tb in enumerate(rest_b):
                 if used[j] or abs(len(ta) - len(tb)) > 1:
                     continue
-                if SS.damerau_levenshtein(ta, tb, 1) == 1:
+                if SS.within_one_edit(ta, tb):
                     used[j] = True
                     common += 1
                     break
@@ -253,6 +253,11 @@ class PairScorer:
         if not sa or not sb:
             return 1.0 if not sa and not sb else 0.0
         common = len(sa & sb)
+        denom = min(len(sa), len(sb))
+        if common >= denom or not rest_a_all or not rest_b_all:
+            # containment already saturated, or no fuzzy-eligible
+            # leftovers on a side: the DL pass cannot change the result
+            return min(1.0, common / denom)
         rest_a = [t for t in rest_a_all if t not in sb]
         rest_b = [t for t in rest_b_all if t not in sa]
         if rest_a and rest_b and len(rest_a) * len(rest_b) <= 64:
@@ -261,11 +266,11 @@ class PairScorer:
                 for j, tb in enumerate(rest_b):
                     if used[j] or abs(len(ta) - len(tb)) > 1:
                         continue
-                    if SS.damerau_levenshtein(ta, tb, 1) == 1:
+                    if SS.within_one_edit(ta, tb):
                         used[j] = True
                         common += 1
                         break
-        return min(1.0, common / min(len(sa), len(sb)))
+        return min(1.0, common / denom)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         url_a = batch["url_a"]

@@ -71,6 +71,35 @@ class TestDamerauLevenshtein:
         assert damerau_levenshtein("", "AB", 2) == 2
 
 
+class TestWithinOneEdit:
+    """within_one_edit is the O(n) specialization the pair scorer uses in
+    its fuzzy-token pass; it must agree with damerau_levenshtein(a,b,1)==1
+    exhaustively on short alphabet strings."""
+
+    def test_exhaustive_equivalence(self):
+        from itertools import product
+
+        from ehdc_llpg_address_matching_ray.functions.symspell import within_one_edit
+
+        alphabet = "abc"
+        strings = [""]
+        for ln in (1, 2, 3, 4):
+            strings += ["".join(p) for p in product(alphabet, repeat=ln)]
+        for a in strings:
+            for b in strings:
+                assert within_one_edit(a, b) == (damerau_levenshtein(a, b, 1) == 1), (a, b)
+
+    def test_typo_examples(self):
+        from ehdc_llpg_address_matching_ray.functions.symspell import within_one_edit
+
+        assert within_one_edit("street", "stret")       # deletion
+        assert within_one_edit("street", "streeet")     # insertion
+        assert within_one_edit("street", "streat")      # substitution
+        assert within_one_edit("street", "strete")      # transposition
+        assert not within_one_edit("street", "street")  # identical = 0
+        assert not within_one_edit("street", "stert")   # distance 2
+
+
 class TestCorrectorSkipRules:
     """corrector.go:100-143,188-203 skip rules."""
 
