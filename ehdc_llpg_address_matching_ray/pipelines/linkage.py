@@ -212,9 +212,19 @@ def _run_linkage_inner(
         # lookup once in __init__.  Row gate above, BYTE gate from block
         # metadata (row count is the wrong gate for long documents);
         # above either budget we hash-join instead.
-        reps_slim = reps_slim.materialize()
+        #
+        # The broadcast ALSO carries per-text house-number / locality
+        # extractions, computed ONCE here in a distributed map: the
+        # regexes cost ~40us/text, and leaving them to the scorer's
+        # per-worker cache repeats that work once per worker per text —
+        # a width-INDEPENDENT floor that made the scoring stage no
+        # faster at 32 CPUs than at 8 (measured).
+        reps_slim = reps_slim.map_batches(
+            SC.enrich_payload, batch_format="pyarrow", batch_size=cfg.normalize_batch_size
+        ).materialize()
         if reps_slim.size_bytes() > cfg.broadcast_payload_max_bytes:
             broadcast = False
+            reps_slim = reps.select_columns(["url", "text", "canonical"])
         else:
             payload_ref = reps_slim.to_arrow_refs()
     _mark("02b_payload_lut[driver]")

@@ -853,13 +853,47 @@ def q_minhash_neardup(sf_dir: str) -> rd.Dataset:
 
 
 def q_simhash_codes(sf_dir: str) -> rd.Dataset:
-    """64-bit SimHash fingerprints over documents (rows-only)."""
+    """64-bit SimHash fingerprints over documents, masked to 63 bits
+    (int64 shuffle keys).  Token hash = md5-low64, bit-replicable in
+    DuckDB — the oracle recomputes the identical sketch in SQL."""
 
     def f(b: pa.Table) -> pa.Table:
         codes = [SH.simhash64((t or "").split()) & 0x7FFFFFFFFFFFFFFF for t in b["text"].to_pylist()]
         return pa.table({"doc_id": b["doc_id"], "simhash": pa.array(codes, pa.int64())})
 
     return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def _simhash_oracle_sql() -> str:
+    """Value-exact SQL twin of q_simhash_codes: md5-low64 token hashes,
+    per-bit sign votes (63 bits; ties vote 0), coalesce empty docs to 0."""
+    votes = ",\n        ".join(
+        f"sum(CASE WHEN ((h >> {j}) & 1) = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(63)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN (1::UBIGINT << {j}) ELSE 0::UBIGINT END)" for j in range(63)
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+    FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(coalesce(text, ''), '\\s+')) AS tok
+        FROM documents
+    )
+    WHERE tok <> ''
+),
+votes AS (
+    SELECT doc_id,
+        {votes}
+    FROM toks GROUP BY doc_id
+),
+code AS (SELECT doc_id, ({bits})::BIGINT AS simhash FROM votes)
+SELECT d.doc_id, coalesce(c.simhash, 0) AS simhash
+FROM documents d LEFT JOIN code c USING (doc_id)
+"""
+
+
+SQL_SIMHASH_CODES = _simhash_oracle_sql()
 
 
 def q_linkage_fact(sf_dir: str) -> rd.Dataset:
@@ -1383,6 +1417,7 @@ ORACLE_SQL = {
     "rule_transform": SQL_RULE_TRANSFORM,
     "multimodal_featurize": SQL_MULTIMODAL_FEATURIZE,
     "range_expand": SQL_RANGE_EXPAND,
+    "simhash_codes": SQL_SIMHASH_CODES,
     "match_exact_tiers": SQL_MATCH_EXACT_TIERS,
     "linkage_exact_projection": SQL_LINKAGE_EXACT_PROJECTION,
     "group_consensus": SQL_GROUP_CONSENSUS,

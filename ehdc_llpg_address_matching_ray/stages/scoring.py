@@ -120,6 +120,25 @@ def fuzzy_token_overlap(tokens_a: list[str], tokens_b: list[str]) -> float:
     return min(1.0, common / min(len(sa), len(sb)))
 
 
+def enrich_payload(batch: pa.Table) -> pa.Table:
+    """(url, text, canonical, ...) -> + house_nums / loc_toks columns.
+
+    Per-text regex extraction (P6 veto inputs + D2 locality overlap)
+    computed ONCE per representative in this distributed map, instead of
+    once per scorer WORKER per text via the lru caches — that repeat was
+    a width-independent floor on the scoring stage.  The scorer falls
+    back to the cached extraction when these columns are absent
+    (non-broadcast payload path)."""
+    texts = batch["text"].to_pylist()
+    return batch.append_column(
+        "house_nums",
+        pa.array([N.extract_house_numbers(t or "") for t in texts], pa.list_(pa.string())),
+    ).append_column(
+        "loc_toks",
+        pa.array([N.extract_locality_tokens(t or "") for t in texts], pa.list_(pa.string())),
+    )
+
+
 @lru_cache(maxsize=262144)
 def _house_numbers_cached(text: str) -> tuple[str, ...]:
     return tuple(N.extract_house_numbers(text))
@@ -171,12 +190,27 @@ class PairScorer:
                 tables = [tb for tb in ray.get(payload) if tb.num_rows]
                 if tables:
                     t = pa.concat_tables(tables)
-                    payload = dict(
-                        zip(
-                            t["url"].to_pylist(),
-                            zip(t["text"].to_pylist(), t["canonical"].to_pylist()),
+                    if "house_nums" in t.column_names:
+                        # enriched payload: per-text extractions were
+                        # precomputed distributed (enrich_payload)
+                        payload = dict(
+                            zip(
+                                t["url"].to_pylist(),
+                                zip(
+                                    t["text"].to_pylist(),
+                                    t["canonical"].to_pylist(),
+                                    (tuple(h) for h in t["house_nums"].to_pylist()),
+                                    (tuple(l) for l in t["loc_toks"].to_pylist()),
+                                ),
+                            )
                         )
-                    )
+                    else:
+                        payload = dict(
+                            zip(
+                                t["url"].to_pylist(),
+                                zip(t["text"].to_pylist(), t["canonical"].to_pylist()),
+                            )
+                        )
                 else:
                     payload = {}
         except Exception:
@@ -275,15 +309,30 @@ class PairScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         url_a = batch["url_a"]
         url_b = batch["url_b"]
+        house_a = house_b = loc_a = loc_b = None
         if self.payload is not None:
             lut = self.payload
-            empty = ("", "")
-            pa_ = [lut.get(u, empty) for u in url_a.to_pylist()]
-            pb_ = [lut.get(u, empty) for u in url_b.to_pylist()]
-            text_a = [t for t, _ in pa_]
-            can_a = [c for _, c in pa_]
-            text_b = [t for t, _ in pb_]
-            can_b = [c for _, c in pb_]
+            enriched = next(iter(lut.values()), ("", "", (), ()))
+            if len(enriched) == 4:
+                empty = ("", "", (), ())
+                pa_ = [lut.get(u, empty) for u in url_a.to_pylist()]
+                pb_ = [lut.get(u, empty) for u in url_b.to_pylist()]
+                text_a = [v[0] for v in pa_]
+                can_a = [v[1] for v in pa_]
+                house_a = [v[2] for v in pa_]
+                loc_a = [v[3] for v in pa_]
+                text_b = [v[0] for v in pb_]
+                can_b = [v[1] for v in pb_]
+                house_b = [v[2] for v in pb_]
+                loc_b = [v[3] for v in pb_]
+            else:
+                empty = ("", "")
+                pa_ = [lut.get(u, empty) for u in url_a.to_pylist()]
+                pb_ = [lut.get(u, empty) for u in url_b.to_pylist()]
+                text_a = [t for t, _ in pa_]
+                can_a = [c for _, c in pa_]
+                text_b = [t for t, _ in pb_]
+                can_b = [c for _, c in pb_]
         else:
             text_a = batch["text_a"].to_pylist()
             text_b = batch["text_b"].to_pylist()
@@ -313,22 +362,25 @@ class PairScorer:
             # batched numpy Jaro-Winkler (bit-identical to the scalar
             # port, which stays as the parity oracle — tests/test_strings)
             jw = S.jaro_winkler_batch(ta_trunc, tb_trunc)
+        pre = house_a is not None
         for i in range(n):
             ca, cb = can_a[i], can_b[i]
             ts[i] = self._overlap_pair(ca, cb)
             tf[i] = self._tfidf_pair(ca, cb)
-            ha = _house_numbers_cached(text_a[i])
-            hb = _house_numbers_cached(text_b[i])
+            if pre:
+                ha, hb, la, lb = house_a[i], house_b[i], loc_a[i], loc_b[i]
+            else:
+                ha = _house_numbers_cached(text_a[i])
+                hb = _house_numbers_cached(text_b[i])
+                la = _locality_tokens_cached(text_a[i])
+                lb = _locality_tokens_cached(text_b[i])
             common = bool(ha and hb and F.has_common_element(list(ha), list(hb)))
             veto[i] = bool(ha and hb) and not common
             # D2 medium-tier inputs, carried through the scored schema so
             # the distributed decide can evaluate the 0.88 tier
             # (scorer.go:177-188)
             same_house[i] = common
-            loc_overlap[i] = N.token_overlap(
-                list(_locality_tokens_cached(text_a[i])),
-                list(_locality_tokens_cached(text_b[i])),
-            )
+            loc_overlap[i] = N.token_overlap(list(la), list(lb))
 
         w = self.prod
         if w.formula == "alt":
