@@ -88,7 +88,7 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     }
 
 
-SCALING_ENTITIES = int(os.environ.get("GRAFT_SCALING_ENTITIES", "80000"))
+SCALING_ENTITIES = int(os.environ.get("GRAFT_SCALING_ENTITIES", "500000"))
 SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
 SCALING_CORPUS = f"/tmp/ehdc_llpg_address_matching_ray_scaling_corpus_{SCALING_ENTITIES}"
 
@@ -185,11 +185,11 @@ def run_scaling(sf_dir: str) -> dict:
                 )
                 line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
                 r = json.loads(line)
-                # co-tenant bursts (steal >3% of all host cores for the
-                # run's duration) inflate wall time 2-4x and hit the wide
+                # co-tenant bursts (steal well above the ~3-4% steady
+                # background) inflate wall time 2-4x and hit the wide
                 # width hardest — retry polluted runs, keep the last
                 # attempt regardless
-                if r.get("steal_frac", 0.0) <= 0.03 or attempt == max_retries:
+                if r.get("steal_frac", 0.0) <= 0.06 or attempt == max_retries:
                     break
             runs[cpus].append(r["sec"])
             steals[cpus].append(r.get("steal_frac", 0.0))

@@ -176,6 +176,9 @@ class PairScorer:
         fidelity: bool = False,
         payload=None,
     ):
+        self._ptable = None
+        self._phash = None
+        self._prow = None
         try:
             import ray
 
@@ -185,34 +188,27 @@ class PairScorer:
                 payload = ray.get(payload)
             if isinstance(payload, list) and payload and isinstance(payload[0], ray.ObjectRef):
                 # broadcast as materialized Arrow block refs (url, text,
-                # canonical): zero-copy reads from the object store; the
-                # per-actor dict build replaces a driver-side O(n) pass
+                # canonical, house_nums, loc_toks): ZERO-COPY reads from
+                # the object store, shared machine-wide.  No per-worker
+                # Python dict — materializing 907k rows into a dict
+                # measured 10.6s PER WORKER (x width, plus ~1 GB RSS and
+                # GC churn each); instead keep the Arrow table itself and
+                # build only a 16-byte/row hash index (vectorized polars
+                # hash + argsort, ~0.2s), then gather per batch with
+                # searchsorted + Table.take.
                 tables = [tb for tb in ray.get(payload) if tb.num_rows]
                 if tables:
                     t = pa.concat_tables(tables)
-                    if "house_nums" in t.column_names:
-                        # enriched payload: per-text extractions were
-                        # precomputed distributed (enrich_payload)
-                        payload = dict(
-                            zip(
-                                t["url"].to_pylist(),
-                                zip(
-                                    t["text"].to_pylist(),
-                                    t["canonical"].to_pylist(),
-                                    (tuple(h) for h in t["house_nums"].to_pylist()),
-                                    (tuple(l) for l in t["loc_toks"].to_pylist()),
-                                ),
-                            )
-                        )
-                    else:
-                        payload = dict(
-                            zip(
-                                t["url"].to_pylist(),
-                                zip(t["text"].to_pylist(), t["canonical"].to_pylist()),
-                            )
-                        )
-                else:
-                    payload = {}
+                    if "house_nums" not in t.column_names:
+                        t = enrich_payload(t)
+                    import polars as pl
+
+                    h = pl.from_arrow(t.select(["url"])).hash_rows(seed=7).to_numpy()
+                    order = np.argsort(h, kind="stable")
+                    self._phash = h[order]
+                    self._prow = order.astype(np.int64)
+                    self._ptable = t
+                payload = None
         except Exception:
             pass
         # broadcast url -> (text, canonical) lookup (resolved ONCE per
@@ -306,33 +302,51 @@ class PairScorer:
                         break
         return min(1.0, common / denom)
 
+    def _gather(self, urls) -> tuple[list, list, list, list]:
+        """Vectorized payload lookup: hash the batch urls (same seeded
+        polars hash as the index), binary-search the sorted index, gather
+        the hit rows with Table.take (copies ONLY the batch's rows out of
+        the shared zero-copy payload), verify by string equality (hash
+        collisions and genuinely absent urls fail safe to empty)."""
+        import polars as pl
+        import pyarrow.compute as _pc
+
+        urls = urls.combine_chunks()
+        n = len(urls)
+        if self._phash is None or len(self._phash) == 0:
+            return [""] * n, [""] * n, [()] * n, [()] * n
+        h = pl.from_arrow(pa.table({"url": urls})).hash_rows(seed=7).to_numpy()
+        pos = np.minimum(np.searchsorted(self._phash, h), len(self._phash) - 1)
+        rows = self._prow[pos]
+        sub = self._ptable.take(pa.array(rows, pa.int64()))
+        hit = _pc.equal(sub["url"], urls).to_numpy(zero_copy_only=False)
+        texts = sub["text"].to_pylist()
+        cans = sub["canonical"].to_pylist()
+        hn = sub["house_nums"].to_pylist()
+        lt = sub["loc_toks"].to_pylist()
+        for i in np.flatnonzero(~hit):
+            texts[i] = ""
+            cans[i] = ""
+            hn[i] = ()
+            lt[i] = ()
+        return texts, cans, hn, lt
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         url_a = batch["url_a"]
         url_b = batch["url_b"]
         house_a = house_b = loc_a = loc_b = None
-        if self.payload is not None:
+        if self._ptable is not None:
+            text_a, can_a, house_a, loc_a = self._gather(url_a)
+            text_b, can_b, house_b, loc_b = self._gather(url_b)
+        elif self.payload is not None:
             lut = self.payload
-            enriched = next(iter(lut.values()), ("", "", (), ()))
-            if len(enriched) == 4:
-                empty = ("", "", (), ())
-                pa_ = [lut.get(u, empty) for u in url_a.to_pylist()]
-                pb_ = [lut.get(u, empty) for u in url_b.to_pylist()]
-                text_a = [v[0] for v in pa_]
-                can_a = [v[1] for v in pa_]
-                house_a = [v[2] for v in pa_]
-                loc_a = [v[3] for v in pa_]
-                text_b = [v[0] for v in pb_]
-                can_b = [v[1] for v in pb_]
-                house_b = [v[2] for v in pb_]
-                loc_b = [v[3] for v in pb_]
-            else:
-                empty = ("", "")
-                pa_ = [lut.get(u, empty) for u in url_a.to_pylist()]
-                pb_ = [lut.get(u, empty) for u in url_b.to_pylist()]
-                text_a = [t for t, _ in pa_]
-                can_a = [c for _, c in pa_]
-                text_b = [t for t, _ in pb_]
-                can_b = [c for _, c in pb_]
+            empty = ("", "")
+            pa_ = [lut.get(u, empty) for u in url_a.to_pylist()]
+            pb_ = [lut.get(u, empty) for u in url_b.to_pylist()]
+            text_a = [t for t, _ in pa_]
+            can_a = [c for _, c in pa_]
+            text_b = [t for t, _ in pb_]
+            can_b = [c for _, c in pb_]
         else:
             text_a = batch["text_a"].to_pylist()
             text_b = batch["text_b"].to_pylist()
