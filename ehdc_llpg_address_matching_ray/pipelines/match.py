@@ -33,7 +33,14 @@ import ray.data as rd
 from ..config import BlockingConfig, MatchTiers, PipelineConfig
 from ..functions import normalize as N
 from ..functions import textstats as TS
-from ..rayutil import anti_join, default_concurrency, default_partitions, hash_shuffle, partition_by_key
+from ..rayutil import (
+    anti_join,
+    default_concurrency,
+    default_partitions,
+    engine_join,
+    hash_shuffle,
+    partition_by_key,
+)
 from ..stages import decide as D
 from ..stages import scoring as SC
 from ..stages.blocking import BandKeyEmitter
@@ -108,14 +115,14 @@ def _run_match_inner(
             ),
             batch_format="pyarrow",
         )
-        src = src.join(legacy, join_type="left_outer", num_partitions=P, on=("id",))
+        src = engine_join(src, legacy, ("id",), how="left_outer", num_partitions=P)
     src = src.materialize()
     gaz = _normalize_side(gazetteer_ds, gaz_id, gaz_text, cfg.normalize_batch_size).materialize()
 
     # ---- Tier A1: exact legacy-key join (J1) --------------------------------
     if source_legacy_key is not None:
         gaz_keys = gaz.map_batches(
-            lambda b: pa.table({"gaz_key": b["id"], "gaz_id_a1": b["id"]}),
+            lambda b: pa.table({"legacy_key": b["id"], "gaz_id_a1": b["id"]}),
             batch_format="pyarrow",
         )
         with_key = src.map_batches(
@@ -125,8 +132,7 @@ def _run_match_inner(
             batch_format="pyarrow",
         )
         a1 = (
-            with_key
-            .join(gaz_keys, join_type="inner", num_partitions=P, on=("legacy_key",), right_on=("gaz_key",))
+            engine_join(with_key, gaz_keys, ("legacy_key",), how="inner", num_partitions=P)
             .map_batches(
                 lambda b: pa.table(
                     {
@@ -163,12 +169,10 @@ def _run_match_inner(
 
     # ---- Tier A2: exact canonical equality (J2) -----------------------------
     gaz_hash = gaz.map_batches(
-        lambda b: pa.table({"g_hash": b["text_hash"], "gaz_id_a2": b["id"]}),
+        lambda b: pa.table({"text_hash": b["text_hash"], "gaz_id_a2": b["id"]}),
         batch_format="pyarrow",
     )
-    a2_hits = remaining.join(
-        gaz_hash, join_type="inner", num_partitions=P, on=("text_hash",), right_on=("g_hash",)
-    )
+    a2_hits = engine_join(remaining, gaz_hash, ("text_hash",), how="inner", num_partitions=P)
 
     def a2_resolve(df: pd.DataFrame) -> pd.DataFrame:
         # single gazetteer hit -> auto_accept 0.99; multiple -> review
@@ -330,8 +334,8 @@ def _run_match_inner(
         lambda b: pa.table({"gaz_id": b["id"], "text_b": b["text"], "canonical_b": b["canonical"]}),
         batch_format="pyarrow",
     )
-    pairs = cand.join(s_payload, join_type="inner", num_partitions=P, on=("src_id",))
-    pairs = pairs.join(g_payload, join_type="inner", num_partitions=P, on=("gaz_id",))
+    pairs = engine_join(cand, s_payload, ("src_id",), how="inner", num_partitions=P)
+    pairs = engine_join(pairs, g_payload, ("gaz_id",), how="inner", num_partitions=P)
     pairs = pairs.map_batches(
         lambda b: pa.table(
             {

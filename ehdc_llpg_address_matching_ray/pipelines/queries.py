@@ -23,7 +23,7 @@ import ray
 import ray.data as rd
 
 from ..functions import minhash as MH
-from ..rayutil import partition_by_key
+from ..rayutil import engine_join, partition_by_key
 from ..functions import normalize as N
 from ..functions import simhash as SH
 from ..functions import strings as S
@@ -220,10 +220,10 @@ def q_levenshtein_adjacent(sf_dir: str) -> rd.Dataset:
     exact same integer metric."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     right = docs.map_batches(
-        lambda b: pa.table({"doc_id_r": pc.subtract(b["doc_id"], 1), "text_b": b["text"]}),
+        lambda b: pa.table({"doc_id": pc.subtract(b["doc_id"], 1), "text_b": b["text"]}),
         batch_format="pyarrow",
     )
-    joined = docs.join(right, join_type="inner", num_partitions=8, on=("doc_id",), right_on=("doc_id_r",))
+    joined = engine_join(docs, right, ("doc_id",), how="inner", num_partitions=8)
 
     def f(b: pa.Table) -> pa.Table:
         d = [
@@ -246,10 +246,10 @@ def q_char_jaccard_adjacent(sf_dir: str) -> rd.Dataset:
     family, n=1; DuckDB's jaccard() is the same set metric)."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
     right = docs.map_batches(
-        lambda b: pa.table({"doc_id_r": pc.subtract(b["doc_id"], 1), "text_b": b["text"]}),
+        lambda b: pa.table({"doc_id": pc.subtract(b["doc_id"], 1), "text_b": b["text"]}),
         batch_format="pyarrow",
     )
-    joined = docs.join(right, join_type="inner", num_partitions=8, on=("doc_id",), right_on=("doc_id_r",))
+    joined = engine_join(docs, right, ("doc_id",), how="inner", num_partitions=8)
 
     def f(b: pa.Table) -> pa.Table:
         out = []
@@ -352,12 +352,15 @@ def q_revenue_by_nation(sf_dir: str) -> rd.Dataset:
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     li = _t(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    o_n = orders.join(
-        cust, join_type="inner", num_partitions=8, on=("o_custkey",), right_on=("c_custkey",)
-    ).select_columns(["o_orderkey", "c_nationkey"])
-    joined = li.join(
-        o_n, join_type="inner", num_partitions=8, on=("l_orderkey",), right_on=("o_orderkey",)
+    cust_k = cust.map_batches(
+        lambda b: pa.table({"o_custkey": b["c_custkey"], "c_nationkey": b["c_nationkey"]}),
+        batch_format="pyarrow",
     )
+    o_n = engine_join(orders, cust_k, ("o_custkey",), how="inner", num_partitions=8).map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"], "c_nationkey": b["c_nationkey"]}),
+        batch_format="pyarrow",
+    )
+    joined = engine_join(li, o_n, ("l_orderkey",), how="inner", num_partitions=8)
 
     class PartialAgg:
         def __init__(self, ref):

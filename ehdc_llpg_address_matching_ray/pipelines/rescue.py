@@ -25,7 +25,7 @@ import ray.data as rd
 from ..config import PipelineConfig
 from ..functions import components as CP
 from ..functions import strings as S
-from ..rayutil import hash_shuffle, partition_by_key
+from ..rayutil import engine_join, hash_shuffle, partition_by_key
 from .match import normalize_uprn_batch, run_match
 
 
@@ -59,13 +59,10 @@ def group_rescue(
             batch_format="pyarrow",
         ).materialize()
         scored = matches_ds.map_batches(
-            lambda b: pa.table({"m_src": b["src_id"], "m_score": b["score"]}),
+            lambda b: pa.table({"src_id": b["src_id"], "m_score": b["score"]}),
             batch_format="pyarrow",
         )
-        j = src.join(
-            scored, join_type="left_outer", num_partitions=num_partitions,
-            on=("src_id",), right_on=("m_src",),
-        )
+        j = engine_join(src, scored, ("src_id",), how="left_outer", num_partitions=num_partitions)
 
         def pick_reps(df: pd.DataFrame) -> pd.DataFrame:
             """Per group: size 2-30, best score < 0.5, >=1 real address ->
@@ -137,8 +134,8 @@ def group_rescue(
             lambda b: pa.table({"src_id": b["group_key"], "rep_address": b["rep_address"]}),
             batch_format="pyarrow",
         )
-        hits = hits.join(
-            rep_txt, join_type="inner", num_partitions=num_partitions, on=("src_id",)
+        hits = engine_join(
+            hits, rep_txt, ("src_id",), how="inner", num_partitions=num_partitions
         ).materialize()
         n_hits = hits.count()
         if n_hits == 0:
@@ -154,7 +151,7 @@ def group_rescue(
             ),
             batch_format="pyarrow",
         )
-        hits = hits.join(gaz_txt, join_type="inner", num_partitions=num_partitions, on=("matched_id",))
+        hits = engine_join(hits, gaz_txt, ("matched_id",), how="inner", num_partitions=num_partitions)
 
         def gate(b: pa.Table) -> pa.Table:
             gks, cids, confs = [], [], []
@@ -185,7 +182,7 @@ def group_rescue(
         kt = kt.repartition(max(1, min(num_partitions, n_keep))).materialize()
 
         # propagate to every group member (the fan-out join)
-        out = src.join(kt, join_type="inner", num_partitions=num_partitions, on=("group_key",))
+        out = engine_join(src, kt, ("group_key",), how="inner", num_partitions=num_partitions)
         return out.map_batches(
             lambda b: pa.table(
                 {
@@ -240,13 +237,15 @@ def create_historic_keys(
         )
         gaz_keys = gazetteer_ds.map_batches(
             lambda b: pa.table(
-                {"g_key": b[gaz_id].cast(pa.string()), "present": pa.array([1] * b.num_rows, pa.int8())}
+                {
+                    "legacy_key": b[gaz_id].cast(pa.string()),
+                    "present": pa.array([1] * b.num_rows, pa.int8()),
+                }
             ),
             batch_format="pyarrow",
         )
-        j = keys.join(
-            gaz_keys, join_type="left_outer", num_partitions=num_partitions,
-            on=("legacy_key",), right_on=("g_key",),
+        j = engine_join(
+            keys, gaz_keys, ("legacy_key",), how="left_outer", num_partitions=num_partitions
         )
         missing = j.map_batches(
             lambda b: b.filter(pc.is_null(b["present"])), batch_format="pyarrow"

@@ -254,8 +254,10 @@ def build_blocks(
         ),
         batch_format="pyarrow",
     )
-    out = pairs.join(side_a, join_type="inner", num_partitions=num_partitions, on=("url_a",))
-    out = out.join(side_b, join_type="inner", num_partitions=num_partitions, on=("url_b",))
+    from ..rayutil import engine_join
+
+    out = engine_join(pairs, side_a, ("url_a",), how="inner", num_partitions=num_partitions)
+    out = engine_join(out, side_b, ("url_b",), how="inner", num_partitions=num_partitions)
     return out
 
 
