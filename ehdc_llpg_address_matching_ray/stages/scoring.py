@@ -167,6 +167,11 @@ class PairScorer:
     per actor — never re-shipped per batch).
     """
 
+    # per-text cache cap: bounds worker heap (the caches outlive the
+    # stage in the worker-state slot, and millions of small Python
+    # objects inflate every later stage's GC on that worker)
+    _CAP = 500_000
+
     def __init__(
         self,
         idf=None,
@@ -237,7 +242,7 @@ class PairScorer:
         """idf-weighted term vector + L2 norm, cached per canonical text."""
         v = self._vec_cache.get(canon)
         if v is None:
-            if len(self._vec_cache) > 500_000:
+            if len(self._vec_cache) > self._CAP:
                 self._vec_cache.clear()
             toks = canon.split(" ") if canon else []
             wv = {}
@@ -252,7 +257,7 @@ class PairScorer:
         """(token set, fuzzy-eligible tokens) cached per canonical text."""
         v = self._set_cache.get(canon)
         if v is None:
-            if len(self._set_cache) > 500_000:
+            if len(self._set_cache) > self._CAP:
                 self._set_cache.clear()
             sa = frozenset(canon.split(" ")) if canon else frozenset()
             rest = tuple(sorted(t for t in sa if t.isalpha() and len(t) >= 3))
