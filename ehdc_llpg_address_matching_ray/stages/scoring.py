@@ -184,6 +184,7 @@ class PairScorer:
         self._ptable = None
         self._phash = None
         self._prow = None
+        self._row_cache: dict[int, tuple] = {}
         try:
             import ray
 
@@ -203,17 +204,41 @@ class PairScorer:
                 # searchsorted + Table.take.
                 tables = [tb for tb in ray.get(payload) if tb.num_rows]
                 if tables:
-                    t = pa.concat_tables(tables)
+                    # combine_chunks: the per-batch random gather
+                    # (Table.take) on a ~blocks-chunked table pays a
+                    # chunk binary-search + per-chunk copy per index;
+                    # one contiguous copy per worker makes every take
+                    # a flat gather
+                    t = pa.concat_tables(tables).combine_chunks()
                     if "house_nums" not in t.column_names:
                         t = enrich_payload(t)
-                    import polars as pl
+                    import os as _os
 
-                    h = pl.from_arrow(t.select(["url"])).hash_rows(seed=7).to_numpy()
-                    order = np.argsort(h, kind="stable")
-                    self._phash = h[order]
-                    self._prow = order.astype(np.int64)
-                    self._ptable = t
-                payload = None
+                    if _os.environ.get("RAY_GRAFT_PAYLOAD") == "dict":
+                        # legacy per-worker dict (A/B knob): ~10s build +
+                        # ~1 GB RSS per worker at 907k reps
+                        payload = dict(
+                            zip(
+                                t["url"].to_pylist(),
+                                zip(
+                                    t["text"].to_pylist(),
+                                    t["canonical"].to_pylist(),
+                                    (tuple(x) for x in t["house_nums"].to_pylist()),
+                                    (tuple(x) for x in t["loc_toks"].to_pylist()),
+                                ),
+                            )
+                        )
+                        self.payload = payload
+                        self._pdict4 = True
+                    else:
+                        import polars as pl
+
+                        h = pl.from_arrow(t.select(["url"])).hash_rows(seed=7).to_numpy()
+                        order = np.argsort(h, kind="stable")
+                        self._phash = h[order]
+                        self._prow = order.astype(np.int64)
+                        self._ptable = t
+                        payload = None
         except Exception:
             pass
         # broadcast url -> (text, canonical) lookup (resolved ONCE per
@@ -307,14 +332,20 @@ class PairScorer:
                         break
         return min(1.0, common / denom)
 
+    _EMPTY_ROW = ("", "", (), ())
+
     def _gather(self, urls) -> tuple[list, list, list, list]:
-        """Vectorized payload lookup: hash the batch urls (same seeded
-        polars hash as the index), binary-search the sorted index, gather
-        the hit rows with Table.take (copies ONLY the batch's rows out of
-        the shared zero-copy payload), verify by string equality (hash
-        collisions and genuinely absent urls fail safe to empty)."""
+        """Payload lookup against the shared zero-copy Arrow table:
+        hash the batch urls (same seeded polars hash as the index),
+        binary-search the sorted index, then materialize the hit rows to
+        Python tuples through a per-worker ROW CACHE — each payload row
+        converts from Arrow exactly once per worker, on first touch
+        (each text participates in ~tens of pairs; re-converting per
+        batch measured 2.2x the whole stage, while an eager per-worker
+        dict build cost 10.6s + ~1 GB RSS before the first batch).
+        Misses (hash collisions / absent urls, verified by string
+        equality on the uncached subset) fail safe to empty."""
         import polars as pl
-        import pyarrow.compute as _pc
 
         urls = urls.combine_chunks()
         n = len(urls)
@@ -322,19 +353,41 @@ class PairScorer:
             return [""] * n, [""] * n, [()] * n, [()] * n
         h = pl.from_arrow(pa.table({"url": urls})).hash_rows(seed=7).to_numpy()
         pos = np.minimum(np.searchsorted(self._phash, h), len(self._phash) - 1)
+        found = self._phash[pos] == h
         rows = self._prow[pos]
-        sub = self._ptable.take(pa.array(rows, pa.int64()))
-        hit = _pc.equal(sub["url"], urls).to_numpy(zero_copy_only=False)
-        texts = sub["text"].to_pylist()
-        cans = sub["canonical"].to_pylist()
-        hn = sub["house_nums"].to_pylist()
-        lt = sub["loc_toks"].to_pylist()
-        for i in np.flatnonzero(~hit):
-            texts[i] = ""
-            cans[i] = ""
-            hn[i] = ()
-            lt[i] = ()
-        return texts, cans, hn, lt
+        cache = self._row_cache
+        if len(cache) > self._CAP:
+            cache.clear()
+        need = [r for r in np.unique(rows[found]).tolist() if r not in cache]
+        if need:
+            idx = pa.array(need, pa.int64())
+            sub_urls = self._ptable["url"].take(idx).to_pylist()
+            sub_t = self._ptable["text"].take(idx).to_pylist()
+            sub_c = self._ptable["canonical"].take(idx).to_pylist()
+            sub_h = self._ptable["house_nums"].take(idx).to_pylist()
+            sub_l = self._ptable["loc_toks"].take(idx).to_pylist()
+            for j, r in enumerate(need):
+                cache[r] = (sub_urls[j], sub_t[j], sub_c[j], tuple(sub_h[j]), tuple(sub_l[j]))
+        e = self._EMPTY_ROW
+        url_list = urls.to_pylist()
+        rows_list = rows.tolist()
+        found_list = found.tolist()
+        out = []
+        for i in range(n):
+            if found_list[i]:
+                row = cache.get(rows_list[i])
+                # url equality guards 64-bit hash collisions: the cached
+                # row carries its url; a mismatch is a miss
+                if row is not None and row[0] == url_list[i]:
+                    out.append(row[1:])
+                    continue
+            out.append(e)
+        return (
+            [v[0] for v in out],
+            [v[1] for v in out],
+            [v[2] for v in out],
+            [v[3] for v in out],
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         url_a = batch["url_a"]
@@ -343,6 +396,19 @@ class PairScorer:
         if self._ptable is not None:
             text_a, can_a, house_a, loc_a = self._gather(url_a)
             text_b, can_b, house_b, loc_b = self._gather(url_b)
+        elif self.payload is not None and getattr(self, "_pdict4", False):
+            lut = self.payload
+            empty = ("", "", (), ())
+            pa_ = [lut.get(u, empty) for u in url_a.to_pylist()]
+            pb_ = [lut.get(u, empty) for u in url_b.to_pylist()]
+            text_a = [v[0] for v in pa_]
+            can_a = [v[1] for v in pa_]
+            house_a = [v[2] for v in pa_]
+            loc_a = [v[3] for v in pa_]
+            text_b = [v[0] for v in pb_]
+            can_b = [v[1] for v in pb_]
+            house_b = [v[2] for v in pb_]
+            loc_b = [v[3] for v in pb_]
         elif self.payload is not None:
             lut = self.payload
             empty = ("", "")
