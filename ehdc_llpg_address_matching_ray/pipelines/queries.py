@@ -843,7 +843,10 @@ def q_minhash_neardup(sf_dir: str) -> rd.Dataset:
     with hash_shuffle():
         docs = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(prep, batch_format="pyarrow")
         cfg = BlockingConfig(use_prefix_key=False)
-        pairs = B.build_blocks(docs, cfg).materialize()
+        # narrow path: this query emits only the id pair, so skip the
+        # pair-sized payload joins entirely (attach_payload ships full
+        # web text twice per pair — pure waste here)
+        pairs = B.build_blocks(docs, cfg, attach_payload=False).materialize()
     return pairs.map_batches(
         lambda b: pa.table(
             {
