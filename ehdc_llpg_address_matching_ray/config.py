@@ -106,6 +106,16 @@ class PipelineConfig:
     # P3 selector: "production" (P2 blend, the primary) or "alt" (the
     # engine package's alternative fuzzy blend, fuzzy.go:287-331)
     score_formula: str = "production"
+    # J6 ordered-cascade semantics (hierarchical_matcher.go:51-153): the
+    # reference tries blocking levels most-specific-first and STOPS at
+    # the first level that yields candidates ("break" at main loop
+    # :146-150).  When True, the fuzzy tier keeps, per source document,
+    # only candidates from its most specific shared key family
+    # (exact-prefix < phonetic-prefix < LSH band) before scoring.
+    # Default False = recall-favoring union of all key families (the
+    # round-1 approximation; strictly higher recall, lower precision
+    # ordering).
+    ordered_cascade: bool = False
     score_batch_size: int = 16384
     normalize_batch_size: int = 4096
     max_cluster_iters: int = 25   # label-prop fixpoint bound (O(log n) typical)

@@ -71,13 +71,36 @@ def token_shingles(tokens: list[str], k: int = 3) -> np.ndarray:
     return np.unique(acc)
 
 
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer: full-avalanche 64-bit mix (public constant
+    set, Steele et al. 2014).  uint64 wraparound is the intended mod-2^64
+    arithmetic."""
+    x = np.asarray(x, dtype=np.uint64).copy()
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
 def minhash_signature(shingle_codes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(num_perm,) uint64 signature; empty shingle set -> all p (sentinel)."""
+    """(num_perm,) uint64 signature; empty shingle set -> all p (sentinel).
+
+    Codes are avalanche-mixed BEFORE the linear universal hash: raw char
+    shingles are packed ASCII (< 2^24, heavily structured), and
+    (a*x + b) mod p over a small structured domain is piecewise linear
+    with only ~a*2^24/p wrap points — which breaks min-wise independence
+    (measured: sig agreement 0.30 for true J 0.92).  Mixing first spreads
+    codes uniformly over [0, 2^64) and restores the standard MinHash
+    estimator (agreement ≈ J up to fold collisions).
+    """
     if len(shingle_codes) == 0:
         return np.full(len(a), _P, dtype=np.uint64)
-    # fold codes below 2^24 so a*x fits in uint64 (a < 2^40, x < 2^24)
-    x = (shingle_codes % np.uint64((1 << 24) - 59))[None, :]  # (1, n)
-    hashed = (a[:, None] * x + b[:, None]) % _P               # (num_perm, n)
+    # mix, then fold below 2^24 so a*x fits in uint64 (a < 2^40, x < 2^24)
+    x = (_mix64(shingle_codes) % np.uint64((1 << 24) - 59))[None, :]  # (1, n)
+    hashed = (a[:, None] * x + b[:, None]) % _P                       # (num_perm, n)
     return hashed.min(axis=1)
 
 

@@ -225,11 +225,23 @@ def _run_match_inner(
     both = src_keys.union(gaz_keyed)
     part = partition_by_key(both, ["block_key"], P, sort=False)
 
+    # J6 cascade level per key COLUMN, most specific first
+    # (hierarchical_matcher.go:52-108 orders levels postcode+house →
+    # locality): exact-prefix key = 0, phonetic-prefix = 1, LSH bands = 2.
+    # Key columns are ordered [bands..., exact_pk, phon_pk] (BandKeyEmitter).
+    def _col_levels(nk: int) -> np.ndarray:
+        lv = np.full(nk, 2, dtype=np.int64)
+        if cfg.blocking.use_prefix_key and nk >= 2:
+            lv[-2] = 0
+            lv[-1] = 1
+        return lv
+
     def bipartite_pairs(batch: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "src_id": pa.array([], pa.string()),
                 "gaz_id": pa.array([], pa.string()),
+                "level": pa.array([], pa.int64()),
                 "dropped_candidates": pa.array([], pa.int64()),
             }
         )
@@ -246,7 +258,8 @@ def _run_match_inner(
         boundaries = np.flatnonzero(np.diff(bk)) + 1
         starts = np.concatenate([[0], boundaries])
         ends = np.concatenate([boundaries, [len(bk)]])
-        out_s, out_g = [], []
+        col_lv = _col_levels(nk)
+        out_s, out_g, out_lv = [], [], []
         dropped = 0
         for s0, e0 in zip(starts, ends):
             sm = side[s0:e0] == "s"
@@ -269,18 +282,16 @@ def _run_match_inner(
             keep = shared.argmax(axis=1) == cur
             out_s.append(ii[keep])
             out_g.append(jj[keep])
+            # pair's cascade level = most specific (min) level among ALL
+            # shared key columns — global info carried by the full key
+            # vectors, so it is identical no matter which block keeps the
+            # pair under the first-shared-key rule
+            out_lv.append(np.where(shared[keep], col_lv[None, :], 99).min(axis=1))
         if not out_s or not any(len(x) for x in out_s):
-            if dropped:
-                return pa.table(
-                    {
-                        "src_id": pa.array([""], pa.string()),
-                        "gaz_id": pa.array([""], pa.string()),
-                        "dropped_candidates": pa.array([dropped], pa.int64()),
-                    }
-                ).slice(0, 0)
             return empty
         ii = np.concatenate(out_s)
         jj = np.concatenate(out_g)
+        lv = np.concatenate(out_lv)
         ids = batch["id"].combine_chunks() if isinstance(batch["id"], pa.ChunkedArray) else batch["id"]
         dcol = np.zeros(len(ii), dtype=np.int64)
         dcol[0] = dropped
@@ -288,6 +299,7 @@ def _run_match_inner(
             {
                 "src_id": pc.take(ids, pa.array(ii)),
                 "gaz_id": pc.take(ids, pa.array(jj)),
+                "level": pa.array(lv, pa.int64()),
                 "dropped_candidates": pa.array(dcol, pa.int64()),
             }
         )
@@ -319,6 +331,32 @@ def _run_match_inner(
             "fuzzy": fuzzy,
             "matches": matches,
         }
+    if cfg.ordered_cascade:
+        # J6 break-at-first-hit (hierarchical_matcher.go:146-150): keep,
+        # per source document, only candidates from its most specific
+        # shared key family.  One narrow keyed exchange on
+        # (src_id, gaz_id, level) — the partition owns every candidate of
+        # a src, so the min is exact; less specific candidates are never
+        # scored, matching the reference's per-document level loop.
+        def _min_level_filter(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return b
+            df = b.to_pandas()
+            keep = df["level"] == df.groupby("src_id")["level"].transform("min")
+            dropped_total = int(df["dropped_candidates"].sum())
+            out = df[keep].reset_index(drop=True)
+            out["dropped_candidates"] = 0
+            if len(out):
+                out.loc[0, "dropped_candidates"] = dropped_total
+            return pa.Table.from_pandas(out, preserve_index=False).cast(b.schema)
+
+        cand = (
+            partition_by_key(cand, ["src_id"], P, sort=False)
+            .map_batches(_min_level_filter, batch_format="pyarrow", batch_size=None)
+            .materialize()
+        )
+        n_cand = max(1, cand.count())
+
     # exact block count <= row count guarantees NO empty blocks: ray
     # 2.49's hash-join schema broadcast breaks when a join input's FIRST
     # block is empty ("No match or multiple matches for key field")

@@ -122,3 +122,72 @@ class TestCorrections:
         assert out.loc["b", "matched_id"] == "9" and out.loc["b", "decision"] == "auto_accept"
         assert out.loc["c", "matched_id"] == "7" and out.loc["c", "method"] == "corrected"
         assert out.loc["b", "score"] == 1.0
+
+class TestOrderedCascade:
+    """J6 break-at-first-hit semantics (hierarchical_matcher.go:51-153):
+    with ordered_cascade=True a source keeps only candidates from its
+    most specific shared key family; less specific ones are not scored."""
+
+    @staticmethod
+    def _run(ordered: bool):
+        import dataclasses
+
+        gaz = rd.from_arrow(
+            pa.table(
+                {
+                    "uprn": ["A", "B"],
+                    "full_address": [
+                        "12 Main Street Springfield",
+                        # shares char-shingle band keys with the source but
+                        # NOT its 2-token exact/phonetic prefix
+                        "The Cottage 12 Main Street Springfield",
+                    ],
+                }
+            )
+        )
+        src = rd.from_arrow(
+            pa.table({"src_id": ["s1"], "raw_address": ["12 Main Street Springfeild"]})
+        )
+        cfg = dataclasses.replace(PipelineConfig(), ordered_cascade=ordered)
+        return run_match(src, gaz, cfg)
+
+    def test_union_scores_both_families(self, ray_session):
+        scored = self._run(ordered=False)["scored"].to_pandas()
+        assert set(scored["url_b"]) == {"A", "B"}
+
+    def test_ordered_keeps_most_specific_only(self, ray_session):
+        scored = self._run(ordered=True)["scored"].to_pandas()
+        # prefix-family (level 0) hit on A wins; the band-only (level 2)
+        # candidate B is never scored
+        assert set(scored["url_b"]) == {"A"}
+
+    def test_ordered_cascade_end_to_end(self, ray_session):
+        """Full-corpus regression: ordered mode still decides every source
+        once and holds the precision gate."""
+        import dataclasses
+
+        pages, truth, _ = generate_corpus(n_entities=40, seed=11)
+        pdf = pages.to_pandas().merge(truth.to_pandas(), on="url")
+        pristine = pdf.url.str.endswith("/00")
+        gaz = rd.from_arrow(
+            pa.Table.from_pandas(
+                pdf[pristine][["entity_id", "text"]].rename(
+                    columns={"entity_id": "uprn", "text": "full_address"}
+                ),
+                preserve_index=False,
+            )
+        )
+        srcs = pdf[~pristine][["url", "text", "entity_id"]].rename(
+            columns={"url": "src_id", "text": "raw_address"}
+        )
+        src_ds = rd.from_arrow(
+            pa.Table.from_pandas(srcs[["src_id", "raw_address"]], preserve_index=False)
+        )
+        cfg = dataclasses.replace(PipelineConfig(), ordered_cascade=True)
+        out = run_match(src_ds, gaz, cfg)
+        m = out["matches"].to_pandas()
+        assert m["src_id"].is_unique
+        acc = m[m.decision == "auto_accept"].merge(srcs[["src_id", "entity_id"]], on="src_id")
+        assert len(acc) > 0
+        precision = (acc.matched_id.astype(str) == acc.entity_id.astype(str)).mean()
+        assert precision >= 0.99, f"ordered-cascade precision {precision:.4f}"
