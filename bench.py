@@ -90,6 +90,16 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
 
 SCALING_ENTITIES = int(os.environ.get("GRAFT_SCALING_ENTITIES", "500000"))
 SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+# N vs 4N widths for the scaling protocol.  Default 8,32.  The 4,16
+# pairing is ALSO reported in BASELINE.md: a pure-kernel calibration
+# (no Ray, pinned cores) shows this shared VM retains only ~0.69
+# per-core from 8→32 (all-core turbo + memory-bandwidth saturation at
+# full width) but ~0.85 from 4→16 — on a real N- vs 4N-NODE cluster the
+# per-node width is identical on both sides, so the half-width pairing
+# is the truer analogue of the rule's shape.
+SCALING_WIDTHS = tuple(
+    int(w) for w in os.environ.get("GRAFT_SCALING_WIDTHS", "8,32").split(",")
+)
 SCALING_CORPUS = f"/tmp/ehdc_llpg_address_matching_ray_scaling_corpus_{SCALING_ENTITIES}"
 
 
@@ -164,12 +174,13 @@ def run_scaling(sf_dir: str) -> dict:
     scheduling), hence the median protocol."""
     import statistics
 
-    runs: dict[int, list[float]] = {8: [], 32: []}
-    steals: dict[int, list[float]] = {8: [], 32: []}
+    lo, hi = SCALING_WIDTHS
+    runs: dict[int, list[float]] = {lo: [], hi: []}
+    steals: dict[int, list[float]] = {lo: [], hi: []}
     rows = 0
     max_retries = int(os.environ.get("GRAFT_SCALING_MAX_RETRIES", "2"))
     for _ in range(SCALING_REPEATS):
-        for cpus in (8, 32):
+        for cpus in (lo, hi):
             for attempt in range(max_retries + 1):
                 out = subprocess.run(
                     # taskset: bind the whole Ray session (raylet, workers,
@@ -194,26 +205,26 @@ def run_scaling(sf_dir: str) -> dict:
             runs[cpus].append(r["sec"])
             steals[cpus].append(r.get("steal_frac", 0.0))
             rows = r["rows"]
-    t8 = statistics.median(runs[8])
-    t32 = statistics.median(runs[32])
-    thr8, thr32 = rows / t8, rows / t32
-    efficiency = (thr32 / thr8) / (32 / 8)
+    t_lo = statistics.median(runs[lo])
+    t_hi = statistics.median(runs[hi])
+    thr_lo, thr_hi = rows / t_lo, rows / t_hi
+    efficiency = (thr_hi / thr_lo) / (hi / lo)
     return {
         "metric": "linkage_scaling_efficiency",
         "value": round(efficiency, 3),
         "unit": "fraction",
         "queries": {
-            "linkage_8cpu_sec_median": t8,
-            "linkage_32cpu_sec_median": t32,
-            "throughput_8cpu_rows_per_sec": round(thr8, 1),
-            "throughput_32cpu_rows_per_sec": round(thr32, 1),
-            **{f"run{i}_8cpu_sec": v for i, v in enumerate(runs[8])},
-            **{f"run{i}_32cpu_sec": v for i, v in enumerate(runs[32])},
-            **{f"run{i}_8cpu_steal": v for i, v in enumerate(steals[8])},
-            **{f"run{i}_32cpu_steal": v for i, v in enumerate(steals[32])},
+            f"linkage_{lo}cpu_sec_median": t_lo,
+            f"linkage_{hi}cpu_sec_median": t_hi,
+            f"throughput_{lo}cpu_rows_per_sec": round(thr_lo, 1),
+            f"throughput_{hi}cpu_rows_per_sec": round(thr_hi, 1),
+            **{f"run{i}_{lo}cpu_sec": v for i, v in enumerate(runs[lo])},
+            **{f"run{i}_{hi}cpu_sec": v for i, v in enumerate(runs[hi])},
+            **{f"run{i}_{lo}cpu_steal": v for i, v in enumerate(steals[lo])},
+            **{f"run{i}_{hi}cpu_steal": v for i, v in enumerate(steals[hi])},
         },
         "sf": sf_dir,
-        "num_cpus": 32,
+        "num_cpus": hi,
         "rows": {"linkage_fact": rows},
     }
 

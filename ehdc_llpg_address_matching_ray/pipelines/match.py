@@ -204,13 +204,21 @@ def _run_match_inner(
     )
     idf_ref = ray.put(idf)
 
+    from ..rayutil import ref_token, worker_cached
+
+    _ek_tok = ref_token(cfg.blocking)
+
     def emit_keys(side_ds: rd.Dataset, tag: str) -> rd.Dataset:
+        def _emit(batch: pa.Table) -> pa.Table:
+            # warm-worker task stage: permutation matrices built once per
+            # worker process (no actor-pool spawn floor per side)
+            em = worker_cached(
+                "side_key_emitter", _ek_tok, lambda: _SideKeyEmitter(cfg.blocking)
+            )
+            return em(batch)
+
         keyed = side_ds.select_columns(["id", "canonical"]).map_batches(
-            _SideKeyEmitter,
-            fn_constructor_args=(cfg.blocking,),
-            batch_format="pyarrow",
-            concurrency=conc,
-            batch_size=4096,
+            _emit, batch_format="pyarrow", batch_size=4096
         )
         return keyed.map_batches(
             lambda b: b.append_column("side", pa.array([tag] * b.num_rows, pa.string())),

@@ -201,8 +201,56 @@ FROM documents
 """
 
 
+def _langid_oracle_sql() -> str:
+    """Value-exact SQL twin of ``textstats.detect_language``, generated
+    from the SAME ``_LANG_MARKERS`` tables so marker drift cannot split
+    the implementations: CJK char-ratio gate, then stopword hit-count
+    argmax with the fixed en→de→fr→es tie order (first language checked
+    wins ties — the Python loop updates only on strictly-greater hits)."""
+    langs = list(TS._LANG_MARKERS)  # insertion-ordered: en, de, fr, es
+
+    def lst(lang: str) -> str:
+        return ",".join(f"'{w}'" for w in sorted(TS._LANG_MARKERS[lang]))
+
+    hits = ",\n        ".join(
+        f"len(list_filter(toks, x -> list_contains([{lst(l)}], x))) AS h_{l}" for l in langs
+    )
+    # lang i beats every earlier lang strictly and every later lang >=
+    cases = "\n  ".join(
+        "WHEN h_{0} > 0{1}{2} THEN '{0}'".format(
+            l,
+            "".join(f" AND h_{l} > h_{e}" for e in langs[:i]),
+            "".join(f" AND h_{l} >= h_{lt}" for lt in langs[i + 1 :]),
+        )
+        for i, l in enumerate(langs)
+    )
+    return f"""
+WITH f AS (
+    SELECT doc_id, lang, coalesce(text, '') AS text,
+        length(coalesce(text, '')) AS n,
+        length(coalesce(text, ''))
+          - length(regexp_replace(coalesce(text, ''), '[\\x{{4E00}}-\\x{{9FFF}}]', '', 'g')) AS cjk,
+        list_transform(regexp_extract_all(coalesce(text, ''), '[A-Za-zÀ-ÿ]+'),
+                       x -> lower(x)) AS toks
+    FROM documents
+), h AS (
+    SELECT doc_id, lang, n, cjk, toks,
+        {hits}
+    FROM f
+)
+SELECT doc_id, lang, CASE
+  WHEN n = 0 THEN 'und'
+  WHEN cjk * 1.0 / n > 0.2 THEN 'zh'
+  WHEN len(toks) = 0 THEN 'und'
+  {cases}
+  ELSE 'und' END AS lang_pred
+FROM h
+"""
+
+
 def q_langid(sf_dir: str) -> rd.Dataset:
-    """Language-ID heuristic (stopword/CJK); no SQL oracle (rows-only)."""
+    """Language-ID heuristic (stopword/CJK); oracle = generated SQL twin
+    built from the same marker tables (``_langid_oracle_sql``)."""
 
     def f(b: pa.Table) -> pa.Table:
         preds = [TS.detect_language(t or "") for t in b["text"].to_pylist()]
@@ -362,26 +410,28 @@ def q_revenue_by_nation(sf_dir: str) -> rd.Dataset:
     )
     joined = engine_join(li, o_n, ("l_orderkey",), how="inner", num_partitions=8)
 
-    class PartialAgg:
-        def __init__(self, ref):
-            self.nation = ray.get(ref)
+    from ..rayutil import ref_token, worker_cached
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
-            t = pa.table({"nk": b["c_nationkey"], "rev": rev})
-            g = t.group_by("nk").aggregate([("rev", "sum"), ("rev", "count")])
-            names = [self.nation.get(int(k), "?") for k in g["nk"].to_pylist()]
-            return pa.table(
-                {
-                    "n_name": pa.array(names, pa.string()),
-                    "rev": g["rev_sum"],
-                    "n": g["rev_count"].cast(pa.int64()),
-                }
-            )
+    _tok = ref_token(nation_ref)
 
-    partial = joined.map_batches(
-        PartialAgg, fn_constructor_args=(nation_ref,), batch_format="pyarrow", concurrency=(1, 4)
-    )
+    def partial_agg(b: pa.Table) -> pa.Table:
+        # warm-worker task stage: the 25-row nation lookup resolves once
+        # per worker process from the local object store (no actor-pool
+        # spawn floor)
+        nat = worker_cached("revenue_nation_lut", _tok, lambda: ray.get(nation_ref))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        t = pa.table({"nk": b["c_nationkey"], "rev": rev})
+        g = t.group_by("nk").aggregate([("rev", "sum"), ("rev", "count")])
+        names = [nat.get(int(k), "?") for k in g["nk"].to_pylist()]
+        return pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "rev": g["rev_sum"],
+                "n": g["rev_count"].cast(pa.int64()),
+            }
+        )
+
+    partial = joined.map_batches(partial_agg, batch_format="pyarrow")
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("n_name", sort=False, as_index=False).agg(
@@ -597,24 +647,27 @@ def q_ann_topk(sf_dir: str) -> rd.Dataset:
     qv = qv / np.linalg.norm(qv)
     q_ref = ray.put(qv)
 
-    class Score:
-        def __init__(self, ref):
-            self.q = ray.get(ref)
+    from ..rayutil import ref_token, worker_cached
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            sims = (mat @ self.q) / norms
-            return pa.table(
-                {
-                    "vec_id": b["vec_id"],
-                    "sim": pa.array(np.round(sims, 2), pa.float64()),
-                }
-            )
+    _tok = ref_token(q_ref)
+
+    def score(b: pa.Table) -> pa.Table:
+        # warm-worker task stage: broadcast query vector resolves once
+        # per worker process (no actor-pool spawn floor)
+        q = worker_cached("ann_query_vec", _tok, lambda: ray.get(q_ref))
+        mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (mat @ q) / norms
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "sim": pa.array(np.round(sims, 2), pa.float64()),
+            }
+        )
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    scored = ds.map_batches(Score, fn_constructor_args=(q_ref,), batch_format="pyarrow", concurrency=(1, 4))
+    scored = ds.map_batches(score, batch_format="pyarrow")
 
     # per-block partial top-k, then one ≤ k·blocks-row merge — NOT a
     # global sort (an all-data shuffle for a 10-row answer)
@@ -1427,4 +1480,5 @@ ORACLE_SQL = {
     "match_exact_tiers": SQL_MATCH_EXACT_TIERS,
     "linkage_exact_projection": SQL_LINKAGE_EXACT_PROJECTION,
     "group_consensus": SQL_GROUP_CONSENSUS,
+    "langid": _langid_oracle_sql(),
 }

@@ -116,3 +116,42 @@ class TestTextStats:
         f2 = TS.winnow_fingerprint(t)
         assert f1 == f2 and len(f1) > 0
         assert TS.winnow_fingerprint("") == []
+
+
+class TestMinWiseIndependence:
+    """Regression gate for the structured-domain bias fix: char-shingle
+    codes are packed ASCII, and an unmixed linear universal hash over
+    that domain broke min-wise independence (sig agreement 0.30 at true
+    J 0.92).  These tests pin the estimator quality on REAL text codes,
+    not random ones."""
+
+    def test_signature_agreement_tracks_jaccard_on_text(self):
+        a, b = M.make_perms(512, seed=1)
+        t1 = "12 MAIN STREET SPRINGFEILD"
+        t2 = "A 12 MAIN STREET SPRINGFEILD"
+        s1, s2 = M.char_shingles(t1), M.char_shingles(t2)
+        true_j = len(np.intersect1d(s1, s2)) / len(np.union1d(s1, s2))
+        sig1 = M.minhash_signature(s1, a, b)
+        sig2 = M.minhash_signature(s2, a, b)
+        agree = float((sig1 == sig2).mean())
+        assert agree == pytest.approx(true_j, abs=0.08), (
+            f"min-wise bias: agreement {agree:.3f} vs J {true_j:.3f}"
+        )
+
+    def test_band_recall_at_production_config(self):
+        """P(>=1 shared band) for J~0.9 pairs must be near the nominal
+        1-(1-J^r)^b (r=4, b=8 -> ~0.999); the biased hash measured ~0."""
+        from ehdc_llpg_address_matching_ray.config import BlockingConfig
+        from ehdc_llpg_address_matching_ray.stages.blocking import BandKeyEmitter
+
+        em = BandKeyEmitter(BlockingConfig())
+        bases = [
+            f"{n} CHURCH ROAD UPPER FARRINGDON ALTON HAMPSHIRE GU{n % 35} 4E{n % 10}"
+            for n in range(40)
+        ]
+        variants = [t.replace("CHURCH", "CHRUCH") for t in bases]
+        K1 = em.key_matrix(bases)
+        K2 = em.key_matrix(variants)
+        nb = BlockingConfig().num_bands
+        hit = np.mean([(K1[i][:nb] == K2[i][:nb]).any() for i in range(len(bases))])
+        assert hit >= 0.9, f"LSH band recall {hit:.2f} at production config"
