@@ -257,9 +257,82 @@ def run_bench_steal_guarded(sf_dir: str, num_cpus: int, names: list[str]) -> dic
     return second if second["value"] < first["value"] else first
 
 
+def _calibrate_worker(args):
+    """One pinned worker scoring synthetic pairs with the production
+    kernels (no Ray): measures what the BOX delivers per core."""
+    wid, n_pairs, canon = args
+    import numpy as np
+
+    os.sched_setaffinity(0, {wid % (os.cpu_count() or 32)})
+    from ehdc_llpg_address_matching_ray.functions import strings as S
+    from ehdc_llpg_address_matching_ray.stages.scoring import PairScorer
+
+    sc = PairScorer()
+    rng = np.random.RandomState(wid)
+    done = 0
+    t0 = time.time()
+    while done < n_pairs:
+        m = min(16384, n_pairs - done)
+        ia = rng.randint(0, len(canon), m)
+        ib = (ia + rng.randint(0, 5, m)) % len(canon)
+        ca = [canon[i] for i in ia]
+        cb = [canon[i] for i in ib]
+        S.jaro_winkler_batch([c[:64] for c in ca], [c[:64] for c in cb])
+        [sc._overlap_pair(a, b) for a, b in zip(ca, cb)]
+        [sc._tfidf_pair(a, b) for a, b in zip(ca, cb)]
+        done += m
+    return time.time() - t0
+
+
+def run_calibrate() -> dict:
+    """Hardware-ceiling calibration for the scaling criterion: run the
+    production scoring kernels (the pipeline's dominant stage) as PURE
+    pinned multiprocessing — no Ray, no shuffle, no object store — at
+    each width, and report per-core retention between widths.  Any
+    efficiency lost HERE is the shared VM's all-core frequency / memory
+    bandwidth / co-tenancy, not engine overhead; end-to-end efficiency
+    divided by this ceiling isolates the engine's own scaling."""
+    import multiprocessing as mp
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ehdc_llpg_address_matching_ray.functions.normalize import canonical_address
+    from ehdc_llpg_address_matching_ray.sources.corpus import write_corpus
+
+    d = write_corpus(SCALING_CORPUS, n_entities=SCALING_ENTITIES, seed=42, shards=32)
+    t = pq.read_table(os.path.join(d, "pages"), columns=["text"]).slice(0, 12000)
+    canon = [canonical_address(x or "")[0][:64] for x in t["text"].to_pylist()]
+    pairs_per = int(os.environ.get("GRAFT_CALIBRATE_PAIRS", "400000"))
+    widths = [int(w) for w in os.environ.get("GRAFT_CALIBRATE_WIDTHS", "4,8,16,32").split(",")]
+    per_core: dict[int, float] = {}
+    for w in widths:
+        with mp.get_context("spawn").Pool(w) as pool:
+            t0 = time.time()
+            pool.map(_calibrate_worker, [(i, pairs_per, canon) for i in range(w)])
+            wall = time.time() - t0
+        per_core[w] = w * pairs_per / wall / w
+    out = {
+        "metric": "kernel_percore_pairs_per_sec",
+        "widths": {str(w): round(v, 1) for w, v in per_core.items()},
+        "retention": {
+            f"{a}->{b}": round(per_core[b] / per_core[a], 3)
+            for a, b in zip(widths, widths[1:] + widths[:0])
+            if b > a
+        },
+    }
+    for a in widths:
+        for b in widths:
+            if b == 4 * a and a in per_core and b in per_core:
+                out["retention"][f"{a}->{b}"] = round(per_core[b] / per_core[a], 3)
+    return out
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--single":
         print(json.dumps(run_single(SF_DIR, int(sys.argv[2]))))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--calibrate":
+        print(json.dumps(run_calibrate()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling(SF_DIR)))
     else:

@@ -141,6 +141,84 @@ def batch_band_keys(
     return out
 
 
+_BBK_CHUNK = 256  # texts per internal chunk: keeps the (num_perm, S)
+# hash matrix cache-resident (~0.5 MB at 32 perms x ~60 shingles/text);
+# 1024+ spills it and runs ~10x slower (measured)
+
+
+def batch_band_keys_char(
+    texts: list[str], a: np.ndarray, b: np.ndarray, num_bands: int, k: int = 3
+) -> np.ndarray:
+    """Fully vectorized char-shingle variant of :func:`batch_band_keys`
+    (value-identical, parity-tested): ONE concatenated byte buffer for
+    the whole batch, window codes gathered with k shifted index vectors,
+    one (num_perm, total_shingles) universal-hash matrix, and per-text
+    signature minima via ``np.minimum.reduceat`` — no per-text Python.
+
+    The scalar path loops char_shingles→signature→band_keys per text
+    (~200 us/text of numpy call overhead on ~50-shingle web canonicals);
+    at ~1M reps that loop was ~6 s of the flagship's pairs stage at 32
+    CPUs.  Duplicate shingles are NOT deduped here: a duplicate cannot
+    change a minimum, so ``np.unique`` per text is pure overhead.
+    """
+    n = len(texts)
+    out = np.empty((n, num_bands), dtype=np.uint64)
+    if n == 0:
+        return out
+    if n > _BBK_CHUNK:
+        for i in range(0, n, _BBK_CHUNK):
+            out[i : i + _BBK_CHUNK] = batch_band_keys_char(
+                texts[i : i + _BBK_CHUNK], a, b, num_bands, k
+            )
+        return out
+
+    num_perm = len(a)
+    # pad 1..k-1-byte texts to k with NULs (char_shingles semantics:
+    # short-but-nonempty texts emit exactly one padded shingle)
+    encoded = []
+    for t in texts:
+        bs = (t or "").encode("utf-8")
+        if 0 < len(bs) < k:
+            bs = bs + b"\x00" * (k - len(bs))
+        encoded.append(bs)
+    plens = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=n)
+    n_sh = np.maximum(plens - (k - 1), 0)  # shingles per text (0 for empty)
+    total = int(n_sh.sum())
+
+    # signatures default to the empty-set sentinel (all p)
+    sig = np.full((n, num_perm), _P, dtype=np.uint64)
+    if total:
+        flat = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.uint64)
+        offs = np.concatenate(([0], np.cumsum(plens)[:-1]))
+        live = n_sh > 0
+        # global window-start indices: per live text, n_sh consecutive
+        # positions beginning at its buffer offset
+        starts = (
+            np.arange(total)
+            - np.repeat(np.concatenate(([0], np.cumsum(n_sh[live])[:-1])), n_sh[live])
+            + np.repeat(offs[live], n_sh[live])
+        )
+        codes = np.zeros(total, dtype=np.uint64)
+        for j in range(k):
+            codes = (codes << np.uint64(8)) | flat[starts + j]
+        x = _mix64(codes) % np.uint64((1 << 24) - 59)
+        hashed = (a[:, None] * x[None, :] + b[:, None]) % _P  # (num_perm, total)
+        seg = np.concatenate(([0], np.cumsum(n_sh[live])[:-1]))
+        sig[live] = np.minimum.reduceat(hashed, seg, axis=1).T
+
+    # band fold, vectorized over all rows (identical to band_keys)
+    rows = num_perm // num_bands
+    bands = sig[:, : num_bands * rows].reshape(n, num_bands, rows)
+    acc = np.broadcast_to(
+        _FNV_OFFSET + np.arange(1, num_bands + 1, dtype=np.uint64), (n, num_bands)
+    ).copy()
+    with np.errstate(over="ignore"):
+        for j in range(rows):
+            acc = (acc ^ bands[:, :, j]) * _FNV_PRIME
+    out[:] = acc >> np.uint64(1)
+    return out
+
+
 def string_key(s: str) -> int:
     """Deterministic 63-bit FNV-1a key of a string, namespaced with a
     "PK:" prefix so composite prefix-token keys virtually never collide

@@ -53,12 +53,20 @@ class BandKeyEmitter:
     def __init__(self, cfg: BlockingConfig):
         self.cfg = cfg
         self.a, self.b = MH.make_perms(cfg.num_perm, cfg.seed)
+        # per-emitter caches (emitters are worker-cached, so these warm
+        # once per worker): prefix strings repeat heavily across page
+        # variants of an entity, and metaphone/FNV are per-byte Python
+        self._pk_cache: dict[str, tuple[int, int]] = {}
 
     def key_matrix(self, texts: list[str]) -> np.ndarray:
         """(n, nk) int64 key matrix: LSH band keys + optional prefix keys."""
         cfg = self.cfg
         if cfg.char_shingles:
-            keys = MH.batch_band_keys(texts, self.a, self.b, cfg.num_bands, cfg.shingle_size)
+            # vectorized whole-batch path (value-identical to the scalar
+            # loop, parity-tested; ~9x faster on ~60-shingle canonicals)
+            keys = MH.batch_band_keys_char(
+                texts, self.a, self.b, cfg.num_bands, cfg.shingle_size
+            )
         else:
             token_lists = [t.split(" ") if t else [] for t in texts]
             keys = MH.batch_band_keys(
@@ -74,16 +82,27 @@ class BandKeyEmitter:
             exact_pk = np.empty(n, dtype=np.int64)
             phon_pk = np.empty(n, dtype=np.int64)
             k = cfg.prefix_tokens
+            cache = self._pk_cache
+            if len(cache) > 1_000_000:  # bound worker heap
+                cache.clear()
             for i, t in enumerate(texts):
                 if not t:
                     exact_pk[i] = 0
                     phon_pk[i] = 0
                     continue
-                toks = t.split(" ")[:k]
-                exact_pk[i] = MH.string_key(" ".join(toks))
-                phon_pk[i] = MH.string_key(
-                    "PH|" + " ".join(tok if tok.isdigit() else PH.metaphone(tok) for tok in toks)
-                )
+                key = " ".join(t.split(" ")[:k])
+                hit = cache.get(key)
+                if hit is None:
+                    toks = key.split(" ")
+                    e = MH.string_key(key)
+                    p = MH.string_key(
+                        "PH|"
+                        + " ".join(tok if tok.isdigit() else PH.metaphone(tok) for tok in toks)
+                    )
+                    hit = (e, p)
+                    cache[key] = hit
+                exact_pk[i] = hit[0]
+                phon_pk[i] = hit[1]
             keys = np.concatenate([keys, exact_pk[:, None], phon_pk[:, None]], axis=1)
         return keys
 
@@ -143,36 +162,54 @@ def enumerate_block_pairs(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
     out_b: list[np.ndarray] = []
     dropped_total = 0
 
-    for s, e in zip(starts, ends):
-        m = e - s
-        if m < 2:
-            continue
-        if m <= cap:
-            iu, il = np.triu_indices(m, k=1)
-        else:
-            iu_l, il_l = [], []
-            kept = 0
-            for cs in range(0, m, cap):
-                cm = min(cap, m - cs)
-                if cm < 2:
-                    continue
-                a_, b_ = np.triu_indices(cm, k=1)
-                iu_l.append(a_ + cs)
-                il_l.append(b_ + cs)
-                kept += cm * (cm - 1) // 2
-            iu = np.concatenate(iu_l) if iu_l else np.empty(0, dtype=int)
-            il = np.concatenate(il_l) if il_l else np.empty(0, dtype=int)
-            dropped_total += m * (m - 1) // 2 - kept
-
-        if len(iu) == 0:
-            continue
-        Ka, Kb = K[s + iu], K[s + il]
+    def _keep_pairs(ia: np.ndarray, ib: np.ndarray, keyvals: np.ndarray) -> None:
+        """first-shared-key rule over flat global index vectors."""
+        Ka, Kb = K[ia], K[ib]
         shared = Ka == Kb  # (p, nk)
-        cur = ((Ka == bk[s]) & (Kb == bk[s])).argmax(axis=1)
+        cur = ((Ka == keyvals[:, None]) & (Kb == keyvals[:, None])).argmax(axis=1)
         keep = shared.argmax(axis=1) == cur
         if keep.any():
-            out_a.append(s + iu[keep])
-            out_b.append(s + il[keep])
+            out_a.append(ia[keep])
+            out_b.append(ib[keep])
+
+    # size-class batching: one vectorized triu-broadcast per distinct
+    # block size instead of a Python iteration per block (block counts
+    # run to millions per partition; sizes only to max_block_size).
+    sizes = ends - starts
+    multi = sizes >= 2
+    small = multi & (sizes <= cap)
+    for m in np.unique(sizes[small]):
+        blk = starts[small & (sizes == m)]
+        iu, il = np.triu_indices(int(m), k=1)
+        p_m = len(iu)
+        # chunk the block list so the flattened (B_chunk * p_m, nk) key
+        # gathers stay cache-friendly
+        step = max(1, 200_000 // max(1, p_m))
+        for cs in range(0, len(blk), step):
+            bc = blk[cs : cs + step]
+            ia = (bc[:, None] + iu[None, :]).ravel()
+            ib = (bc[:, None] + il[None, :]).ravel()
+            _keep_pairs(ia, ib, np.repeat(bk[bc], p_m))
+
+    # oversized blocks: salted contiguous chunks, dropped cross-chunk
+    # coverage accounted (rare — loop per block is fine)
+    for s, e in zip(starts[sizes > cap], ends[sizes > cap]):
+        m = e - s
+        iu_l, il_l = [], []
+        kept = 0
+        for cs in range(0, m, cap):
+            cm = min(cap, m - cs)
+            if cm < 2:
+                continue
+            a_, b_ = np.triu_indices(cm, k=1)
+            iu_l.append(a_ + cs)
+            il_l.append(b_ + cs)
+            kept += cm * (cm - 1) // 2
+        dropped_total += m * (m - 1) // 2 - kept
+        if iu_l:
+            iu = np.concatenate(iu_l)
+            il = np.concatenate(il_l)
+            _keep_pairs(s + iu, s + il, np.full(len(iu), bk[s]))
 
     if not out_a:
         if dropped_total:

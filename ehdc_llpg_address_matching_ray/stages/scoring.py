@@ -262,6 +262,9 @@ class PairScorer:
         # so token vectors / sets are computed once per TEXT, not per pair
         self._vec_cache: dict[str, tuple[dict, float]] = {}
         self._set_cache: dict[str, tuple[frozenset, tuple]] = {}
+        # vectorized-path caches (see _tok_entry / _ts_tf_batch)
+        self._entry_cache: dict[str, tuple] = {}
+        self._tok_ids: dict[str, int] = {}
 
     def _tok_vec(self, canon: str) -> tuple[dict, float]:
         """idf-weighted term vector + L2 norm, cached per canonical text."""
@@ -305,6 +308,106 @@ class PairScorer:
         if dot == 0.0 or na == 0.0 or nb == 0.0:
             return 0.0
         return dot / (na * nb)
+
+    def _tok_entry(self, canon: str):
+        """Vectorized-path per-text cache: sorted unique token-id array,
+        aligned idf weights (count x idf), L2 norm, set size.  Token ids
+        come from a per-worker grow-only dict (< 2^32 entries)."""
+        v = self._entry_cache.get(canon)
+        if v is None:
+            if len(self._entry_cache) > self._CAP:
+                self._entry_cache.clear()
+            ids_map = self._tok_ids
+            cnt = Counter(canon.split(" ")) if canon else Counter()
+            n_set = len(cnt)
+            ids = np.empty(n_set, dtype=np.uint64)
+            w = np.empty(n_set, dtype=np.float64)
+            for j, (t, c) in enumerate(cnt.items()):
+                tid = ids_map.get(t)
+                if tid is None:
+                    tid = len(ids_map)
+                    ids_map[t] = tid
+                ids[j] = tid
+                w[j] = c * self.idf.get(t, self.default_idf)
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            w = w[order]
+            norm = math.sqrt(float((w * w).sum()))
+            v = (ids, w, norm, n_set)
+            self._entry_cache[canon] = v
+        return v
+
+    def _ts_tf_batch(self, can_a: list[str], can_b: list[str]):
+        """Batched token-set ratio + TF-IDF cosine via ONE packed
+        sort-merge: entries (pair_idx << 32 | token_id) from both sides
+        are sorted; an equal adjacent duo is a cross-side token match
+        (per-side ids are unique), yielding both the intersection count
+        and the dot product without a per-pair Python loop.  Pairs whose
+        containment is unsaturated AND that have fuzzy-eligible leftover
+        tokens still take the scalar DL-1 rescue (exact semantics of
+        ``_overlap_pair``); everything else is pure numpy.
+
+        Parity: intersection counts are integers (exact); the dot is the
+        same multiset of float products, summed by np.add.at instead of
+        Python — differences are <= 1e-15 relative (float addition
+        order), property-tested against the scalar pair functions.
+        """
+        n = len(can_a)
+        entries_a = [self._tok_entry(c) for c in can_a]
+        entries_b = [self._tok_entry(c) for c in can_b]
+        la = np.fromiter((e[3] for e in entries_a), np.int64, n)
+        lb = np.fromiter((e[3] for e in entries_b), np.int64, n)
+        tot_a, tot_b = int(la.sum()), int(lb.sum())
+        pack = np.empty(tot_a + tot_b, dtype=np.uint64)
+        wvec = np.empty(tot_a + tot_b, dtype=np.float64)
+        pair_rep_a = np.repeat(np.arange(n, dtype=np.uint64), la)
+        pair_rep_b = np.repeat(np.arange(n, dtype=np.uint64), lb)
+        if tot_a:
+            pack[:tot_a] = (pair_rep_a << np.uint64(32)) | np.concatenate(
+                [e[0] for e in entries_a]
+            )
+            wvec[:tot_a] = np.concatenate([e[1] for e in entries_a])
+        if tot_b:
+            pack[tot_a:] = (pair_rep_b << np.uint64(32)) | np.concatenate(
+                [e[0] for e in entries_b]
+            )
+            wvec[tot_a:] = np.concatenate([e[1] for e in entries_b])
+        order = np.argsort(pack, kind="stable")
+        ps = pack[order]
+        ws = wvec[order]
+        eq = np.flatnonzero(ps[1:] == ps[:-1])
+        common = np.zeros(n, dtype=np.int64)
+        dot = np.zeros(n, dtype=np.float64)
+        if len(eq):
+            pidx = (ps[eq] >> np.uint64(32)).astype(np.int64)
+            np.add.at(common, pidx, 1)
+            np.add.at(dot, pidx, ws[eq] * ws[eq + 1])
+
+        # token-set ratio
+        ts = np.zeros(n, dtype=np.float64)
+        both_empty = (la == 0) & (lb == 0)
+        ts[both_empty] = 1.0
+        live = (la > 0) & (lb > 0)
+        denom = np.minimum(la, lb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ts[live] = np.minimum(1.0, common[live] / denom[live])
+        # fuzzy DL-1 rescue only where it can change the result
+        maybe = np.flatnonzero(live & (common < denom))
+        for i in maybe.tolist():
+            ca, cb = can_a[i], can_b[i]
+            _, rest_a_all = self._tok_set(ca)
+            _, rest_b_all = self._tok_set(cb)
+            if rest_a_all and rest_b_all:
+                ts[i] = self._overlap_pair(ca, cb)
+
+        # tf-idf cosine
+        tf = np.zeros(n, dtype=np.float64)
+        tf[both_empty] = 1.0
+        na = np.fromiter((e[2] for e in entries_a), np.float64, n)
+        nb = np.fromiter((e[2] for e in entries_b), np.float64, n)
+        ok = (dot != 0.0) & (na != 0.0) & (nb != 0.0)
+        tf[ok] = dot[ok] / (na[ok] * nb[ok])
+        return ts, tf
 
     def _overlap_pair(self, ca: str, cb: str) -> float:
         """fuzzy_token_overlap with per-text cached sets."""
@@ -448,10 +551,18 @@ class PairScorer:
             # port, which stays as the parity oracle — tests/test_strings)
             jw = S.jaro_winkler_batch(ta_trunc, tb_trunc)
         pre = house_a is not None
+        import os as _os
+
+        if _os.environ.get("RAY_GRAFT_VEC_OVERLAP", "1") == "1":
+            ts, tf = self._ts_tf_batch(can_a, can_b)
+            vec_tstf = True
+        else:
+            vec_tstf = False
         for i in range(n):
             ca, cb = can_a[i], can_b[i]
-            ts[i] = self._overlap_pair(ca, cb)
-            tf[i] = self._tfidf_pair(ca, cb)
+            if not vec_tstf:
+                ts[i] = self._overlap_pair(ca, cb)
+                tf[i] = self._tfidf_pair(ca, cb)
             if pre:
                 ha, hb, la, lb = house_a[i], house_b[i], loc_a[i], loc_b[i]
             else:
