@@ -261,7 +261,7 @@ def _run_match_inner(
         batch = batch.take(order)
         nk = sum(1 for c in batch.column_names if c.startswith("k"))
         bk = batch["block_key"].to_numpy()
-        side = np.asarray(batch["side"].to_pylist(), dtype=object)
+        side_is_src = pc.equal(batch["side"], "s").to_numpy(zero_copy_only=False)
         K = np.stack([batch[f"k{j:02d}"].to_numpy() for j in range(nk)], axis=1)
         boundaries = np.flatnonzero(np.diff(bk)) + 1
         starts = np.concatenate([[0], boundaries])
@@ -270,7 +270,7 @@ def _run_match_inner(
         out_s, out_g, out_lv = [], [], []
         dropped = 0
         for s0, e0 in zip(starts, ends):
-            sm = side[s0:e0] == "s"
+            sm = side_is_src[s0:e0]
             gm = ~sm
             ns, ng = int(sm.sum()), int(gm.sum())
             if ns == 0 or ng == 0:
