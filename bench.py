@@ -278,8 +278,7 @@ def _calibrate_worker(args):
         ca = [canon[i] for i in ia]
         cb = [canon[i] for i in ib]
         S.jaro_winkler_batch([c[:64] for c in ca], [c[:64] for c in cb])
-        [sc._overlap_pair(a, b) for a, b in zip(ca, cb)]
-        [sc._tfidf_pair(a, b) for a, b in zip(ca, cb)]
+        sc._ts_tf_batch(ca, cb)  # the production vectorized path
         done += m
     return time.time() - t0
 
