@@ -24,6 +24,25 @@ from ..config import MatchTiers
 from ..rayutil import partition_by_key
 
 
+def _rank_codes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Order-preserving integer codes for a string column: dictionary-
+    encode (one hash pass), sort only the UNIQUE values, and remap the
+    codes to the rank of their value — so ``rank[i] < rank[j]`` iff
+    ``col[i] < col[j]`` under Arrow's binary string order.  Sorting a
+    multi-million-row partition by these int64 ranks (np.lexsort) is
+    several times cheaper than Arrow's comparison sort on the string
+    column itself, and the uniques table is block-bounded (sources
+    repeat ~tens of times within a block)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    dct = col.dictionary_encode()
+    codes = dct.indices.to_numpy()
+    order = pc.sort_indices(dct.dictionary).to_numpy()
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    return rank[codes]
+
+
 def to_directed(batch: pa.Table) -> pa.Table:
     """Each undirected scored pair -> two directed (src, cand) rows.
 
@@ -75,13 +94,16 @@ def decide_partition(t, tiers: MatchTiers):
         t = pa.Table.from_pandas(t, preserve_index=False)
     if t.num_rows == 0:
         return _EMPTY_DECISIONS
-    idx = pc.sort_indices(
-        t,
-        sort_keys=[("src", "ascending"), ("score", "descending"), ("cand", "ascending")],
-    )
-    d = t.take(idx)
-    codes = pc.dictionary_encode(d["src"].combine_chunks()).indices.to_numpy()
-    score = d["score"].to_numpy()
+    # int-rank lexsort instead of Arrow's string-comparison sort (the
+    # (src, -score, cand) order is identical; scores are finite in this
+    # pipeline), and gather ONLY the per-source winning rows — the full
+    # partition's strings are never permuted
+    src_r = _rank_codes(t["src"])
+    cand_r = _rank_codes(t["cand"])
+    score_all = np.asarray(t["score"].to_numpy(zero_copy_only=False), dtype=np.float64)
+    perm = np.lexsort((cand_r, -score_all, src_r))
+    codes = src_r[perm]
+    score = score_all[perm]
     n = len(codes)
 
     is_first = np.ones(n, dtype=bool)
@@ -94,7 +116,7 @@ def decide_partition(t, tiers: MatchTiers):
     # superset of each source's global top-2; the true candidate count is
     # the sum of the per-block partial counts
     if "pcount" in t.column_names:
-        pcount = d["pcount"].to_numpy()
+        pcount = t["pcount"].to_numpy(zero_copy_only=False)[perm]
         n_cands = np.add.reduceat(pcount, firsts).astype(np.int64)
         has_second = (ends - firsts) >= 2
     else:
@@ -105,10 +127,11 @@ def decide_partition(t, tiers: MatchTiers):
     second[has_second] = score[firsts[has_second] + 1]
     margin = np.where(has_second, top_score - second, 1.0)
 
+    sel_first = perm[firsts]
     auto = (top_score >= tiers.auto_accept_high) & (margin >= tiers.winner_margin)
     if "has_same_house_num" in t.column_names:
-        top_house = d["has_same_house_num"].to_numpy(zero_copy_only=False)[firsts].astype(bool)
-        top_loc = d["locality_overlap"].to_numpy()[firsts]
+        top_house = t["has_same_house_num"].to_numpy(zero_copy_only=False)[sel_first].astype(bool)
+        top_loc = t["locality_overlap"].to_numpy(zero_copy_only=False)[sel_first]
         medium = (
             (top_score >= tiers.auto_accept_medium)
             & (margin >= tiers.winner_margin + 0.02)
@@ -121,9 +144,9 @@ def decide_partition(t, tiers: MatchTiers):
     decision = np.where(
         rejected, "reject", np.where(auto, "auto_accept", np.where(review, "review", "reject"))
     )
-    first_idx = pa.array(firsts, pa.int64())
-    url = d["src"].take(first_idx).combine_chunks()
-    cand_first = d["cand"].take(first_idx).combine_chunks()
+    first_idx = pa.array(sel_first, pa.int64())
+    url = t["src"].take(first_idx).combine_chunks()
+    cand_first = t["cand"].take(first_idx).combine_chunks()
     # accepted_url = top candidate where auto-accepted, else ""
     accept_mask = pa.array(auto & ~rejected)
     accepted = pc.if_else(accept_mask, cand_first, pa.scalar("", pa.string()))
@@ -154,12 +177,15 @@ def partial_top2(batch: pa.Table) -> pa.Table:
     n = batch.num_rows
     if n == 0:
         return batch.append_column("pcount", pa.array([], pa.int64()))
-    idx = pc.sort_indices(
-        batch,
-        sort_keys=[("src", "ascending"), ("score", "descending"), ("cand", "ascending")],
-    )
-    t = batch.take(idx)
-    codes = pc.dictionary_encode(t["src"].combine_chunks()).indices.to_numpy()
+    # int-rank lexsort (same (src, -score, cand) order as the Arrow
+    # string sort — scores are finite here) and a single gather of ONLY
+    # the kept rows: the block's strings are never fully permuted
+    # (measured 1.5x on a 1M-row block)
+    src_r = _rank_codes(batch["src"])
+    cand_r = _rank_codes(batch["cand"])
+    score = np.asarray(batch["score"].to_numpy(zero_copy_only=False), dtype=np.float64)
+    perm = np.lexsort((cand_r, -score, src_r))
+    codes = src_r[perm]
     is_new = np.ones(n, dtype=bool)
     is_new[1:] = codes[1:] != codes[:-1]
     starts = np.flatnonzero(is_new)
@@ -168,15 +194,70 @@ def partial_top2(batch: pa.Table) -> pa.Table:
     keep = rank < 2
     pcount = np.zeros(n, dtype=np.int64)
     pcount[starts] = lengths
-    t = t.append_column("pcount", pa.array(pcount, pa.int64()))
-    return t.filter(pa.array(keep))
+    sel = pa.array(perm[keep], pa.int64())
+    return batch.take(sel).append_column("pcount", pa.array(pcount[keep], pa.int64()))
+
+
+def directed_top2(batch: pa.Table) -> pa.Table:
+    """Fused ``to_directed`` + ``partial_top2``: run the per-block top-2
+    combiner once per pair DIRECTION over zero-copy column aliases of
+    the undirected batch, instead of materializing the doubled directed
+    table (which copied every url string once more before sorting).
+    Output rows/columns are identical to ``partial_top2(to_directed(b))``
+    up to row order — both feed the same src-keyed exchange."""
+    feature_cols = [
+        c for c in ("has_same_house_num", "locality_overlap") if c in batch.column_names
+    ]
+    sides = []
+    for src_col, cand_col in (("url_a", "url_b"), ("url_b", "url_a")):
+        side = pa.table(
+            {
+                "src": batch[src_col],
+                "cand": batch[cand_col],
+                "score": batch["score"],
+                **{c: batch[c] for c in feature_cols},
+            }
+        )
+        sides.append(partial_top2(side))
+    # a source can appear on both sides of a block's pairs, so the
+    # per-side outputs hold up to 4 rows per source; one more combiner
+    # pass over the (already tiny) union restores the 2-row invariant
+    # before the exchange, carrying the pcount partial SUMS along
+    return _recombine_top2(pa.concat_tables(sides))
+
+
+def _recombine_top2(t: pa.Table) -> pa.Table:
+    """Top-2 per source over an already-reduced table whose ``pcount``
+    column holds partial candidate counts: keep each source's 2 best
+    rows, folding the source's full pcount sum into its first row (the
+    downstream ``decide_partition`` sums pcount over all of a source's
+    rows, so totals are preserved exactly)."""
+    n = t.num_rows
+    if n == 0:
+        return t
+    src_r = _rank_codes(t["src"])
+    cand_r = _rank_codes(t["cand"])
+    score = np.asarray(t["score"].to_numpy(zero_copy_only=False), dtype=np.float64)
+    perm = np.lexsort((cand_r, -score, src_r))
+    codes = src_r[perm]
+    is_new = np.ones(n, dtype=bool)
+    is_new[1:] = codes[1:] != codes[:-1]
+    starts = np.flatnonzero(is_new)
+    lengths = np.diff(np.concatenate([starts, [n]]))
+    rank = np.arange(n) - np.repeat(starts, lengths)
+    keep = rank < 2
+    pc_in = t["pcount"].to_numpy(zero_copy_only=False)[perm]
+    pc_out = np.zeros(n, dtype=np.int64)
+    pc_out[starts] = np.add.reduceat(pc_in, starts)
+    sel = pa.array(perm[keep], pa.int64())
+    out = t.drop_columns(["pcount"]).take(sel)
+    return out.append_column("pcount", pa.array(pc_out[keep], pa.int64()))
 
 
 def decide(scored_pairs_ds, tiers: MatchTiers | None = None, num_partitions: int = 8):
     """scored pairs -> per-source DECISIONS Dataset."""
     tiers = tiers or MatchTiers()
-    directed = scored_pairs_ds.map_batches(to_directed, batch_format="pyarrow", batch_size=None)
-    reduced = directed.map_batches(partial_top2, batch_format="pyarrow", batch_size=None)
+    reduced = scored_pairs_ds.map_batches(directed_top2, batch_format="pyarrow", batch_size=None)
     part = partition_by_key(reduced, ["src"], num_partitions, sort=False)
     return part.map_batches(
         lambda b: decide_partition(b, tiers), batch_format="pyarrow", batch_size=None
