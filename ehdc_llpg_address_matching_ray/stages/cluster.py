@@ -58,10 +58,31 @@ def add_node_ids(batch: pa.Table, url_col: str, out_col: str) -> pa.Table:
     return batch.append_column(out_col, pa.array(ids, pa.int64()))
 
 
+def _hash_url_col(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """url column -> node ids, md5-hashing each DISTINCT url once: edge
+    endpoints repeat (one rep participates in several edges), so
+    dictionary-encode first and hash only the dictionary."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = col.dictionary_encode()
+    h = url_to_node_id(d.dictionary.to_pylist())
+    return h[d.indices.to_numpy()]
+
+
 def _edges_to_ids(batch: pa.Table) -> pa.Table:
-    a = url_to_node_id(batch["url_a"].to_pylist())
-    b = url_to_node_id(batch["url_b"].to_pylist())
+    a = _hash_url_col(batch["url_a"])
+    b = _hash_url_col(batch["url_b"])
     return pa.table({"u": pa.array(a, pa.int64()), "v": pa.array(b, pa.int64())})
+
+
+def edge_ids_from_scored(batch: pa.Table) -> pa.Table:
+    """Fused edge extraction for the flagship DAG: scored-pairs batch ->
+    int64 (u, v) edge ids in ONE operator (filter on is_edge + project +
+    hash).  Feeding ``connected_components(..., edges_as_ids=True)`` with
+    this avoids a second full scan of the wide scored table and
+    materializes 16 bytes/edge instead of two url strings."""
+    t = batch.filter(batch["is_edge"].combine_chunks())
+    return _edges_to_ids(t)
 
 
 def _symmetrize(batch: pa.Table) -> pa.Table:
@@ -91,6 +112,7 @@ def label_propagation(
     edges_ds: rd.Dataset,
     max_iters: int = 25,
     num_partitions: int = 16,
+    edges_as_ids: bool = False,
 ) -> rd.Dataset:
     """nodes (url), edges (url_a, url_b) -> (url, cluster_id).
 
@@ -107,11 +129,10 @@ def label_propagation(
     nodes = nodes_ds.map_batches(
         lambda b: add_node_ids(b, "url", "node_id"), batch_format="pyarrow"
     ).materialize()
-    edges = (
-        edges_ds.map_batches(_edges_to_ids, batch_format="pyarrow")
-        .map_batches(_symmetrize, batch_format="pyarrow")
-        .materialize()
+    id_edges = (
+        edges_ds if edges_as_ids else edges_ds.map_batches(_edges_to_ids, batch_format="pyarrow")
     )
+    edges = id_edges.map_batches(_symmetrize, batch_format="pyarrow").materialize()
 
     labels = nodes.map_batches(
         lambda b: pa.table({"node_id": b["node_id"], "label": b["node_id"]}),
@@ -214,7 +235,9 @@ def label_propagation(
     return out
 
 
-def driver_union_find(nodes_ds: rd.Dataset, edges_ds: rd.Dataset) -> rd.Dataset:
+def driver_union_find(
+    nodes_ds: rd.Dataset, edges_ds: rd.Dataset, edges_as_ids: bool = False
+) -> rd.Dataset:
     """Small-graph fast path: vectorized min-label propagation over the
     edge list on the driver; returns (url, cluster_id).  Identical
     partitions to label_propagation (tested).
@@ -227,7 +250,9 @@ def driver_union_find(nodes_ds: rd.Dataset, edges_ds: rd.Dataset) -> rd.Dataset:
     millions of edges."""
     eu_parts: list[np.ndarray] = []
     ev_parts: list[np.ndarray] = []
-    id_edges = edges_ds.map_batches(_edges_to_ids, batch_format="pyarrow")
+    id_edges = (
+        edges_ds if edges_as_ids else edges_ds.map_batches(_edges_to_ids, batch_format="pyarrow")
+    )
     for batch in id_edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
         eu_parts.append(batch["u"].to_numpy())
         ev_parts.append(batch["v"].to_numpy())
@@ -274,6 +299,7 @@ def connected_components(
     edges_ds: rd.Dataset,
     max_iters: int = 25,
     driver_threshold: int = 20_000_000,
+    edges_as_ids: bool = False,
 ) -> rd.Dataset:
     """Choose the path by measured edge count (the pipeline's default).
 
@@ -283,10 +309,14 @@ def connected_components(
     per-round overhead dominates small graphs; the distributed path
     exists for the 100-TB regime where the edge list dwarfs any single
     machine."""
-    # materialize: edges is usually a lazy filter over the (wide) scored
-    # table; the count + the chosen path would otherwise each rescan it
+    # hash BEFORE materializing: edges is usually a lazy filter over the
+    # (wide) scored table; materializing int64 (u, v) keeps 16 bytes/edge
+    # in the store instead of two url strings, and the count + the chosen
+    # path would otherwise each rescan the wide table
+    if not edges_as_ids:
+        edges_ds = edges_ds.map_batches(_edges_to_ids, batch_format="pyarrow")
     edges_ds = edges_ds.materialize()
     n_edges = edges_ds.count()
     if n_edges <= driver_threshold:
-        return driver_union_find(nodes_ds, edges_ds)
-    return label_propagation(nodes_ds, edges_ds, max_iters=max_iters)
+        return driver_union_find(nodes_ds, edges_ds, edges_as_ids=True)
+    return label_propagation(nodes_ds, edges_ds, max_iters=max_iters, edges_as_ids=True)

@@ -104,10 +104,23 @@ def fit_token_df(
             )
 
         partials = ds.map_batches(_block_df, batch_format="pyarrow", batch_size=None)
-        pdf = partials.to_pandas()
+        # merge the partials DISTRIBUTED (token-keyed exchange + per-
+        # partition sum); the driver receives one row per distinct token
+        # instead of vocab x blocks partial rows and does no groupby
+        from ..rayutil import partition_by_key
+
+        merged = partition_by_key(partials, ["token"], 8, sort=False).map_batches(
+            lambda d: d.groupby("token", sort=False, as_index=False).agg(
+                df=("df", "sum"), docs=("docs", "sum")
+            ),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        pdf = merged.to_pandas()
         is_sent = pdf["token"] == _DOCS_SENTINEL
         n_docs = int(pdf.loc[is_sent, "docs"].sum())
-        df = Counter(pdf[~is_sent].groupby("token", sort=False)["df"].sum().to_dict())
+        rest = pdf[~is_sent]
+        df = Counter(dict(zip(rest["token"], rest["df"].astype(int))))
     else:
         seen_all: set[str] = set()
         for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):

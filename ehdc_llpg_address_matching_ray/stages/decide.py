@@ -43,6 +43,16 @@ def _rank_codes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return rank[codes]
 
 
+def _group_codes(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """First-appearance dictionary codes — a GROUPING key only (equal
+    strings share a code; code order is arbitrary).  Cheaper than
+    ``_rank_codes`` when the caller never relies on the sort order of
+    the groups themselves."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.dictionary_encode().indices.to_numpy()
+
+
 def to_directed(batch: pa.Table) -> pa.Table:
     """Each undirected scored pair -> two directed (src, cand) rows.
 
@@ -97,8 +107,9 @@ def decide_partition(t, tiers: MatchTiers):
     # int-rank lexsort instead of Arrow's string-comparison sort (the
     # (src, -score, cand) order is identical; scores are finite in this
     # pipeline), and gather ONLY the per-source winning rows — the full
-    # partition's strings are never permuted
-    src_r = _rank_codes(t["src"])
+    # partition's strings are never permuted.  src is a grouping key
+    # only (output rows are keyed by url, never consumed in order).
+    src_r = _group_codes(t["src"])
     cand_r = _rank_codes(t["cand"])
     score_all = np.asarray(t["score"].to_numpy(zero_copy_only=False), dtype=np.float64)
     perm = np.lexsort((cand_r, -score_all, src_r))
@@ -180,8 +191,11 @@ def partial_top2(batch: pa.Table) -> pa.Table:
     # int-rank lexsort (same (src, -score, cand) order as the Arrow
     # string sort — scores are finite here) and a single gather of ONLY
     # the kept rows: the block's strings are never fully permuted
-    # (measured 1.5x on a 1M-row block)
-    src_r = _rank_codes(batch["src"])
+    # (measured 1.5x on a 1M-row block).  src only GROUPS rows here —
+    # raw dictionary codes (first-appearance order) group identically
+    # and skip the unique-sort; the within-group (score desc, cand asc)
+    # order, which downstream exactness depends on, is unchanged.
+    src_r = _group_codes(batch["src"])
     cand_r = _rank_codes(batch["cand"])
     score = np.asarray(batch["score"].to_numpy(zero_copy_only=False), dtype=np.float64)
     perm = np.lexsort((cand_r, -score, src_r))
@@ -235,7 +249,7 @@ def _recombine_top2(t: pa.Table) -> pa.Table:
     n = t.num_rows
     if n == 0:
         return t
-    src_r = _rank_codes(t["src"])
+    src_r = _group_codes(t["src"])
     cand_r = _rank_codes(t["cand"])
     score = np.asarray(t["score"].to_numpy(zero_copy_only=False), dtype=np.float64)
     perm = np.lexsort((cand_r, -score, src_r))
@@ -254,10 +268,25 @@ def _recombine_top2(t: pa.Table) -> pa.Table:
     return out.append_column("pcount", pa.array(pc_out[keep], pa.int64()))
 
 
-def decide(scored_pairs_ds, tiers: MatchTiers | None = None, num_partitions: int = 8):
-    """scored pairs -> per-source DECISIONS Dataset."""
+def decide(
+    scored_pairs_ds,
+    tiers: MatchTiers | None = None,
+    num_partitions: int = 8,
+    combine_batch_size: int = 1 << 18,
+):
+    """scored pairs -> per-source DECISIONS Dataset.
+
+    ``combine_batch_size``: the scored dataset arrives in the scorer's
+    small load-balancing blocks (~32-64k rows); an explicit batch size
+    makes Ray bundle several blocks per combiner task, cutting per-task
+    dispatch overhead and shrinking the reduced output (top-2-per-source
+    dedups over more rows at once).  Swept at 55M pairs / 32 CPUs: 256k
+    is the knee — larger batches lose parallelism and pay superlinear
+    sort cost (2M-row batches measured 2.8x slower than 256k)."""
     tiers = tiers or MatchTiers()
-    reduced = scored_pairs_ds.map_batches(directed_top2, batch_format="pyarrow", batch_size=None)
+    reduced = scored_pairs_ds.map_batches(
+        directed_top2, batch_format="pyarrow", batch_size=combine_batch_size
+    )
     part = partition_by_key(reduced, ["src"], num_partitions, sort=False)
     return part.map_batches(
         lambda b: decide_partition(b, tiers), batch_format="pyarrow", batch_size=None
