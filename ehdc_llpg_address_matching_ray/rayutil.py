@@ -469,6 +469,17 @@ def worker_cached(stage: str, token: str, build):
     return cur[1]
 
 
+def release_worker_state(stage: str) -> None:
+    """Drop a worker's cached state for ``stage`` (idempotent, callable
+    from any task).  Heavy stage state — the pair scorer's per-worker
+    payload copy + row caches run ~0.5 GB/worker — otherwise outlives
+    its stage for the whole session and, at 32 workers, pressures every
+    downstream stage's allocations.  Downstream stages call this at task
+    entry; a worker that never runs a downstream task keeps its slot,
+    which is only the status quo."""
+    _TASK_STATE.pop(stage, None)
+
+
 def ref_token(*parts) -> str:
     """Stable fingerprint for worker_cached: ObjectRefs by hex, lists
     element-wise, everything else by repr."""

@@ -219,6 +219,12 @@ def directed_top2(batch: pa.Table) -> pa.Table:
     table (which copied every url string once more before sorting).
     Output rows/columns are identical to ``partial_top2(to_directed(b))``
     up to row order — both feed the same src-keyed exchange."""
+    # scoring is complete once decide runs: release the scorer's heavy
+    # per-worker state (payload copy + caches, ~0.5 GB/worker) so this
+    # and later stages don't allocate under memory pressure
+    from ..rayutil import release_worker_state
+
+    release_worker_state("pair_scorer")
     feature_cols = [
         c for c in ("has_same_house_num", "locality_overlap") if c in batch.column_names
     ]
