@@ -693,6 +693,101 @@ SELECT vec_id, sim FROM n ORDER BY sim DESC, vec_id LIMIT 10
 """
 
 
+_IVF_K = 16      # centroid count (inverted lists)
+_IVF_NPROBE = 4  # lists probed per query
+
+
+def q_ann_ivf(sf_dir: str) -> rd.Dataset:
+    """IVF-style ANN — the indexed scale path next to ``ann_topk``'s
+    brute force: rows are assigned to inverted lists by nearest centroid
+    (argmax cosine, ties to the smallest centroid id), the query probes
+    only the ``_IVF_NPROBE`` nearest lists, and top-k runs over the
+    probed candidates (per-block partial top-k, then one small merge —
+    never a global sort).
+
+    Centroids here are the first ``_IVF_K`` vectors (deterministic and
+    SQL-expressible, standing in for a k-means sample fit); at 100-TB
+    scale the centroid matrix is fit offline on a sample and broadcast
+    exactly as done here (ray.put once, matmul per batch)."""
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _IVF_K)],
+    ).sort_by("vec_id")
+    C = np.array(head["embedding"].to_pylist(), dtype=np.float64)
+    cids = head["vec_id"].to_numpy()
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    Cn = C / cn[:, None]
+    qv = np.array(head["embedding"].to_pylist()[0], dtype=np.float64)
+    qv = qv / max(np.linalg.norm(qv), 1e-300)
+    csims = Cn @ qv
+    probe_order = np.lexsort((cids, -csims))[:_IVF_NPROBE]
+    probe = cids[probe_order]
+    state_ref = ray.put((Cn, cids, qv, probe))
+
+    from ..rayutil import ref_token, worker_cached
+
+    _tok = ref_token(state_ref)
+
+    def assign_score(b: pa.Table) -> pa.Table:
+        Cn_l, cids_l, q, probe_l = worker_cached(
+            "ann_ivf_state", _tok, lambda: ray.get(state_ref)
+        )
+        mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        # argmax returns the FIRST maximum; centroid rows are sorted by
+        # id, so ties resolve to the smallest centroid id (SQL parity)
+        lists = cids_l[np.argmax(matn @ Cn_l.T, axis=1)]
+        keep = np.isin(lists, probe_l)
+        sims = np.round(matn @ q, 2)
+        t = pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "sim": pa.array(sims, pa.float64()),
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    scored = ds.map_batches(assign_score, batch_format="pyarrow")
+
+    def block_topk(b: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(b, sort_keys=[("sim", "descending"), ("vec_id", "ascending")])
+        return b.take(idx[:10])
+
+    return (
+        scored.map_batches(block_topk, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(block_topk, batch_format="pyarrow", batch_size=None)
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {_IVF_K}),
+     q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+     probe AS (SELECT cid FROM c
+               ORDER BY list_cosine_similarity(ce, (SELECT qe FROM q)) DESC, cid
+               LIMIT {_IVF_NPROBE}),
+     assigned AS (
+       SELECT e.vec_id, e.embedding,
+              (SELECT c.cid FROM c
+               ORDER BY list_cosine_similarity(c.ce, e.embedding) DESC, c.cid
+               LIMIT 1) AS list_id
+       FROM embeddings e)
+SELECT vec_id,
+       round(CAST(list_cosine_similarity(embedding, (SELECT qe FROM q)) AS DOUBLE), 2) AS sim
+FROM assigned
+WHERE list_id IN (SELECT cid FROM probe)
+ORDER BY sim DESC, vec_id
+LIMIT 10
+"""
+
+
 def q_embedding_neardup_blocked(sf_dir: str) -> rd.Dataset:
     """Embedding-cosine near-dup with label blocking: pairs within the
     same label bucket with cosine >= 0.40 — groupby(label) + in-group
@@ -1437,6 +1532,7 @@ QUERIES = {
     "props_extract": q_props_extract,
     "expand_size_range": q_expand_size_range,
     "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
     "embedding_neardup_blocked": q_embedding_neardup_blocked,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "minhash_neardup": q_minhash_neardup,
@@ -1470,6 +1566,7 @@ ORACLE_SQL = {
     "props_extract": SQL_PROPS_EXTRACT,
     "expand_size_range": SQL_EXPAND_SIZE_RANGE,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_ivf": SQL_ANN_IVF,
     "embedding_neardup_blocked": SQL_EMBEDDING_NEARDUP_BLOCKED,
     "embedding_neardup_lsh": SQL_EMBEDDING_NEARDUP_LSH,
     "real_address_filter": SQL_REAL_ADDRESS_FILTER,
