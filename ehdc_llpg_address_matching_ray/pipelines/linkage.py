@@ -38,6 +38,16 @@ from ..rayutil import default_concurrency, default_partitions, hash_shuffle, wid
 from .checkpoint import checkpoint, score_histogram
 
 
+def _add_nid(batch: pa.Table) -> pa.Table:
+    """Attach the 63-bit url fingerprint used as the pair/cluster row id
+    (same id space as stages.cluster.url_to_node_id)."""
+    from ..stages.cluster import url_to_node_id
+
+    return batch.append_column(
+        "nid", pa.array(url_to_node_id(batch["url"].to_pylist()), pa.int64())
+    )
+
+
 def fit_idf_from_reps(
     reps_ds: rd.Dataset,
     sample_fraction: float = 1.0,
@@ -227,6 +237,11 @@ def _run_linkage_inner(
             reps_slim = reps.select_columns(["url", "text", "canonical"])
         else:
             payload_ref = reps_slim.to_arrow_refs()
+    if not broadcast:
+        # the join path still runs id-keyed: pairs carry (id_a, id_b)
+        # int64 through every pair-scale shuffle; only the rep-sized
+        # payload sides carry text
+        reps_slim = reps_slim.map_batches(_add_nid, batch_format="pyarrow")
     _mark("02b_payload_lut[driver]")
     pairs = B.build_blocks(
         reps_slim, cfg.blocking, concurrency=conc_emit, num_partitions=wide_partitions(n_docs),
@@ -252,8 +267,45 @@ def _run_linkage_inner(
     scored = ckpt(scored, "04_scored")
     hist = score_histogram(scored) if checkpoint_dir is not None else None
 
-    edges = scored.filter(expr="is_edge == True").select_columns(["url_a", "url_b"])
+    edges = scored.filter(expr="is_edge == True").select_columns(["id_a", "id_b"])
     decisions = D.decide(scored, cfg.tiers, num_partitions=P)
+    # resolve the int ids back to urls in two rep-sized joins (the pair
+    # table never carried url strings)
+    from ..rayutil import engine_join
+
+    lookup = reps_slim.select_columns(["nid", "url"])
+    dec_url = engine_join(
+        decisions,
+        lookup.map_batches(
+            lambda b: pa.table({"id": b["nid"], "src_url": b["url"]}), batch_format="pyarrow"
+        ),
+        ("id",),
+        how="inner",
+        num_partitions=P,
+    )
+    dec_url = engine_join(
+        dec_url,
+        lookup.map_batches(
+            lambda b: pa.table({"accepted_id": b["nid"], "acc_url": b["url"]}),
+            batch_format="pyarrow",
+        ),
+        ("accepted_id",),
+        how="left_outer",
+        num_partitions=P,
+    )
+    decisions = dec_url.map_batches(
+        lambda b: pa.table(
+            {
+                "url": b["src_url"],
+                "decision": b["decision"],
+                "accepted_url": pc.coalesce(b["acc_url"], ""),
+                "top_score": b["top_score"],
+                "margin": b["margin"],
+                "n_candidates": b["n_candidates"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
     # pin=True: decisions is small (one row per source) but its lazy
     # subtree carries the directed-pair shuffle — leaving it lazy fuses
     # that shuffle into the fact build's join graph, and the overlapping
@@ -299,7 +351,7 @@ def _empty_outputs(normalized: rd.Dataset, membership: rd.Dataset) -> dict[str, 
         return rd.from_arrow(pa.table({k: pa.array([], v) for k, v in schema.items()}))
 
     pair_cols = {
-        "url_a": pa.string(), "url_b": pa.string(),
+        "id_a": pa.int64(), "id_b": pa.int64(),
         "jaro_winkler": pa.float64(), "token_set_ratio": pa.float64(),
         "tfidf_cosine": pa.float64(), "house_veto": pa.bool_(),
         "has_same_house_num": pa.bool_(), "locality_overlap": pa.float64(),
@@ -315,9 +367,9 @@ def _empty_outputs(normalized: rd.Dataset, membership: rd.Dataset) -> dict[str, 
         "normalized": normalized,
         "membership": membership,
         "reps": membership,
-        "pairs": t({k: pair_cols[k] for k in ("url_a", "url_b", "dropped_pairs")}),
+        "pairs": t({k: pair_cols[k] for k in ("id_a", "id_b", "dropped_pairs")}),
         "scored": t(pair_cols),
-        "edges": t({"url_a": pa.string(), "url_b": pa.string()}),
+        "edges": t({"id_a": pa.int64(), "id_b": pa.int64()}),
         "decisions": t({"url": pa.string(), "decision": pa.string(), "accepted_url": pa.string(),
                         "top_score": pa.float64(), "margin": pa.float64(), "n_candidates": pa.int64()}),
         "rep_clusters": t({"url": pa.string(), "cluster_id": pa.int64()}),

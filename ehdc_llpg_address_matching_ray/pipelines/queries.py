@@ -978,9 +978,11 @@ def q_minhash_neardup(sf_dir: str) -> rd.Dataset:
     from ..stages import blocking as B
 
     def prep(b: pa.Table) -> pa.Table:
+        # nid = the document's own int64 id: the band shuffle and pair
+        # table carry ONLY integers (id-keyed blocking mode)
         return pa.table(
             {
-                "url": pc.cast(b["doc_id"], pa.string()),
+                "nid": pc.cast(b["doc_id"], pa.int64()),
                 "text": b["text"],
                 "canonical": pc.utf8_upper(b["text"]),
             }
@@ -998,8 +1000,8 @@ def q_minhash_neardup(sf_dir: str) -> rd.Dataset:
     return pairs.map_batches(
         lambda b: pa.table(
             {
-                "doc_a": pc.cast(b["url_a"], pa.int64()),
-                "doc_b": pc.cast(b["url_b"], pa.int64()),
+                "doc_a": b["id_a"],
+                "doc_b": b["id_b"],
             }
         ),
         batch_format="pyarrow",

@@ -28,11 +28,20 @@ def collect_scored_labels(
     labeled pairs the blocker never co-blocked get score 0 (they were
     never candidates — the 'at the same blocking key' clause)."""
 
+    # id-keyed scored pairs (the flagship path) carry int64 ids =
+    # url_to_node_id(url); the labeled urls hash through the same
+    # fingerprint so the unordered pair keys line up
+    id_mode = "id_a" in scored_ds.schema().names
+
     def key_scored(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        lo = pc.min_element_wise(b["url_a"], b["url_b"])
-        hi = pc.max_element_wise(b["url_a"], b["url_b"])
+        a_col, b_col = ("id_a", "id_b") if id_mode else ("url_a", "url_b")
+        lo = pc.min_element_wise(b[a_col], b[b_col])
+        hi = pc.max_element_wise(b[a_col], b[b_col])
+        if id_mode:
+            lo = pc.cast(lo, pa.string())
+            hi = pc.cast(hi, pa.string())
         return pa.table(
             {
                 "pair_key": pc.binary_join_element_wise(lo, hi, "\x1f"),
@@ -43,8 +52,18 @@ def collect_scored_labels(
     def key_labeled(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        lo = pc.min_element_wise(b["url_a"], b["url_b"])
-        hi = pc.max_element_wise(b["url_a"], b["url_b"])
+        if id_mode:
+            import numpy as np
+
+            from ..stages.cluster import url_to_node_id
+
+            ia = url_to_node_id(b["url_a"].to_pylist())
+            ib = url_to_node_id(b["url_b"].to_pylist())
+            lo = pa.array(np.minimum(ia, ib).astype(str), pa.string())
+            hi = pa.array(np.maximum(ia, ib).astype(str), pa.string())
+        else:
+            lo = pc.min_element_wise(b["url_a"], b["url_b"])
+            hi = pc.max_element_wise(b["url_a"], b["url_b"])
         return pa.table(
             {
                 "pair_key": pc.binary_join_element_wise(lo, hi, "\x1f"),

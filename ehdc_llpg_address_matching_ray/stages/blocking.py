@@ -111,9 +111,13 @@ class BandKeyEmitter:
         keys = self.key_matrix(texts)
         n, nk = keys.shape
         idx = np.repeat(np.arange(n), nk)
+        # id-keyed mode: when the reps carry an int64 ``nid`` column the
+        # band shuffle moves ONLY integers (8 bytes/row instead of a url
+        # string) and every downstream pair table is (id_a, id_b)
+        id_col = "nid" if "nid" in batch.column_names else "url"
         cols: dict = {
             "block_key": pa.array(keys.reshape(-1), pa.int64()),
-            "url": batch["url"].take(pa.array(idx)),
+            id_col: batch[id_col].take(pa.array(idx)),
         }
         flat = keys[idx]  # (n*nk, nk) — each emitted row carries its full key vector
         for j in range(nk):
@@ -133,10 +137,15 @@ def enumerate_block_pairs(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
     keys (they apply the same first-shared rule) — coverage loss is
     accounted, never silent.
     """
+    id_mode = "nid" in batch.column_names
+    id_col = "nid" if id_mode else "url"
+    a_col, b_col = ("id_a", "id_b") if id_mode else ("url_a", "url_b")
+    key_type = pa.int64() if id_mode else pa.string()
+    sentinel = -1 if id_mode else ""
     empty = pa.table(
         {
-            "url_a": pa.array([], pa.string()),
-            "url_b": pa.array([], pa.string()),
+            a_col: pa.array([], key_type),
+            b_col: pa.array([], key_type),
             "dropped_pairs": pa.array([], pa.int64()),
         }
     )
@@ -144,8 +153,8 @@ def enumerate_block_pairs(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
         return empty
 
     order = pc.sort_indices(
-        batch.select(["block_key", "url"]),
-        sort_keys=[("block_key", "ascending"), ("url", "ascending")],
+        batch.select(["block_key", id_col]),
+        sort_keys=[("block_key", "ascending"), (id_col, "ascending")],
     )
     batch = batch.take(order)
 
@@ -215,24 +224,24 @@ def enumerate_block_pairs(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
         if dropped_total:
             # row-less partitions still need the coverage metric recorded;
             # emit a sentinel row that downstream filters drop (empty urls
-            # never join back to a payload)
+            # / id -1 never resolve against a payload)
             return pa.table(
                 {
-                    "url_a": pa.array([""], pa.string()),
-                    "url_b": pa.array([""], pa.string()),
+                    a_col: pa.array([sentinel], key_type),
+                    b_col: pa.array([sentinel], key_type),
                     "dropped_pairs": pa.array([dropped_total], pa.int64()),
                 }
             )
         return empty
     ia = np.concatenate(out_a)
     ib = np.concatenate(out_b)
-    urls = batch["url"].combine_chunks() if isinstance(batch["url"], pa.ChunkedArray) else batch["url"]
+    ids = batch[id_col].combine_chunks() if isinstance(batch[id_col], pa.ChunkedArray) else batch[id_col]
     dropped = np.zeros(len(ia), dtype=np.int64)
     dropped[0] = dropped_total
     return pa.table(
         {
-            "url_a": pc.take(urls, pa.array(ia)),
-            "url_b": pc.take(urls, pa.array(ib)),
+            a_col: pc.take(ids, pa.array(ia)),
+            b_col: pc.take(ids, pa.array(ib)),
             "dropped_pairs": pa.array(dropped, pa.int64()),
         }
     )
@@ -268,7 +277,10 @@ def build_blocks(
         emitter = worker_cached("band_key_emitter", _tok, lambda: BandKeyEmitter(cfg))
         return emitter(batch)
 
-    keyed = reps_ds.select_columns(["url", "canonical"]).map_batches(
+    id_mode = "nid" in reps_ds.schema().names
+    id_col = "nid" if id_mode else "url"
+    a_col, b_col = ("id_a", "id_b") if id_mode else ("url_a", "url_b")
+    keyed = reps_ds.select_columns([id_col, "canonical"]).map_batches(
         _emit, batch_format="pyarrow", batch_size=4096
     )
     part = partition_by_key(keyed, ["block_key"], num_partitions, sort=False)
@@ -278,23 +290,23 @@ def build_blocks(
     if not attach_payload:
         return pairs
 
-    payload = reps_ds.select_columns(["url", "text", "canonical"])
+    payload = reps_ds.select_columns([id_col, "text", "canonical"])
     side_a = payload.map_batches(
         lambda b: pa.table(
-            {"url_a": b["url"], "text_a": b["text"], "canonical_a": b["canonical"]}
+            {a_col: b[id_col], "text_a": b["text"], "canonical_a": b["canonical"]}
         ),
         batch_format="pyarrow",
     )
     side_b = payload.map_batches(
         lambda b: pa.table(
-            {"url_b": b["url"], "text_b": b["text"], "canonical_b": b["canonical"]}
+            {b_col: b[id_col], "text_b": b["text"], "canonical_b": b["canonical"]}
         ),
         batch_format="pyarrow",
     )
     from ..rayutil import engine_join
 
-    out = engine_join(pairs, side_a, ("url_a",), how="inner", num_partitions=num_partitions)
-    out = engine_join(out, side_b, ("url_b",), how="inner", num_partitions=num_partitions)
+    out = engine_join(pairs, side_a, (a_col,), how="inner", num_partitions=num_partitions)
+    out = engine_join(out, side_b, (b_col,), how="inner", num_partitions=num_partitions)
     return out
 
 

@@ -77,11 +77,15 @@ def _edges_to_ids(batch: pa.Table) -> pa.Table:
 
 def edge_ids_from_scored(batch: pa.Table) -> pa.Table:
     """Fused edge extraction for the flagship DAG: scored-pairs batch ->
-    int64 (u, v) edge ids in ONE operator (filter on is_edge + project +
-    hash).  Feeding ``connected_components(..., edges_as_ids=True)`` with
-    this avoids a second full scan of the wide scored table and
-    materializes 16 bytes/edge instead of two url strings."""
+    int64 (u, v) edge ids in ONE operator (filter on is_edge + project).
+    Id-keyed scored tables (id_a/id_b) pass their ids straight through —
+    they ARE the node ids; url-keyed tables hash per distinct url.
+    Feeding ``connected_components(..., edges_as_ids=True)`` with this
+    avoids a second full scan of the wide scored table and materializes
+    16 bytes/edge instead of two url strings."""
     t = batch.filter(batch["is_edge"].combine_chunks())
+    if "id_a" in t.column_names:
+        return pa.table({"u": t["id_a"], "v": t["id_b"]})
     return _edges_to_ids(t)
 
 

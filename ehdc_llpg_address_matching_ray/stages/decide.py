@@ -82,6 +82,17 @@ _EMPTY_DECISIONS = pa.table(
     }
 )
 
+_EMPTY_DECISIONS_ID = pa.table(
+    {
+        "id": pa.array([], pa.int64()),
+        "decision": pa.array([], pa.string()),
+        "accepted_id": pa.array([], pa.int64()),
+        "top_score": pa.array([], pa.float64()),
+        "margin": pa.array([], pa.float64()),
+        "n_candidates": pa.array([], pa.int64()),
+    }
+)
+
 
 def decide_partition(t, tiers: MatchTiers):
     """Vectorized per-source decision over one src-partition (Arrow in,
@@ -103,6 +114,11 @@ def decide_partition(t, tiers: MatchTiers):
     if isinstance(t, pd.DataFrame):  # compat: direct callers with frames
         t = pa.Table.from_pandas(t, preserve_index=False)
     if t.num_rows == 0:
+        try:
+            if pa.types.is_integer(t.schema.field("src").type):
+                return _EMPTY_DECISIONS_ID
+        except KeyError:
+            pass
         return _EMPTY_DECISIONS
     # int-rank lexsort instead of Arrow's string-comparison sort (the
     # (src, -score, cand) order is identical; scores are finite in this
@@ -160,6 +176,21 @@ def decide_partition(t, tiers: MatchTiers):
     cand_first = t["cand"].take(first_idx).combine_chunks()
     # accepted_url = top candidate where auto-accepted, else ""
     accept_mask = pa.array(auto & ~rejected)
+    if pa.types.is_integer(t.schema.field("src").type):
+        # int-keyed pairs: (id, accepted_id) with -1 = no accepted
+        # candidate; the caller resolves ids back to urls in one small
+        # rep-sized join at the end
+        accepted = pc.if_else(accept_mask, cand_first, pa.scalar(-1, pa.int64()))
+        return pa.table(
+            {
+                "id": url,
+                "decision": pa.array(decision.astype(str), pa.string()),
+                "accepted_id": accepted,
+                "top_score": pa.array(top_score, pa.float64()),
+                "margin": pa.array(margin, pa.float64()),
+                "n_candidates": pa.array(n_cands, pa.int64()),
+            }
+        )
     accepted = pc.if_else(accept_mask, cand_first, pa.scalar("", pa.string()))
 
     return pa.table(
@@ -228,8 +259,10 @@ def directed_top2(batch: pa.Table) -> pa.Table:
     feature_cols = [
         c for c in ("has_same_house_num", "locality_overlap") if c in batch.column_names
     ]
+    id_mode = "id_a" in batch.column_names
+    side_cols = (("id_a", "id_b"), ("id_b", "id_a")) if id_mode else (("url_a", "url_b"), ("url_b", "url_a"))
     sides = []
-    for src_col, cand_col in (("url_a", "url_b"), ("url_b", "url_a")):
+    for src_col, cand_col in side_cols:
         side = pa.table(
             {
                 "src": batch[src_col],

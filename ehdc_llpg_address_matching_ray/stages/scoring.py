@@ -130,13 +130,23 @@ def enrich_payload(batch: pa.Table) -> pa.Table:
     back to the cached extraction when these columns are absent
     (non-broadcast payload path)."""
     texts = batch["text"].to_pylist()
-    return batch.append_column(
+    out = batch.append_column(
         "house_nums",
         pa.array([N.extract_house_numbers(t or "") for t in texts], pa.list_(pa.string())),
     ).append_column(
         "loc_toks",
         pa.array([N.extract_locality_tokens(t or "") for t in texts], pa.list_(pa.string())),
     )
+    if "nid" not in out.column_names:
+        # stable int64 row identity (same 63-bit url fingerprint the
+        # cluster stage uses): pairs carry (id_a, id_b) instead of url
+        # strings — 16 bytes/pair through every downstream shuffle/sort
+        from .cluster import url_to_node_id
+
+        out = out.append_column(
+            "nid", pa.array(url_to_node_id(batch["url"].to_pylist()), pa.int64())
+        )
+    return out
 
 
 @lru_cache(maxsize=262144)
@@ -184,6 +194,8 @@ class PairScorer:
         self._ptable = None
         self._phash = None
         self._prow = None
+        self._pid_sorted = None
+        self._pid_rows = None
         self._row_cache: dict[int, tuple] = {}
         try:
             import ray
@@ -237,6 +249,15 @@ class PairScorer:
                         order = np.argsort(h, kind="stable")
                         self._phash = h[order]
                         self._prow = order.astype(np.int64)
+                        if "nid" in t.column_names:
+                            # int-keyed pairs: direct searchsorted on the
+                            # sorted nid column — no per-batch string
+                            # hashing, and ids are exact (no collision
+                            # guard needed; nid IS the row identity)
+                            ids = t["nid"].to_numpy()
+                            iorder = np.argsort(ids, kind="stable")
+                            self._pid_sorted = ids[iorder]
+                            self._pid_rows = iorder.astype(np.int64)
                         self._ptable = t
                         payload = None
         except Exception:
@@ -492,13 +513,55 @@ class PairScorer:
             [v[3] for v in out],
         )
 
+    def _gather_ids(self, ids) -> tuple[list, list, list, list]:
+        """Int-keyed payload lookup: searchsorted directly on the sorted
+        nid column (ids are exact row identities — no hashing and no
+        collision guard).  Shares ``_row_cache`` with the url path."""
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        vals = ids.to_numpy()
+        n = len(vals)
+        if self._pid_sorted is None or len(self._pid_sorted) == 0:
+            return [""] * n, [""] * n, [()] * n, [()] * n
+        pos = np.minimum(np.searchsorted(self._pid_sorted, vals), len(self._pid_sorted) - 1)
+        found = self._pid_sorted[pos] == vals
+        rows = self._pid_rows[pos]
+        cache = self._row_cache
+        if len(cache) > self._CAP:
+            cache.clear()
+        need = [r for r in np.unique(rows[found]).tolist() if r not in cache]
+        if need:
+            idx = pa.array(need, pa.int64())
+            sub_urls = self._ptable["url"].take(idx).to_pylist()
+            sub_t = self._ptable["text"].take(idx).to_pylist()
+            sub_c = self._ptable["canonical"].take(idx).to_pylist()
+            sub_h = self._ptable["house_nums"].take(idx).to_pylist()
+            sub_l = self._ptable["loc_toks"].take(idx).to_pylist()
+            for j, r in enumerate(need):
+                cache[r] = (sub_urls[j], sub_t[j], sub_c[j], tuple(sub_h[j]), tuple(sub_l[j]))
+        e = self._EMPTY_ROW
+        rows_list = rows.tolist()
+        found_list = found.tolist()
+        out = []
+        for i in range(n):
+            row = cache.get(rows_list[i]) if found_list[i] else None
+            out.append(row[1:] if row is not None else e)
+        return (
+            [v[0] for v in out],
+            [v[1] for v in out],
+            [v[2] for v in out],
+            [v[3] for v in out],
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        url_a = batch["url_a"]
-        url_b = batch["url_b"]
+        id_mode = "id_a" in batch.column_names
+        a_col, b_col = ("id_a", "id_b") if id_mode else ("url_a", "url_b")
+        url_a = batch[a_col]
+        url_b = batch[b_col]
         house_a = house_b = loc_a = loc_b = None
         if self._ptable is not None:
-            text_a, can_a, house_a, loc_a = self._gather(url_a)
-            text_b, can_b, house_b, loc_b = self._gather(url_b)
+            gather = self._gather_ids if id_mode and self._pid_sorted is not None else self._gather
+            text_a, can_a, house_a, loc_a = gather(url_a)
+            text_b, can_b, house_b, loc_b = gather(url_b)
         elif self.payload is not None and getattr(self, "_pdict4", False):
             lut = self.payload
             empty = ("", "", (), ())
@@ -596,8 +659,8 @@ class PairScorer:
         is_edge = (score >= w.edge_threshold) & ~veto
 
         cols: dict = {
-            "url_a": url_a,
-            "url_b": url_b,
+            a_col: url_a,
+            b_col: url_b,
             "jaro_winkler": pa.array(jw),
             "token_set_ratio": pa.array(ts),
             "tfidf_cosine": pa.array(tf),
