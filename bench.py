@@ -229,6 +229,70 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def run_weak_scaling(sf_dir: str) -> dict:
+    """Weak-scaling evidence at CONSTANT width: the same flagship job on
+    N/4 and N entities at ``GRAFT_WEAK_WIDTH`` CPUs (default 32), fresh
+    processes, interleaved repeats, medians.  Fixed width keeps the
+    per-core hardware conditions (all-core turbo, DRAM bandwidth,
+    co-tenancy) IDENTICAL on both sides — the property a real N- vs
+    4N-NODE comparison has and a single-box width sweep does not — so
+    this isolates the ENGINE's data-scaling behavior: efficiency =
+    (sec/page at N/4) / (sec/page at N); 1.0 = perfectly linear work,
+    < 1 would mean superlinear blowup (e.g. a shuffle or block cap that
+    degrades with corpus size)."""
+    import statistics
+
+    width = int(os.environ.get("GRAFT_WEAK_WIDTH", "32"))
+    big = SCALING_ENTITIES
+    small = big // 4
+    runs: dict[int, list[float]] = {small: [], big: []}
+    rows: dict[int, int] = {}
+    steals: dict[int, list[float]] = {small: [], big: []}
+    max_retries = int(os.environ.get("GRAFT_SCALING_MAX_RETRIES", "2"))
+    for _ in range(SCALING_REPEATS):
+        for ents in (small, big):
+            for attempt in range(max_retries + 1):
+                out = subprocess.run(
+                    ["taskset", "-c", f"0-{width - 1}", sys.executable, __file__, "--single", str(width)],
+                    capture_output=True,
+                    text=True,
+                    env={**os.environ, "GRAFT_SF_DIR": sf_dir,
+                         "GRAFT_SCALING_ENTITIES": str(ents)},
+                    timeout=3600,
+                )
+                line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+                r = json.loads(line)
+                if r.get("steal_frac", 0.0) <= 0.06 or attempt == max_retries:
+                    break
+            runs[ents].append(r["sec"])
+            steals[ents].append(r.get("steal_frac", 0.0))
+            rows[ents] = r["rows"]
+    t_s = statistics.median(runs[small])
+    t_b = statistics.median(runs[big])
+    per_row_s = t_s / rows[small]
+    per_row_b = t_b / rows[big]
+    efficiency = per_row_s / per_row_b
+    return {
+        "metric": "linkage_weak_scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": "fraction",
+        "queries": {
+            f"linkage_{small}ent_sec_median": t_s,
+            f"linkage_{big}ent_sec_median": t_b,
+            f"throughput_{small}ent_rows_per_sec": round(rows[small] / t_s, 1),
+            f"throughput_{big}ent_rows_per_sec": round(rows[big] / t_b, 1),
+            "width_cpus": width,
+            **{f"run{i}_{small}ent_sec": v for i, v in enumerate(runs[small])},
+            **{f"run{i}_{big}ent_sec": v for i, v in enumerate(runs[big])},
+            **{f"run{i}_{small}ent_steal": v for i, v in enumerate(steals[small])},
+            **{f"run{i}_{big}ent_steal": v for i, v in enumerate(steals[big])},
+        },
+        "sf": sf_dir,
+        "num_cpus": width,
+        "rows": {"linkage_fact": rows[big]},
+    }
+
+
 def run_bench_steal_guarded(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     """Headline bench with co-tenant protection: if a run is polluted by
     a hypervisor steal burst (>6% of all host cores for its duration),
@@ -334,5 +398,7 @@ if __name__ == "__main__":
         print(json.dumps(run_calibrate()))
     elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling(SF_DIR)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--weak-scaling":
+        print(json.dumps(run_weak_scaling(SF_DIR)))
     else:
         print(json.dumps(run_bench_steal_guarded(SF_DIR, NUM_CPUS, BENCH_QUERIES)))

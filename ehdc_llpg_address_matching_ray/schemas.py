@@ -42,7 +42,11 @@ BLOCK_KEYS = pa.schema(
     ]
 )
 
-# candidate pairs after in-block enumeration + cross-band dedup
+# candidate pairs after in-block enumeration + cross-band dedup.
+# Production (id-keyed) blocking emits (id_a, id_b, dropped_pairs) int64
+# — 63-bit url fingerprints, the same id space the cluster stage uses as
+# node ids — so pair-scale shuffles never carry strings; this url-keyed
+# variant is the compatibility shape for callers without a nid column.
 PAIRS = pa.schema(
     [
         ("url_a", pa.string()),
@@ -51,6 +55,14 @@ PAIRS = pa.schema(
         ("text_b", pa.string()),
         ("canonical_a", pa.string()),
         ("canonical_b", pa.string()),
+    ]
+)
+
+PAIRS_ID = pa.schema(
+    [
+        ("id_a", pa.int64()),
+        ("id_b", pa.int64()),
+        ("dropped_pairs", pa.int64()),
     ]
 )
 
