@@ -269,43 +269,90 @@ def _run_linkage_inner(
 
     edges = scored.filter(expr="is_edge == True").select_columns(["id_a", "id_b"])
     decisions = D.decide(scored, cfg.tiers, num_partitions=P)
-    # resolve the int ids back to urls in two rep-sized joins (the pair
-    # table never carried url strings)
-    from ..rayutil import engine_join
+    # resolve the int ids back to urls: via the broadcast payload blocks
+    # (already resident in the local object store — one vectorized map,
+    # no shuffle) when broadcasting, else two rep-sized joins
+    if payload_ref is not None:
+        from ..rayutil import ref_token, worker_cached
 
-    lookup = reps_slim.select_columns(["nid", "url"])
-    dec_url = engine_join(
-        decisions,
-        lookup.map_batches(
-            lambda b: pa.table({"id": b["nid"], "src_url": b["url"]}), batch_format="pyarrow"
-        ),
-        ("id",),
-        how="inner",
-        num_partitions=P,
-    )
-    dec_url = engine_join(
-        dec_url,
-        lookup.map_batches(
-            lambda b: pa.table({"accepted_id": b["nid"], "acc_url": b["url"]}),
+        _rtok = ref_token(payload_ref, "dec_resolve")
+
+        def _build_lut():
+            import numpy as _np
+
+            tables = [tb for tb in ray.get(payload_ref) if tb.num_rows]
+            t = pa.concat_tables([tb.select(["nid", "url"]) for tb in tables])
+            ids = t["nid"].to_numpy()
+            order = _np.argsort(ids, kind="stable")
+            return ids[order], t["url"].combine_chunks().take(pa.array(order, pa.int64()))
+
+        def _resolve(b: pa.Table) -> pa.Table:
+            import numpy as _np
+
+            ids_sorted, urls_sorted = worker_cached("dec_url_lut", _rtok, _build_lut)
+
+            def look(col, dangling_empty: bool):
+                vals = col.to_numpy() if not isinstance(col, pa.ChunkedArray) else col.combine_chunks().to_numpy()
+                pos = _np.minimum(_np.searchsorted(ids_sorted, vals), len(ids_sorted) - 1)
+                hit = ids_sorted[pos] == vals
+                out = urls_sorted.take(pa.array(pos, pa.int64()))
+                if dangling_empty:
+                    out = pc.if_else(pa.array(hit), out, pa.scalar("", pa.string()))
+                return out, hit
+
+            src_url, src_hit = look(b["id"], dangling_empty=False)
+            acc_url, _ = look(b["accepted_id"], dangling_empty=True)
+            t = pa.table(
+                {
+                    "url": src_url,
+                    "decision": b["decision"],
+                    "accepted_url": acc_url,
+                    "top_score": b["top_score"],
+                    "margin": b["margin"],
+                    "n_candidates": b["n_candidates"],
+                }
+            )
+            # drop the salting sentinel (id -1) decision rows, the id
+            # analogue of the url "" rows the join path never matches
+            return t.filter(pa.array(src_hit))
+
+        decisions = decisions.map_batches(_resolve, batch_format="pyarrow")
+    else:
+        from ..rayutil import engine_join
+
+        lookup = reps_slim.select_columns(["nid", "url"])
+        dec_url = engine_join(
+            decisions,
+            lookup.map_batches(
+                lambda b: pa.table({"id": b["nid"], "src_url": b["url"]}), batch_format="pyarrow"
+            ),
+            ("id",),
+            how="inner",
+            num_partitions=P,
+        )
+        dec_url = engine_join(
+            dec_url,
+            lookup.map_batches(
+                lambda b: pa.table({"accepted_id": b["nid"], "acc_url": b["url"]}),
+                batch_format="pyarrow",
+            ),
+            ("accepted_id",),
+            how="left_outer",
+            num_partitions=P,
+        )
+        decisions = dec_url.map_batches(
+            lambda b: pa.table(
+                {
+                    "url": b["src_url"],
+                    "decision": b["decision"],
+                    "accepted_url": pc.coalesce(b["acc_url"], ""),
+                    "top_score": b["top_score"],
+                    "margin": b["margin"],
+                    "n_candidates": b["n_candidates"],
+                }
+            ),
             batch_format="pyarrow",
-        ),
-        ("accepted_id",),
-        how="left_outer",
-        num_partitions=P,
-    )
-    decisions = dec_url.map_batches(
-        lambda b: pa.table(
-            {
-                "url": b["src_url"],
-                "decision": b["decision"],
-                "accepted_url": pc.coalesce(b["acc_url"], ""),
-                "top_score": b["top_score"],
-                "margin": b["margin"],
-                "n_candidates": b["n_candidates"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+        )
     # pin=True: decisions is small (one row per source) but its lazy
     # subtree carries the directed-pair shuffle — leaving it lazy fuses
     # that shuffle into the fact build's join graph, and the overlapping

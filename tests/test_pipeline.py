@@ -80,6 +80,28 @@ class TestFlagshipLinkage:
         assert (sizes == recorded).all()
 
 
+class TestPayloadPathEquivalence:
+    def test_join_path_matches_broadcast(self, linkage_out, corpus_dir):
+        """The non-broadcast payload path (pair-sized hash joins instead
+        of the broadcast lookup — the 100-TB fallback when the rep
+        payload exceeds the byte gate) must produce the same fact table:
+        same clusters, same decisions, same accepted urls."""
+        pages = rd.read_parquet(os.path.join(corpus_dir, "pages"))
+        out = run_linkage(
+            pages, PipelineConfig(broadcast_payload_max=0), from_html=True
+        )
+        a = (
+            linkage_out["fact"]
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+        b = out["fact"].to_pandas().sort_values("url").reset_index(drop=True)
+        for col in ("cluster_id", "decision", "cluster_size", "is_exact_dup"):
+            assert (a[col].to_numpy() == b[col].to_numpy()).all(), col
+        assert np.allclose(a["top_score"], b["top_score"])
+
+
 class TestExtractionByteIdentity:
     def test_extracted_equals_carried_text(self, corpus_dir):
         """input_hint invariant: byte-identical extracted text per url."""
