@@ -109,10 +109,27 @@ def fit_token_df(
         # instead of vocab x blocks partial rows and does no groupby
         from ..rayutil import partition_by_key
 
-        merged = partition_by_key(partials, ["token"], 8, sort=False).map_batches(
-            lambda d: d.groupby("token", sort=False, as_index=False).agg(
+        def _merge_cap(d):
+            g = d.groupby("token", sort=False, as_index=False).agg(
                 df=("df", "sum"), docs=("docs", "sum")
-            ),
+            )
+            # the exchange is token-keyed (each token fully in ONE
+            # partition), so the global top-max_vocab is exactly
+            # contained in the union of per-partition top-max_vocab:
+            # cap here and the driver never receives more than
+            # partitions x max_vocab rows, however large the corpus
+            # vocabulary grows (sentinel rows always kept)
+            if len(g) > max_vocab:
+                sent = g[g["token"] == _DOCS_SENTINEL]
+                g = g.nlargest(max_vocab, "df")
+                if not sent.empty and _DOCS_SENTINEL not in set(g["token"]):
+                    import pandas as _pd
+
+                    g = _pd.concat([g, sent], ignore_index=True)
+            return g
+
+        merged = partition_by_key(partials, ["token"], 8, sort=False).map_batches(
+            _merge_cap,
             batch_format="pandas",
             batch_size=None,
         )

@@ -133,3 +133,41 @@ def test_build_from_corpus():
     assert idx.contains("PETERSFIELD")
     assert not idx.contains("XY")  # below min length
     assert not idx.contains("ALTON")  # below min frequency
+
+
+class TestDistributedTokenDf:
+    """The distributed token-df fit (per-block partials -> token-keyed
+    merge with per-partition vocab cap) must agree with the exact driver
+    path when every text is unique (no cross-block dedup divergence),
+    and must bound what reaches the driver."""
+
+    def test_matches_driver_path_and_caps(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ehdc_llpg_address_matching_ray.stages.correct import fit_token_df
+
+        rows = []
+        for i in range(300):
+            # skewed vocabulary: COMMON in every row, rare tokens tail
+            rows.append((f"u{i}", f"COMMON MID{i % 7} RARE{i}", f"h{i}"))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "url": [r[0] for r in rows],
+                    "canonical": [r[1] for r in rows],
+                    "text_hash": [r[2] for r in rows],
+                }
+            )
+        ).repartition(6)
+
+        exact_df, exact_n = fit_token_df(ds, distributed_threshold=10**9)
+        dist_df, dist_n = fit_token_df(ds, distributed_threshold=0)
+        assert dist_n == exact_n == 300
+        assert dict(dist_df) == dict(exact_df)
+
+        capped_df, capped_n = fit_token_df(ds, distributed_threshold=0, max_vocab=5)
+        assert capped_n == 300
+        assert len(capped_df) <= 5
+        # the cap keeps the most frequent tokens
+        assert capped_df["COMMON"] == 300
