@@ -1052,6 +1052,136 @@ FROM documents d LEFT JOIN code c USING (doc_id)
 SQL_SIMHASH_CODES = _simhash_oracle_sql()
 
 
+_SIMHASH_HAMMING_K = 3  # near-dup threshold (bits differing)
+
+
+def q_simhash_neardup(sf_dir: str) -> rd.Dataset:
+    """SimHash near-dup PAIRS: documents whose 63-bit sketches differ in
+    <= K bits, found via band blocking — split the code into K+1 bands
+    (pigeonhole: any pair within Hamming K agrees exactly on >= 1 band),
+    key a shuffle by (band_idx, band_value), enumerate pairs in-bucket,
+    verify the exact Hamming distance vectorized, and dedup cross-band
+    hits with the first-shared-band rule (no global pair-dedup shuffle).
+
+    Scale note: 4 bands of ~16 bits saturate at ~2^16 distinct bucket
+    keys, so at web scale (n >> 2^16 docs) buckets grow linearly and a
+    production deployment widens the sketch (128-bit SimHash, wider
+    bands) or splits each band shuffle by a second band — the banding,
+    shuffle and verify shapes here are unchanged by that choice."""
+    import numpy as np
+
+    from ..rayutil import hash_shuffle, partition_by_key
+
+    # 16-bit-table popcount (numpy < 2.0 has no bitwise_count)
+    _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.int64)
+
+    def _hamming(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint64)
+        return (
+            _POP16[(x & 0xFFFF).astype(np.int64)]
+            + _POP16[((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.int64)]
+            + _POP16[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.int64)]
+            + _POP16[(x >> np.uint64(48)).astype(np.int64)]
+        )
+
+    _BANDS = ((0, 0xFFFF), (16, 0xFFFF), (32, 0xFFFF), (48, 0x7FFF))
+
+    def _band_vals(code: np.ndarray) -> np.ndarray:
+        """(n, 4) int64 band values of the 63-bit codes."""
+        c = code.astype(np.uint64)
+        return np.stack(
+            [((c >> np.uint64(s)) & np.uint64(m)).astype(np.int64) for s, m in _BANDS],
+            axis=1,
+        )
+
+    def emit(b: pa.Table) -> pa.Table:
+        code = b["simhash"].to_numpy()
+        did = b["doc_id"].to_numpy()
+        bv = _band_vals(code)
+        n = len(code)
+        rows_code = np.repeat(code, 4)
+        rows_did = np.repeat(did, 4)
+        band_idx = np.tile(np.arange(4, dtype=np.int64), n)
+        block_key = (band_idx << 16) | bv.reshape(-1)
+        return pa.table(
+            {
+                "block_key": pa.array(block_key, pa.int64()),
+                "doc_id": pa.array(rows_did, pa.int64()),
+                "simhash": pa.array(rows_code, pa.int64()),
+                "band_idx": pa.array(band_idx, pa.int64()),
+            }
+        )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(
+            b, sort_keys=[("block_key", "ascending"), ("doc_id", "ascending")]
+        )
+        t = b.take(idx)
+        bk = t["block_key"].to_numpy()
+        did = t["doc_id"].to_numpy()
+        code = t["simhash"].to_numpy()
+        bidx = t["band_idx"].to_numpy()
+        bounds = np.flatnonzero(np.diff(bk)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(bk)]])
+        out_a, out_b, out_h = [], [], []
+        sizes = ends - starts
+        for m in np.unique(sizes[sizes >= 2]):
+            blk = starts[sizes == m]
+            iu, il = np.triu_indices(int(m), k=1)
+            ia = (blk[:, None] + iu[None, :]).ravel()
+            ib = (blk[:, None] + il[None, :]).ravel()
+            h = _hamming(code[ia] ^ code[ib])
+            ok = h <= _SIMHASH_HAMMING_K
+            if not ok.any():
+                continue
+            ia, ib, h = ia[ok], ib[ok], h[ok]
+            # first-shared-band dedup: keep the pair only in the lowest
+            # band index where the two codes agree
+            bva, bvb = _band_vals(code[ia]), _band_vals(code[ib])
+            first_shared = (bva == bvb).argmax(axis=1)
+            keep = first_shared == bidx[ia]
+            if keep.any():
+                lo = np.minimum(did[ia[keep]], did[ib[keep]])
+                hi = np.maximum(did[ia[keep]], did[ib[keep]])
+                out_a.append(lo)
+                out_b.append(hi)
+                out_h.append(h[keep])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "hamming": pa.array(np.concatenate(out_h), pa.int64()),
+            }
+        )
+
+    with hash_shuffle():
+        codes = q_simhash_codes(sf_dir)
+        keyed = codes.map_batches(emit, batch_format="pyarrow")
+        part = partition_by_key(keyed, ["block_key"], 8, sort=False)
+        return part.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+
+SQL_SIMHASH_NEARDUP = f"""
+WITH codes AS ({_simhash_oracle_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAMMING_K}
+"""
+
+
 def q_linkage_fact(sf_dir: str) -> rd.Dataset:
     """Flagship linkage pipeline over the documents table shaped as pages
     (rows-only: transitive clustering is not ANSI-SQL-expressible)."""
@@ -1539,6 +1669,7 @@ QUERIES = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "minhash_neardup": q_minhash_neardup,
     "simhash_codes": q_simhash_codes,
+    "simhash_neardup": q_simhash_neardup,
     "linkage_fact": q_linkage_fact,
     "real_address_filter": q_real_address_filter,
     "rule_transform": q_rule_transform,
@@ -1576,6 +1707,7 @@ ORACLE_SQL = {
     "multimodal_featurize": SQL_MULTIMODAL_FEATURIZE,
     "range_expand": SQL_RANGE_EXPAND,
     "simhash_codes": SQL_SIMHASH_CODES,
+    "simhash_neardup": SQL_SIMHASH_NEARDUP,
     "match_exact_tiers": SQL_MATCH_EXACT_TIERS,
     "linkage_exact_projection": SQL_LINKAGE_EXACT_PROJECTION,
     "group_consensus": SQL_GROUP_CONSENSUS,
