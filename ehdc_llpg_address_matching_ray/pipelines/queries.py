@@ -315,6 +315,105 @@ FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
 """
 
 
+_JACCARD_NEARDUP_TAU = 0.82
+
+
+def q_jaccard_neardup_blocked(sf_dir: str) -> rd.Dataset:
+    """n-gram-Jaccard near-dup PAIRS with (lang, source) blocking: the
+    all-pairs comparison runs only INSIDE a block (keyed shuffle +
+    per-block vectorized enumeration), never corpus-wide — the standard
+    scale shape when a cheap equality key bounds candidates.  Character
+    set Jaccard (n=1), same metric as DuckDB's jaccard(), so the oracle
+    is value-exact."""
+    from ..rayutil import hash_shuffle, partition_by_key
+
+    def keyed(b: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = (
+            pl.from_arrow(pa.table({"l": b["lang"], "s": b["source"]}))
+            .hash_rows(seed=11)
+            .to_numpy()
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "block": pa.array(h & 0x7FFFFFFFFFFFFFFF, pa.int64()),
+                "doc_id": b["doc_id"],
+                "text": b["text"],
+            }
+        )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "jac": pa.array([], pa.float64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(b, sort_keys=[("block", "ascending"), ("doc_id", "ascending")])
+        t = b.take(idx)
+        blk = t["block"].to_numpy()
+        did = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        bounds = np.flatnonzero(np.diff(blk)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(blk)]])
+        out_a, out_b, out_j = [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            # exact set Jaccard via a block-local boolean char-incidence
+            # matrix: inter = M @ M.T (the in-block matmul scale shape,
+            # same as the blocked embedding path); the char alphabet is
+            # block-bounded so the matrix stays tiny
+            sets = [set(texts[i] or "") for i in range(s, e)]
+            alphabet = {c: j for j, c in enumerate(sorted(set().union(*sets)))}
+            M = np.zeros((m, max(1, len(alphabet))), dtype=np.int32)
+            for i, cs in enumerate(sets):
+                for c in cs:
+                    M[i, alphabet[c]] = 1
+            inter = M @ M.T
+            sizes_v = M.sum(axis=1)
+            union = sizes_v[:, None] + sizes_v[None, :] - inter
+            jac = inter / np.maximum(union, 1)
+            iu, il = np.triu_indices(m, k=1)
+            ok = jac[iu, il] >= _JACCARD_NEARDUP_TAU
+            if ok.any():
+                out_a.append(did[s + iu[ok]])
+                out_b.append(did[s + il[ok]])
+                out_j.append(np.round(jac[iu, il][ok], 6))
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+                "jac": pa.array(np.concatenate(out_j), pa.float64()),
+            }
+        )
+
+    with hash_shuffle():
+        docs = _t(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+        part = partition_by_key(
+            docs.map_batches(keyed, batch_format="pyarrow"), ["block"], 8, sort=False
+        )
+        return part.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+
+
+SQL_JACCARD_NEARDUP_BLOCKED = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(jaccard(a.text, b.text), 6) AS jac
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE jaccard(a.text, b.text) >= {_JACCARD_NEARDUP_TAU}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational operator family over the TPC-H-ish tables (§2.4/2.6/2.7)
 # ---------------------------------------------------------------------------
@@ -1654,6 +1753,7 @@ QUERIES = {
     "langid": q_langid,
     "levenshtein_adjacent": q_levenshtein_adjacent,
     "char_jaccard_adjacent": q_char_jaccard_adjacent,
+    "jaccard_neardup_blocked": q_jaccard_neardup_blocked,
     "pricing_summary": q_pricing_summary,
     "top3_orders_per_customer": q_top3_orders_per_customer,
     "revenue_by_nation": q_revenue_by_nation,
@@ -1689,6 +1789,7 @@ ORACLE_SQL = {
     "textstats": SQL_TEXTSTATS,
     "levenshtein_adjacent": SQL_LEVENSHTEIN_ADJACENT,
     "char_jaccard_adjacent": SQL_CHAR_JACCARD_ADJACENT,
+    "jaccard_neardup_blocked": SQL_JACCARD_NEARDUP_BLOCKED,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top3_orders_per_customer": SQL_TOP3_ORDERS,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
