@@ -286,6 +286,11 @@ class PairScorer:
         # vectorized-path caches (see _tok_entry / _ts_tf_batch)
         self._entry_cache: dict[str, tuple] = {}
         self._tok_ids: dict[str, int] = {}
+        # (token_a, token_b) -> within_one_edit verdict, worker-lifetime
+        self._dl1_cache: dict[tuple[str, str], bool] = {}
+        # house/locality tuple -> frozenset caches (see __call__)
+        self._hset_cache: dict[tuple, frozenset] = {}
+        self._lset_cache: dict[tuple, frozenset] = {}
 
     def _tok_vec(self, canon: str) -> tuple[dict, float]:
         """idf-weighted term vector + L2 norm, cached per canonical text."""
@@ -414,12 +419,40 @@ class PairScorer:
             ts[live] = np.minimum(1.0, common[live] / denom[live])
         # fuzzy DL-1 rescue only where it can change the result
         maybe = np.flatnonzero(live & (common < denom))
+        dl1 = self._dl1_cache
         for i in maybe.tolist():
             ca, cb = can_a[i], can_b[i]
-            _, rest_a_all = self._tok_set(ca)
-            _, rest_b_all = self._tok_set(cb)
-            if rest_a_all and rest_b_all:
-                ts[i] = self._overlap_pair(ca, cb)
+            sa, rest_a_all = self._tok_set(ca)
+            sb, rest_b_all = self._tok_set(cb)
+            if not rest_a_all or not rest_b_all:
+                continue
+            # inline fuzzy_token_overlap's DL-1 rescue, reusing the
+            # kernel's exact intersection count and a worker-level
+            # (token, token) verdict cache — token pairs repeat across
+            # thousands of candidate pairs, so each within_one_edit
+            # evaluates once per worker, not once per pair
+            rest_a = [t for t in rest_a_all if t not in sb]
+            rest_b = [t for t in rest_b_all if t not in sa]
+            extra = 0
+            if rest_a and rest_b and len(rest_a) * len(rest_b) <= 64:
+                used = [False] * len(rest_b)
+                for ta in rest_a:
+                    for j, tb in enumerate(rest_b):
+                        if used[j] or abs(len(ta) - len(tb)) > 1:
+                            continue
+                        key = (ta, tb)
+                        v = dl1.get(key)
+                        if v is None:
+                            if len(dl1) > self._CAP:
+                                dl1.clear()
+                            v = SS.within_one_edit(ta, tb)
+                            dl1[key] = v
+                        if v:
+                            used[j] = True
+                            extra += 1
+                            break
+            if extra:
+                ts[i] = min(1.0, (int(common[i]) + extra) / int(denom[i]))
 
         # tf-idf cosine
         tf = np.zeros(n, dtype=np.float64)
@@ -621,6 +654,31 @@ class PairScorer:
             vec_tstf = True
         else:
             vec_tstf = False
+        # per-tuple set caches (worker-lifetime): house/locality tuples
+        # repeat across thousands of pairs, so the uppercase-set build
+        # inside has_common_element / token_overlap runs once per
+        # distinct tuple instead of once per pair (semantics identical)
+        hsets = self._hset_cache
+        lsets = self._lset_cache
+
+        def _hset(tup):
+            v = hsets.get(tup)
+            if v is None:
+                if len(hsets) > self._CAP:
+                    hsets.clear()
+                v = frozenset(x.upper() for x in tup)
+                hsets[tup] = v
+            return v
+
+        def _lset(tup):
+            v = lsets.get(tup)
+            if v is None:
+                if len(lsets) > self._CAP:
+                    lsets.clear()
+                v = frozenset(tup)
+                lsets[tup] = v
+            return v
+
         for i in range(n):
             ca, cb = can_a[i], can_b[i]
             if not vec_tstf:
@@ -633,13 +691,21 @@ class PairScorer:
                 hb = _house_numbers_cached(text_b[i])
                 la = _locality_tokens_cached(text_a[i])
                 lb = _locality_tokens_cached(text_b[i])
-            common = bool(ha and hb and F.has_common_element(list(ha), list(hb)))
+            # == has_common_element(list(ha), list(hb)) on cached sets
+            common = bool(ha and hb) and not _hset(tuple(ha)).isdisjoint(_hset(tuple(hb)))
             veto[i] = bool(ha and hb) and not common
             # D2 medium-tier inputs, carried through the scored schema so
             # the distributed decide can evaluate the 0.88 tier
             # (scorer.go:177-188)
             same_house[i] = common
-            loc_overlap[i] = N.token_overlap(list(la), list(lb))
+            # == N.token_overlap(list(la), list(lb)) with a cached set1
+            if not la and not lb:
+                loc_overlap[i] = 1.0
+            elif not la or not lb:
+                loc_overlap[i] = 0.0
+            else:
+                s1 = _lset(tuple(la))
+                loc_overlap[i] = sum(1 for t in lb if t in s1) / min(len(la), len(lb))
 
         w = self.prod
         if w.formula == "alt":
