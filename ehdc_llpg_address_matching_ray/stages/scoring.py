@@ -177,10 +177,14 @@ class PairScorer:
     per actor — never re-shipped per batch).
     """
 
-    # per-text cache cap: bounds worker heap (the caches outlive the
-    # stage in the worker-state slot, and millions of small Python
-    # objects inflate every later stage's GC on that worker)
-    _CAP = 500_000
+    # per-text cache cap: bounds worker heap.  Must exceed the broadcast
+    # payload's row count or the full-clear-on-overflow row cache
+    # thrashes mid-stage (each worker touches most reps; at 907k reps a
+    # 500k cap forced repeated rebuild of ~0.5 GB of tuples).  The
+    # broadcast byte gate bounds the payload this cap must cover, and
+    # decide's release_worker_state drops the whole scorer slot the
+    # moment scoring ends, so the heap cost is stage-scoped.
+    _CAP = 2_500_000
 
     def __init__(
         self,
