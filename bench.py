@@ -101,6 +101,9 @@ SCALING_WIDTHS = tuple(
     int(w) for w in os.environ.get("GRAFT_SCALING_WIDTHS", "4,16").split(",")
 )
 SCALING_CORPUS = f"/tmp/ehdc_llpg_address_matching_ray_scaling_corpus_{SCALING_ENTITIES}"
+# retry a protocol run when its hypervisor-steal fraction exceeds this
+# (co-tenant bursts inflate wall times; clean windows measure <0.005)
+SCALING_STEAL_MAX = float(os.environ.get("GRAFT_SCALING_STEAL_MAX", "0.06"))
 
 
 def _pin_kernel_threads() -> None:
@@ -200,7 +203,7 @@ def run_scaling(sf_dir: str) -> dict:
                 # background) inflate wall time 2-4x and hit the wide
                 # width hardest — retry polluted runs, keep the last
                 # attempt regardless
-                if r.get("steal_frac", 0.0) <= 0.06 or attempt == max_retries:
+                if r.get("steal_frac", 0.0) <= SCALING_STEAL_MAX or attempt == max_retries:
                     break
             runs[cpus].append(r["sec"])
             steals[cpus].append(r.get("steal_frac", 0.0))
@@ -262,7 +265,7 @@ def run_weak_scaling(sf_dir: str) -> dict:
                 )
                 line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
                 r = json.loads(line)
-                if r.get("steal_frac", 0.0) <= 0.06 or attempt == max_retries:
+                if r.get("steal_frac", 0.0) <= SCALING_STEAL_MAX or attempt == max_retries:
                     break
             runs[ents].append(r["sec"])
             steals[ents].append(r.get("steal_frac", 0.0))
