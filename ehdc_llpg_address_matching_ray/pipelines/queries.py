@@ -1096,15 +1096,14 @@ def q_minhash_neardup(sf_dir: str) -> rd.Dataset:
         # pair-sized payload joins entirely (attach_payload ships full
         # web text twice per pair — pure waste here)
         pairs = B.build_blocks(docs, cfg, attach_payload=False).materialize()
-    return pairs.map_batches(
-        lambda b: pa.table(
-            {
-                "doc_a": b["id_a"],
-                "doc_b": b["id_b"],
-            }
-        ),
-        batch_format="pyarrow",
-    )
+    def project(b: pa.Table) -> pa.Table:
+        # drop the salting sentinel accounting row (id_a = id_b = -1,
+        # emitted when a capped block keeps zero pairs) — it is coverage
+        # bookkeeping, not a candidate pair
+        t = b.filter(pc.not_equal(b["id_a"], pa.scalar(-1, pa.int64())))
+        return pa.table({"doc_a": t["id_a"], "doc_b": t["id_b"]})
+
+    return pairs.map_batches(project, batch_format="pyarrow")
 
 
 def q_simhash_codes(sf_dir: str) -> rd.Dataset:

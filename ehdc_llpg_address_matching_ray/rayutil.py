@@ -469,14 +469,26 @@ def worker_cached(stage: str, token: str, build):
     return cur[1]
 
 
-def release_worker_state(stage: str) -> None:
+_RELEASE_SEEN: dict[str, str] = {}
+
+
+def release_worker_state(stage: str, once_token: str | None = None) -> None:
     """Drop a worker's cached state for ``stage`` (idempotent, callable
     from any task).  Heavy stage state — the pair scorer's per-worker
     payload copy + row caches run ~0.5 GB/worker — otherwise outlives
     its stage for the whole session and, at 32 workers, pressures every
     downstream stage's allocations.  Downstream stages call this at task
     entry; a worker that never runs a downstream task keeps its slot,
-    which is only the status quo."""
+    which is only the status quo.
+
+    ``once_token``: when given, the release fires at most once per
+    worker per token — so a downstream stage that (under lazy streaming
+    composition) interleaves with its upstream drops the state once,
+    not per batch (one bounded rebuild instead of a thrash)."""
+    if once_token is not None:
+        if _RELEASE_SEEN.get(stage) == once_token:
+            return
+        _RELEASE_SEEN[stage] = once_token
     _TASK_STATE.pop(stage, None)
 
 

@@ -243,7 +243,7 @@ def partial_top2(batch: pa.Table) -> pa.Table:
     return batch.take(sel).append_column("pcount", pa.array(pcount[keep], pa.int64()))
 
 
-def directed_top2(batch: pa.Table) -> pa.Table:
+def directed_top2(batch: pa.Table, release_token: str | None = None) -> pa.Table:
     """Fused ``to_directed`` + ``partial_top2``: run the per-block top-2
     combiner once per pair DIRECTION over zero-copy column aliases of
     the undirected batch, instead of materializing the doubled directed
@@ -252,10 +252,14 @@ def directed_top2(batch: pa.Table) -> pa.Table:
     up to row order — both feed the same src-keyed exchange."""
     # scoring is complete once decide runs: release the scorer's heavy
     # per-worker state (payload copy + caches, ~0.5 GB/worker) so this
-    # and later stages don't allocate under memory pressure
+    # and later stages don't allocate under memory pressure.  The release
+    # is guarded by a per-decide-run token: if a caller composed decide
+    # lazily over score_pairs and the streaming executor interleaves the
+    # stages, the state drops at most ONCE per worker per run instead of
+    # thrashing per batch.
     from ..rayutil import release_worker_state
 
-    release_worker_state("pair_scorer")
+    release_worker_state("pair_scorer", once_token=release_token)
     feature_cols = [
         c for c in ("has_same_house_num", "locality_overlap") if c in batch.column_names
     ]
@@ -315,6 +319,15 @@ def decide(
 ):
     """scored pairs -> per-source DECISIONS Dataset.
 
+    NOTE: the combiner (``directed_top2``) releases the scorer's heavy
+    per-worker state (~0.5 GB/worker) at task entry.  The flagship
+    pipeline materializes the scored dataset first (04_scored pin), so
+    scoring is complete when the release fires.  A caller composing
+    decide() lazily over score_pairs() interleaves the stages under
+    streaming execution; the release is RUN-TOKEN-GUARDED (once per
+    worker per decide call), so the worst case is ONE scorer-state
+    rebuild per worker, not a per-batch drop/rebuild thrash.
+
     ``combine_batch_size``: the scored dataset arrives in the scorer's
     small load-balancing blocks (~32-64k rows); an explicit batch size
     makes Ray bundle several blocks per combiner task, cutting per-task
@@ -323,8 +336,13 @@ def decide(
     is the knee — larger batches lose parallelism and pay superlinear
     sort cost (2M-row batches measured 2.8x slower than 256k)."""
     tiers = tiers or MatchTiers()
+    import uuid
+
+    run_token = uuid.uuid4().hex
     reduced = scored_pairs_ds.map_batches(
-        directed_top2, batch_format="pyarrow", batch_size=combine_batch_size
+        lambda b: directed_top2(b, release_token=run_token),
+        batch_format="pyarrow",
+        batch_size=combine_batch_size,
     )
     part = partition_by_key(reduced, ["src"], num_partitions, sort=False)
     return part.map_batches(

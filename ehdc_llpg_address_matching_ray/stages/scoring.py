@@ -256,14 +256,31 @@ class PairScorer:
                         if "nid" in t.column_names:
                             # int-keyed pairs: direct searchsorted on the
                             # sorted nid column — no per-batch string
-                            # hashing, and ids are exact (no collision
-                            # guard needed; nid IS the row identity)
+                            # hashing.  nid is a 63-bit md5 url
+                            # fingerprint, so two distinct reps CAN
+                            # collide (~n^2/2^64); a collision would
+                            # silently merge identities across pairs,
+                            # decisions and clusters, so detect it once
+                            # here and fail loudly.
                             ids = t["nid"].to_numpy()
                             iorder = np.argsort(ids, kind="stable")
-                            self._pid_sorted = ids[iorder]
+                            sorted_ids = ids[iorder]
+                            if len(sorted_ids) > 1 and bool(
+                                (sorted_ids[1:] == sorted_ids[:-1]).any()
+                            ):
+                                dup = sorted_ids[:-1][sorted_ids[1:] == sorted_ids[:-1]]
+                                raise ValueError(
+                                    "nid fingerprint collision in scorer payload "
+                                    f"({len(dup)} duplicate id(s), e.g. {int(dup[0])}): "
+                                    "distinct rep urls share a 63-bit id; rerun with "
+                                    "url-keyed pairs (broadcast payload without nid)"
+                                )
+                            self._pid_sorted = sorted_ids
                             self._pid_rows = iorder.astype(np.int64)
                         self._ptable = t
                         payload = None
+        except ValueError:
+            raise  # nid collision guard must fail loudly, not fall back
         except Exception:
             pass
         # broadcast url -> (text, canonical) lookup (resolved ONCE per
@@ -345,8 +362,15 @@ class PairScorer:
         come from a per-worker grow-only dict (< 2^32 entries)."""
         v = self._entry_cache.get(canon)
         if v is None:
-            if len(self._entry_cache) > self._CAP:
+            # entries store token ids from _tok_ids, so the two caches
+            # must reset ATOMICALLY: clearing only the entries would let
+            # _tok_ids grow without bound across generations (heap leak),
+            # and a vocabulary past 2^32 would silently corrupt the
+            # packed (pair_idx << 32 | token_id) sort-merge keys.  The
+            # id-space guard trips far below 2^32 as defense in depth.
+            if len(self._entry_cache) > self._CAP or len(self._tok_ids) > (1 << 31):
                 self._entry_cache.clear()
+                self._tok_ids.clear()
             ids_map = self._tok_ids
             cnt = Counter(canon.split(" ")) if canon else Counter()
             n_set = len(cnt)
@@ -727,6 +751,16 @@ class PairScorer:
         else:
             score = w.jaro_winkler * jw + w.token_set * ts + w.tfidf_cosine * tf
         is_edge = (score >= w.edge_threshold) & ~veto
+        # salting sentinel rows (id -1 / url "") exist only to carry a
+        # block's dropped_pairs count when it kept zero pairs; they score
+        # against empty payload rows (ts=tf=1.0) and would otherwise emit
+        # a spurious self-loop edge.  Never an edge; accounting preserved.
+        if id_mode:
+            sent = url_a.to_numpy(zero_copy_only=False) == -1
+        else:
+            sent = np.fromiter((u == "" for u in url_a.to_pylist()), bool, n)
+        if sent.any():
+            is_edge &= ~sent
 
         cols: dict = {
             a_col: url_a,
