@@ -1739,6 +1739,242 @@ FROM hashed
 """
 
 
+def q_scored_pairs_projection(sf_dir: str) -> rd.Dataset:
+    """The PRODUCTION pair score itself (P1/P2 heart of the engine,
+    internal/match/scorer.go:52-139 semantics as re-expressed in
+    stages/scoring.PairScorer) over a deterministic pair set — value-
+    hash-oracled in DuckDB down to the greedy DL-1 token rescue.
+
+    Pair set: adjacent (doc_id, doc_id+1) documents.  The blocking
+    families carry their own oracles; this one puts the scoring kernel
+    (Jaro-Winkler + token-set ratio w/ DL-1 rescue + TF-IDF cosine +
+    house-number veto) behind the driver's hard gate.
+
+    The idf is fit EXACTLY over all document canonicals (distinct tokens
+    per doc, no sampling/cap — the oracle recomputes the identical
+    formula; the flagship's sampled/capped distributed fit is a scale
+    policy, not a semantics change).  The driver df merge is
+    vocab-bounded, same bound as pipelines/linkage.fit_idf_from_reps."""
+    from collections import Counter
+
+    from ..stages import scoring as SC
+
+    def prep(b: pa.Table) -> pa.Table:
+        canonical, _ = N.canonical_batch(b["text"])
+        return pa.table({"doc_id": b["doc_id"], "text": b["text"], "canonical": canonical})
+
+    docs = (
+        _t(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(prep, batch_format="pyarrow")
+        .materialize()
+    )
+    n_docs = docs.count()
+    df: Counter[str] = Counter()
+    for b in docs.select_columns(["canonical"]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        for c in b["canonical"].to_pylist():
+            if c:
+                df.update(set(c.split(" ")))
+    idf_ref = ray.put(SC.fit_idf(dict(df), n_docs))
+
+    left = docs.map_batches(
+        lambda b: pa.table(
+            {"doc_id": b["doc_id"], "text_a": b["text"], "canonical_a": b["canonical"]}
+        ),
+        batch_format="pyarrow",
+    )
+    right = docs.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.subtract(b["doc_id"], 1),
+                "text_b": b["text"],
+                "canonical_b": b["canonical"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = engine_join(left, right, ("doc_id",), how="inner", num_partitions=8)
+    pairs = joined.map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": pc.cast(b["doc_id"], pa.int64()),
+                "id_b": pc.cast(pc.add(b["doc_id"], 1), pa.int64()),
+                "text_a": b["text_a"],
+                "text_b": b["text_b"],
+                "canonical_a": b["canonical_a"],
+                "canonical_b": b["canonical_b"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    scored = SC.score_pairs(pairs, idf_ref=idf_ref, n_docs=n_docs)
+    return scored.map_batches(
+        lambda b: pa.table(
+            {
+                "id_a": b["id_a"],
+                "id_b": b["id_b"],
+                "jaro_winkler": pc.round(b["jaro_winkler"], 6),
+                "token_set_ratio": pc.round(b["token_set_ratio"], 6),
+                "tfidf_cosine": pc.round(b["tfidf_cosine"], 6),
+                "house_veto": b["house_veto"],
+                "score": pc.round(b["score"], 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _scored_pairs_sql() -> str:
+    """DuckDB twin of the production PairScorer over adjacent-doc pairs,
+    generated from the SAME regex/rule constants (functions/normalize.py)
+    so the two cannot drift.  The greedy DL-1 leftover-token rescue
+    (scoring.PairScorer._ts_tf_batch / fuzzy_token_overlap) is expressed
+    as a recursive CTE: rest-side tokens sorted ascending, each a-token
+    takes the FIRST unused b-token within one Damerau-Levenshtein edit
+    (duckdb damerau_levenshtein agrees with symspell.within_one_edit on
+    the <=1 verdict), exactly the scalar kernel's iteration order."""
+    canon = m1_canonical_sql("text")[0]
+    hn = _sql_quote(N.HOUSE_NUMBER_PATTERN)
+    # FLAT_UNIT_PATTERN under RE2 semantics (\s -> [\t\n\f\r ]), matching
+    # normalize._re2_compat's rewrite of the scalar pattern
+    flat = _sql_quote(N.FLAT_UNIT_PATTERN.replace(r"\s", "[\\t\\n\\f\\r ]"))
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text, {canon} AS canonical FROM documents
+),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+tok AS (
+  SELECT doc_id, t AS tok, count(*)::BIGINT AS cnt
+  FROM docs, unnest(string_split(canonical, ' ')) AS u(t)
+  WHERE canonical <> ''
+  GROUP BY doc_id, t
+),
+idf AS (
+  SELECT tok, ln((1 + (SELECT n FROM nn)) / (1 + count(DISTINCT doc_id))) + 1.0 AS idf
+  FROM tok GROUP BY tok
+),
+tw AS (
+  SELECT t.doc_id, t.tok, t.cnt, t.cnt * i.idf AS w
+  FROM tok t JOIN idf i USING (tok)
+),
+sz AS (
+  SELECT doc_id, count(*)::BIGINT AS n_set, sqrt(sum(w * w)) AS nrm
+  FROM tw GROUP BY doc_id
+),
+hn AS (
+  SELECT doc_id,
+         list_transform(
+           list_concat(
+             regexp_extract_all(text, '{hn}', 1),
+             regexp_extract_all(text, '{flat}', 2)
+           ), x -> upper(x)) AS houses
+  FROM docs
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.canonical AS ca, b.canonical AS cb
+  FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*)::BIGINT AS common, sum(ta.w * tb.w) AS dot
+  FROM pairs p
+  JOIN tw ta ON ta.doc_id = p.id_a
+  JOIN tw tb ON tb.doc_id = p.id_b AND tb.tok = ta.tok
+  GROUP BY p.id_a, p.id_b
+),
+resta AS (
+  SELECT p.id_a, p.id_b, ta.tok,
+         row_number() OVER (PARTITION BY p.id_a, p.id_b ORDER BY ta.tok) AS ai
+  FROM pairs p
+  JOIN tok ta ON ta.doc_id = p.id_a
+  WHERE regexp_matches(ta.tok, '^\\p{{L}}+$') AND length(ta.tok) >= 3
+    AND NOT EXISTS (SELECT 1 FROM tok x WHERE x.doc_id = p.id_b AND x.tok = ta.tok)
+),
+restb AS (
+  SELECT p.id_a, p.id_b, tb.tok,
+         row_number() OVER (PARTITION BY p.id_a, p.id_b ORDER BY tb.tok) AS bi
+  FROM pairs p
+  JOIN tok tb ON tb.doc_id = p.id_b
+  WHERE regexp_matches(tb.tok, '^\\p{{L}}+$') AND length(tb.tok) >= 3
+    AND NOT EXISTS (SELECT 1 FROM tok x WHERE x.doc_id = p.id_a AND x.tok = tb.tok)
+),
+rest_sz AS (
+  SELECT p.id_a, p.id_b,
+         (SELECT count(*) FROM resta ra WHERE ra.id_a = p.id_a AND ra.id_b = p.id_b) AS na_rest,
+         (SELECT count(*) FROM restb rb WHERE rb.id_a = p.id_a AND rb.id_b = p.id_b) AS nb_rest
+  FROM pairs p
+),
+gates AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p
+  JOIN sz sa ON sa.doc_id = p.id_a
+  JOIN sz sb ON sb.doc_id = p.id_b
+  JOIN rest_sz rs ON rs.id_a = p.id_a AND rs.id_b = p.id_b
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  WHERE coalesce(i.common, 0) < least(sa.n_set, sb.n_set)
+    AND rs.na_rest > 0 AND rs.nb_rest > 0
+    AND rs.na_rest * rs.nb_rest <= 64
+),
+greedy AS (
+  SELECT g.id_a, g.id_b, 0::BIGINT AS ai, []::BIGINT[] AS used, 0::BIGINT AS extra
+  FROM gates g
+  UNION ALL
+  SELECT g.id_a, g.id_b, a.ai,
+         CASE WHEN m.bi IS NULL THEN g.used ELSE list_append(g.used, m.bi) END,
+         g.extra + CASE WHEN m.bi IS NULL THEN 0 ELSE 1 END
+  FROM greedy g
+  JOIN resta a ON a.id_a = g.id_a AND a.id_b = g.id_b AND a.ai = g.ai + 1
+  LEFT JOIN LATERAL (
+    SELECT min(b.bi) AS bi FROM restb b
+    WHERE b.id_a = g.id_a AND b.id_b = g.id_b
+      AND NOT list_contains(g.used, b.bi)
+      AND abs(length(a.tok) - length(b.tok)) <= 1
+      AND damerau_levenshtein(a.tok, b.tok) = 1
+  ) m ON true
+),
+rescue AS (
+  SELECT id_a, id_b, extra
+  FROM greedy
+  QUALIFY row_number() OVER (PARTITION BY id_a, id_b ORDER BY ai DESC) = 1
+),
+scored AS (
+  SELECT p.id_a, p.id_b,
+         jaro_winkler_similarity(substr(p.ca, 1, 64), substr(p.cb, 1, 64)) AS jw,
+         CASE
+           WHEN coalesce(sa.n_set, 0) = 0 AND coalesce(sb.n_set, 0) = 0 THEN 1.0
+           WHEN coalesce(sa.n_set, 0) = 0 OR coalesce(sb.n_set, 0) = 0 THEN 0.0
+           ELSE least(1.0, (coalesce(i.common, 0) + coalesce(r.extra, 0))::DOUBLE
+                           / least(sa.n_set, sb.n_set))
+         END AS ts,
+         CASE
+           WHEN coalesce(sa.n_set, 0) = 0 AND coalesce(sb.n_set, 0) = 0 THEN 1.0
+           WHEN coalesce(i.dot, 0) = 0 OR coalesce(sa.nrm, 0) = 0 OR coalesce(sb.nrm, 0) = 0 THEN 0.0
+           ELSE i.dot / (sa.nrm * sb.nrm)
+         END AS tf,
+         (len(ha.houses) > 0 AND len(hb.houses) > 0
+          AND len(list_intersect(ha.houses, hb.houses)) = 0) AS house_veto
+  FROM pairs p
+  LEFT JOIN sz sa ON sa.doc_id = p.id_a
+  LEFT JOIN sz sb ON sb.doc_id = p.id_b
+  LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  LEFT JOIN rescue r ON r.id_a = p.id_a AND r.id_b = p.id_b
+  JOIN hn ha ON ha.doc_id = p.id_a
+  JOIN hn hb ON hb.doc_id = p.id_b
+)
+SELECT id_a, id_b,
+       round(jw, 6) AS jaro_winkler,
+       round(ts, 6) AS token_set_ratio,
+       round(tf, 6) AS tfidf_cosine,
+       house_veto,
+       round(0.50 * jw + 0.25 * ts + 0.25 * tf, 6) AS score
+FROM scored
+"""
+
+
+SQL_SCORED_PAIRS_PROJECTION = _scored_pairs_sql()
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1778,6 +2014,7 @@ QUERIES = {
     "match_exact_tiers": q_match_exact_tiers,
     "linkage_exact_projection": q_linkage_exact_projection,
     "group_consensus": q_group_consensus,
+    "scored_pairs_projection": q_scored_pairs_projection,
 }
 
 ORACLE_SQL = {
@@ -1812,4 +2049,5 @@ ORACLE_SQL = {
     "linkage_exact_projection": SQL_LINKAGE_EXACT_PROJECTION,
     "group_consensus": SQL_GROUP_CONSENSUS,
     "langid": _langid_oracle_sql(),
+    "scored_pairs_projection": SQL_SCORED_PAIRS_PROJECTION,
 }
