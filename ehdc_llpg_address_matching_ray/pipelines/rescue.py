@@ -66,22 +66,51 @@ def group_rescue(
 
         def pick_reps(df: pd.DataFrame) -> pd.DataFrame:
             """Per group: size 2-30, best score < 0.5, >=1 real address ->
-            emit the longest real address as representative."""
-            df["m_score"] = df["m_score"].fillna(0.0)
-            out = []
-            for gk, g in df.groupby("group_key", sort=False):
-                if not (2 <= len(g) <= 30):
-                    continue
-                if g["m_score"].max() >= 0.5:
-                    continue
-                real = g[[CP.is_real_address(t) for t in g["raw_address"]]]
-                if len(real) == 0:
-                    continue
-                best = real.loc[
-                    real["raw_address"].str.len().sort_values(ascending=False).index[0]
-                ]
-                out.append({"group_key": gk, "rep_src": best["src_id"], "rep_address": best["raw_address"]})
-            return pd.DataFrame(out, columns=["group_key", "rep_src", "rep_address"])
+            emit the longest real address as representative.
+
+            Vectorized (sorted-run reduceat, no per-group Python — the
+            r2 loop shape).  Length ties pin to the group's FIRST such
+            row in partition order (the old pandas quicksort pick was
+            nondeterministic on ties; the reference :1395-1401 does not
+            specify a tie order)."""
+            n = len(df)
+            if n == 0:
+                return pd.DataFrame(columns=["group_key", "rep_src", "rep_address"])
+            import numpy as np
+
+            m_score = df["m_score"].fillna(0.0).to_numpy(dtype=np.float64)
+            raw = df["raw_address"].to_numpy(dtype=object)
+            is_real = np.fromiter((CP.is_real_address(t or "") for t in raw), bool, n)
+            gk = df["group_key"].to_numpy(dtype=object)
+            codes, uniq = pd.factorize(gk, sort=False)
+            G = len(uniq)
+            order = np.argsort(codes, kind="stable")
+            c = codes[order]
+            starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+            total = np.diff(np.r_[starts, n])
+            gmax = np.maximum.reduceat(m_score[order], starts)
+            has_real = np.zeros(G, dtype=bool)
+            if is_real.any():
+                has_real[np.unique(codes[is_real])] = True
+            ok = (total >= 2) & (total <= 30) & (gmax < 0.5) & has_real
+            if not ok.any():
+                return pd.DataFrame(columns=["group_key", "rep_src", "rep_address"])
+            # longest real row per group: lexsort real rows by
+            # (group, -len, position), take the first of each group run
+            ri = np.flatnonzero(is_real)
+            lens = np.fromiter((len(raw[i] or "") for i in ri), np.int64, len(ri))
+            rorder = ri[np.lexsort((ri, -lens, codes[ri]))]
+            rc = codes[rorder]
+            rfirst = rorder[np.flatnonzero(np.r_[True, rc[1:] != rc[:-1]])]
+            rep_rows = rfirst[ok[codes[rfirst]]]
+            src = df["src_id"].to_numpy(dtype=object)
+            return pd.DataFrame(
+                {
+                    "group_key": pd.Series(gk[rep_rows], dtype="object"),
+                    "rep_src": pd.Series(src[rep_rows], dtype="object"),
+                    "rep_address": pd.Series(raw[rep_rows], dtype="object"),
+                }
+            )
 
         reps = (
             partition_by_key(j, ["group_key"], num_partitions, sort=False)
