@@ -47,4 +47,77 @@ def hamming64(a: int, b: int) -> int:
 
 
 def simhash_batch(token_lists: list[list[str]]) -> np.ndarray:
-    return np.array([simhash64(t) for t in token_lists], dtype=np.uint64)
+    """Vectorized batch SimHash, value-identical to ``simhash64`` per row
+    (property-tested).
+
+    The r2 kernel ran per-document Python (a (len x 64) int64 broadcast
+    plus a 64-iteration bit loop per doc).  Here md5 runs ONCE per
+    DISTINCT token in the chunk (the lru cache carries hits across
+    calls), votes dedup to (doc, token) pairs with counts, and the
+    per-bit sign votes accumulate through 64 contiguous 1-D
+    gather/bincount passes.  Chunked over docs so the pair arrays stay
+    in the cache-friendly regime (large single allocations measured
+    superlinear on this substrate)."""
+    n_docs = len(token_lists)
+    if n_docs == 0:
+        return np.zeros(0, dtype=np.uint64)
+    # ~1M token instances per chunk
+    out = np.empty(n_docs, dtype=np.uint64)
+    pos = 0
+    while pos < n_docs:
+        hi = pos
+        tot = 0
+        while hi < n_docs and (tot == 0 or tot + len(token_lists[hi]) <= (1 << 20)):
+            tot += len(token_lists[hi])
+            hi += 1
+        out[pos:hi] = _simhash_chunk(token_lists[pos:hi])
+        pos = hi
+    return out
+
+
+def _simhash_chunk(token_lists: list[list[str]]) -> np.ndarray:
+    n_docs = len(token_lists)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    lengths = np.fromiter((len(t) for t in token_lists), np.int64, n_docs)
+    flat = [t for lst in token_lists for t in lst]
+    if not flat:
+        return out
+    import pandas as pd
+
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    U = len(uniq)
+    uh = np.fromiter((_tok_hash(t) for t in uniq.tolist()), np.uint64, U)
+    # +-1 vote rows per DISTINCT token via unpackbits (C-speed; uint64 is
+    # little-endian on every supported platform, so bitorder='little'
+    # over the byte view puts bit j of the hash in column j)
+    pm = (
+        2.0 * np.unpackbits(uh[:, None].view(np.uint8), axis=1, bitorder="little") - 1.0
+    )
+    # dedup to (doc, token) PAIRS with counts: natural-language tokens
+    # repeat within documents, and the expensive per-row work below is
+    # O(pairs x 64), not O(token instances x 64)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    key = doc_of * U + codes
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    kstarts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+    cnt = np.diff(np.r_[kstarts, len(ks)]).astype(np.float64)
+    pk = ks[kstarts]
+    doc_t = pk // U
+    code_t = pk % U
+    # per-bit count-weighted vote accumulation: 64 one-dimensional
+    # (gather, multiply, bincount) passes over the PAIR rows.  Wide-row
+    # gathers (pm[code_t] as one (pairs x 64) fancy index) measured
+    # ~10x slower than these contiguous 1-D column passes; float64 sums
+    # of integer votes are exact below 2^53.
+    pmf = np.asfortranarray(pm)
+    votes = np.empty((n_docs, 64), dtype=np.float64)
+    for j in range(64):
+        votes[:, j] = np.bincount(
+            doc_t, weights=cnt * np.take(pmf[:, j], code_t), minlength=n_docs
+        )
+    shifts = np.arange(64, dtype=np.uint64)
+    bits_set = (votes > 0).astype(np.uint64)
+    out = (bits_set << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    out[lengths == 0] = 0
+    return out

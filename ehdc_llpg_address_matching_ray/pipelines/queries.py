@@ -1112,7 +1112,8 @@ def q_simhash_codes(sf_dir: str) -> rd.Dataset:
     DuckDB — the oracle recomputes the identical sketch in SQL."""
 
     def f(b: pa.Table) -> pa.Table:
-        codes = [SH.simhash64((t or "").split()) & 0x7FFFFFFFFFFFFFFF for t in b["text"].to_pylist()]
+        codes = SH.simhash_batch([(t or "").split() for t in b["text"].to_pylist()])
+        codes = (codes & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         return pa.table({"doc_id": b["doc_id"], "simhash": pa.array(codes, pa.int64())})
 
     return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")

@@ -78,6 +78,21 @@ class TestSimHash:
     def test_empty(self):
         assert SH.simhash64([]) == 0
 
+    def test_batch_matches_scalar(self):
+        """simhash_batch (vectorized dedup + per-bit bincount votes) is
+        bit-identical to the scalar kernel, including empty docs,
+        single-token docs, duplicate tokens and non-ASCII."""
+        rng = np.random.default_rng(11)
+        vocab = [f"tok{i}" for i in range(400)] + ["héllo", "日本語", "a"]
+        lists = []
+        for _ in range(300):
+            k = int(rng.integers(0, 40))
+            lists.append([vocab[j] for j in rng.integers(0, len(vocab), k)])
+        lists += [[], ["single"], ["a", "a", "b"]]
+        got = SH.simhash_batch(lists)
+        want = np.array([SH.simhash64(t) for t in lists], dtype=np.uint64)
+        assert np.array_equal(got, want)
+
 
 class TestTextStats:
     def test_whitespace_token_count(self):
