@@ -44,7 +44,6 @@ from ..rayutil import (
 from ..stages import decide as D
 from ..stages import scoring as SC
 from ..stages.blocking import BandKeyEmitter
-from .linkage import fit_idf_from_reps
 
 
 def normalize_uprn_batch(col: pa.Array | pa.ChunkedArray) -> pa.Array:
@@ -199,9 +198,22 @@ def _run_match_inner(
     leftovers = leftovers.repartition(max(1, min(P, leftovers.count()))).materialize()
 
     # ---- Tier B: bipartite LSH blocking + scoring ---------------------------
-    idf, n_docs = fit_idf_from_reps(
-        gaz.map_batches(lambda b: pa.table({"canonical": b["canonical"]}), batch_format="pyarrow")
+    # idf over the gazetteer canonicals via the SAME distributed
+    # partial+merge fit the flagship uses (stages/correct.fit_token_df:
+    # per-block partials, token-keyed exchange, capped merge) — above
+    # 100k rows the driver receives only the bounded vocab table, never
+    # an O(corpus) stream (the r2 driver iter_batches pass is gone)
+    from ..stages import correct as CR
+
+    token_df, n_docs = CR.fit_token_df(
+        gaz.map_batches(
+            lambda b: pa.table(
+                {"canonical": b["canonical"], "text_hash": b["text_hash"]}
+            ),
+            batch_format="pyarrow",
+        )
     )
+    idf = SC.fit_idf(dict(token_df), n_docs)
     idf_ref = ray.put(idf)
 
     from ..rayutil import ref_token, worker_cached
