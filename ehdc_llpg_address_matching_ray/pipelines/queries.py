@@ -1977,6 +1977,202 @@ SQL_SCORED_PAIRS_PROJECTION = _scored_pairs_sql()
 
 
 # ---------------------------------------------------------------------------
+# J3 — corrections override join
+# ---------------------------------------------------------------------------
+
+
+def q_corrections_override(sf_dir: str) -> rd.Dataset:
+    """J3 corrections COALESCE join (cmd/matcher-v2/main.go:1200-1215):
+    deterministic synthetic matches (every doc matched to 'U'+id at a
+    review-band score) overridden by corrections on doc_id%7==1 rows —
+    corrected rows win with score 1.0 / auto_accept / method=corrected."""
+    from .corrections import apply_corrections
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def to_matches(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "src_id": pa.array(ids.astype(str), pa.string()),
+                "matched_id": pa.array(["U" + s for s in ids.astype(str)], pa.string()),
+                "score": pa.array(0.6 + (ids % 4) * 0.1, pa.float64()),
+                "decision": pa.array(["review"] * len(ids), pa.string()),
+                "method": pa.array(["fuzzy"] * len(ids), pa.string()),
+            }
+        )
+
+    def to_corrections(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        ids = ids[ids % 7 == 1]
+        return pa.table(
+            {
+                "src_id": pa.array(ids.astype(str), pa.string()),
+                "corrected_id": pa.array(["C" + s for s in ids.astype(str)], pa.string()),
+            }
+        )
+
+    matches = docs.map_batches(to_matches, batch_format="pyarrow")
+    corrections = docs.map_batches(to_corrections, batch_format="pyarrow")
+    from ..rayutil import hash_shuffle
+
+    with hash_shuffle():
+        return apply_corrections(matches, corrections).materialize()
+
+
+SQL_CORRECTIONS_OVERRIDE = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS src_id,
+         'U' || CAST(doc_id AS VARCHAR) AS matched_id,
+         0.6 + (doc_id % 4) * 0.1 AS score,
+         'review' AS decision, 'fuzzy' AS method
+  FROM documents
+), c AS (
+  SELECT CAST(doc_id AS VARCHAR) AS src_id,
+         'C' || CAST(doc_id AS VARCHAR) AS corrected_id
+  FROM documents WHERE doc_id % 7 = 1
+)
+SELECT m.src_id,
+       coalesce(c.corrected_id, m.matched_id) AS matched_id,
+       CASE WHEN c.corrected_id IS NOT NULL THEN 1.0 ELSE m.score END AS score,
+       CASE WHEN c.corrected_id IS NOT NULL THEN 'auto_accept' ELSE m.decision END AS decision,
+       CASE WHEN c.corrected_id IS NOT NULL THEN 'corrected' ELSE m.method END AS method,
+       c.corrected_id IS NOT NULL AS was_corrected
+FROM m LEFT JOIN c USING (src_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# G7 — historic-key creation
+# ---------------------------------------------------------------------------
+
+
+def q_historic_keys(sf_dir: str) -> rd.Dataset:
+    """G7 (cmd/bulk-historic-uprns/main.go:78-248): legacy keys absent
+    from the gazetteer become distinct historic rows labelled by the
+    longest source address.  doc_id%3==0 rows carry their own (present)
+    id; the rest carry 'L'+(doc_id//2)*2 — absent from the numeric
+    gazetteer, with (2k, 2k+1) pairs colliding to exercise the
+    distinct-longest pick.  Odd rows append '.00', exercising the M12
+    normalizer strip on both present and absent branches."""
+    from .rescue import create_historic_keys
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_sources(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        legacy = [
+            (str(int(i)) if i % 3 == 0 else "L" + str(int(i) // 2 * 2))
+            + (".00" if i % 2 == 1 else "")
+            for i in ids
+        ]
+        return pa.table(
+            {
+                "legacy_uprn": pa.array(legacy, pa.string()),
+                "raw_address": b["text"],
+            }
+        )
+
+    def to_gaz(b: pa.Table) -> pa.Table:
+        return pa.table({"uprn": pc.cast(b["doc_id"], pa.string())})
+
+    sources = docs.map_batches(to_sources, batch_format="pyarrow")
+    gaz = docs.map_batches(to_gaz, batch_format="pyarrow")
+    return create_historic_keys(sources, gaz)
+
+
+SQL_HISTORIC_KEYS = r"""
+WITH src AS (
+  SELECT (CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id AS VARCHAR)
+               ELSE 'L' || CAST((doc_id // 2) * 2 AS VARCHAR) END)
+           || CASE WHEN doc_id % 2 = 1 THEN '.00' ELSE '' END AS legacy,
+         text
+  FROM documents
+), norm AS (
+  SELECT regexp_replace(trim(legacy), '\.0+$', '') AS k, text
+  FROM src WHERE trim(legacy) <> ''
+), gaz AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS k FROM documents
+), missing AS (
+  SELECT n.k, n.text FROM norm n LEFT JOIN gaz g USING (k) WHERE g.k IS NULL
+)
+SELECT k AS uprn, text AS full_address, true AS historic
+FROM missing
+QUALIFY row_number() OVER (PARTITION BY k ORDER BY length(text) DESC, text ASC) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# G2 — rescue representative pick (the gate core)
+# ---------------------------------------------------------------------------
+
+_IS_REAL_SQL_TMPL = (
+    "(length(trim({c})) >= 10"
+    " AND NOT regexp_matches(trim({c}), '^[A-Z]{{1,3}}[0-9]+/?[0-9]*$')"
+    " AND upper(trim({c})) NOT IN ('N/A','NOT APPLICABLE','NONE','NULL','TBC')"
+    " AND (regexp_matches(trim({c}), '(street|road|avenue|lane|way|close|drive|"
+    "court|place|crescent|gardens|park|hill|view|house|cottage|farm|manor|hall)', 'i')"
+    " OR contains(trim({c}), ',')))"
+)
+
+
+def q_rescue_reps(sf_dir: str) -> rd.Dataset:
+    """G2 rep-pick gate (cmd/matcher-v2/main.go:1367-1401) over
+    deterministic groups: group = doc_id//5; groups where
+    (doc_id//5)%4==0 carry a 0.6 match (fail the all-unmatched gate),
+    the rest score doc_id%10/20 < 0.5; rep = longest real address,
+    src_id ASC tie-break."""
+    from .rescue import pick_group_reps
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_sources(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "src_id": pc.cast(b["doc_id"], pa.string()),
+                "raw_address": b["text"],
+                "group_key": pa.array((ids // 5).astype("int64").astype(str), pa.string()),
+            }
+        )
+
+    def to_matches(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        score = np.where((ids // 5) % 4 == 0, 0.6, (ids % 10) / 20.0)
+        return pa.table(
+            {
+                "src_id": pa.array(ids.astype(str), pa.string()),
+                "score": pa.array(score, pa.float64()),
+            }
+        )
+
+    sources = docs.map_batches(to_sources, batch_format="pyarrow")
+    matches = docs.map_batches(to_matches, batch_format="pyarrow")
+    return pick_group_reps(sources, matches)
+
+
+SQL_RESCUE_REPS = f"""
+WITH src AS (
+  SELECT CAST(doc_id AS VARCHAR) AS src_id, text AS raw_address,
+         CAST(doc_id // 5 AS VARCHAR) AS group_key,
+         CASE WHEN (doc_id // 5) % 4 = 0 THEN 0.6 ELSE (doc_id % 10) / 20.0 END AS m_score
+  FROM documents
+), g AS (
+  SELECT group_key, count(*) AS total, max(m_score) AS best
+  FROM src GROUP BY group_key
+)
+SELECT r.group_key, r.src_id AS rep_src, r.raw_address AS rep_address
+FROM src r JOIN g ON g.group_key = r.group_key
+WHERE g.total BETWEEN 2 AND 30 AND g.best < 0.5
+  AND {_IS_REAL_SQL_TMPL.format(c="r.raw_address")}
+QUALIFY row_number() OVER (
+  PARTITION BY r.group_key
+  ORDER BY length(r.raw_address) DESC, r.src_id ASC
+) = 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2016,6 +2212,9 @@ QUERIES = {
     "linkage_exact_projection": q_linkage_exact_projection,
     "group_consensus": q_group_consensus,
     "scored_pairs_projection": q_scored_pairs_projection,
+    "corrections_override": q_corrections_override,
+    "historic_keys": q_historic_keys,
+    "rescue_reps": q_rescue_reps,
 }
 
 ORACLE_SQL = {
@@ -2051,4 +2250,7 @@ ORACLE_SQL = {
     "group_consensus": SQL_GROUP_CONSENSUS,
     "langid": _langid_oracle_sql(),
     "scored_pairs_projection": SQL_SCORED_PAIRS_PROJECTION,
+    "corrections_override": SQL_CORRECTIONS_OVERRIDE,
+    "historic_keys": SQL_HISTORIC_KEYS,
+    "rescue_reps": SQL_RESCUE_REPS,
 }

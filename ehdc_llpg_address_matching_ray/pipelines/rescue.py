@@ -29,6 +29,89 @@ from ..rayutil import engine_join, hash_shuffle, partition_by_key
 from .match import normalize_uprn_batch, run_match
 
 
+def pick_reps_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Per group (within one group_key partition): size 2-30, best score
+    < 0.5, >=1 real address -> emit the longest real address as
+    representative (cmd/matcher-v2/main.go:1395-1401).
+
+    Vectorized (sorted-run reduceat, no per-group Python).  Length ties
+    pin to the smallest ``src_id`` (string order) — the reference's
+    longest-pick does not specify a tie order and the old pandas
+    quicksort pick was nondeterministic; src_id ASC is deterministic and
+    SQL-expressible (the rescue_reps oracle relies on it)."""
+    import numpy as np
+
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame(columns=["group_key", "rep_src", "rep_address"])
+    m_score = df["m_score"].fillna(0.0).to_numpy(dtype=np.float64)
+    raw = df["raw_address"].to_numpy(dtype=object)
+    is_real = np.fromiter((CP.is_real_address(t or "") for t in raw), bool, n)
+    gk = df["group_key"].to_numpy(dtype=object)
+    src = df["src_id"].to_numpy(dtype=object)
+    codes, uniq = pd.factorize(gk, sort=False)
+    G = len(uniq)
+    order = np.argsort(codes, kind="stable")
+    c = codes[order]
+    starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+    total = np.diff(np.r_[starts, n])
+    gmax = np.maximum.reduceat(m_score[order], starts)
+    has_real = np.zeros(G, dtype=bool)
+    if is_real.any():
+        has_real[np.unique(codes[is_real])] = True
+    ok = (total >= 2) & (total <= 30) & (gmax < 0.5) & has_real
+    if not ok.any():
+        return pd.DataFrame(columns=["group_key", "rep_src", "rep_address"])
+    # longest real row per group: lexsort real rows by
+    # (group, -len, src_id rank), take the first of each group run
+    ri = np.flatnonzero(is_real)
+    lens = np.fromiter((len(raw[i] or "") for i in ri), np.int64, len(ri))
+    sid_rank, _ = pd.factorize(src[ri], sort=True)
+    rorder = ri[np.lexsort((sid_rank, -lens, codes[ri]))]
+    rc = codes[rorder]
+    rfirst = rorder[np.flatnonzero(np.r_[True, rc[1:] != rc[:-1]])]
+    rep_rows = rfirst[ok[codes[rfirst]]]
+    return pd.DataFrame(
+        {
+            "group_key": pd.Series(gk[rep_rows], dtype="object"),
+            "rep_src": pd.Series(src[rep_rows], dtype="object"),
+            "rep_address": pd.Series(raw[rep_rows], dtype="object"),
+        }
+    )
+
+
+def pick_group_reps(
+    sources_ds: rd.Dataset,
+    matches_ds: rd.Dataset,
+    source_id: str = "src_id",
+    source_text: str = "raw_address",
+    group_col: str = "group_key",
+    num_partitions: int = 8,
+) -> rd.Dataset:
+    """The G2 rep-pick stage as a standalone surface (oracled by the
+    ``rescue_reps`` driver query): sources ⟕ match scores, keyed
+    repartition by group, vectorized gate + longest-real-address pick."""
+    with hash_shuffle():
+        src = sources_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "src_id": b[source_id].cast(pa.string()),
+                    "raw_address": b[source_text],
+                    "group_key": b[group_col].cast(pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        scored = matches_ds.map_batches(
+            lambda b: pa.table({"src_id": b["src_id"], "m_score": b["score"]}),
+            batch_format="pyarrow",
+        )
+        j = engine_join(src, scored, ("src_id",), how="left_outer", num_partitions=num_partitions)
+        return partition_by_key(j, ["group_key"], num_partitions, sort=False).map_batches(
+            pick_reps_partition, batch_format="pandas", batch_size=None
+        )
+
+
 def group_rescue(
     sources_ds: rd.Dataset,
     matches_ds: rd.Dataset,
@@ -64,57 +147,9 @@ def group_rescue(
         )
         j = engine_join(src, scored, ("src_id",), how="left_outer", num_partitions=num_partitions)
 
-        def pick_reps(df: pd.DataFrame) -> pd.DataFrame:
-            """Per group: size 2-30, best score < 0.5, >=1 real address ->
-            emit the longest real address as representative.
-
-            Vectorized (sorted-run reduceat, no per-group Python — the
-            r2 loop shape).  Length ties pin to the group's FIRST such
-            row in partition order (the old pandas quicksort pick was
-            nondeterministic on ties; the reference :1395-1401 does not
-            specify a tie order)."""
-            n = len(df)
-            if n == 0:
-                return pd.DataFrame(columns=["group_key", "rep_src", "rep_address"])
-            import numpy as np
-
-            m_score = df["m_score"].fillna(0.0).to_numpy(dtype=np.float64)
-            raw = df["raw_address"].to_numpy(dtype=object)
-            is_real = np.fromiter((CP.is_real_address(t or "") for t in raw), bool, n)
-            gk = df["group_key"].to_numpy(dtype=object)
-            codes, uniq = pd.factorize(gk, sort=False)
-            G = len(uniq)
-            order = np.argsort(codes, kind="stable")
-            c = codes[order]
-            starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
-            total = np.diff(np.r_[starts, n])
-            gmax = np.maximum.reduceat(m_score[order], starts)
-            has_real = np.zeros(G, dtype=bool)
-            if is_real.any():
-                has_real[np.unique(codes[is_real])] = True
-            ok = (total >= 2) & (total <= 30) & (gmax < 0.5) & has_real
-            if not ok.any():
-                return pd.DataFrame(columns=["group_key", "rep_src", "rep_address"])
-            # longest real row per group: lexsort real rows by
-            # (group, -len, position), take the first of each group run
-            ri = np.flatnonzero(is_real)
-            lens = np.fromiter((len(raw[i] or "") for i in ri), np.int64, len(ri))
-            rorder = ri[np.lexsort((ri, -lens, codes[ri]))]
-            rc = codes[rorder]
-            rfirst = rorder[np.flatnonzero(np.r_[True, rc[1:] != rc[:-1]])]
-            rep_rows = rfirst[ok[codes[rfirst]]]
-            src = df["src_id"].to_numpy(dtype=object)
-            return pd.DataFrame(
-                {
-                    "group_key": pd.Series(gk[rep_rows], dtype="object"),
-                    "rep_src": pd.Series(src[rep_rows], dtype="object"),
-                    "rep_address": pd.Series(raw[rep_rows], dtype="object"),
-                }
-            )
-
         reps = (
             partition_by_key(j, ["group_key"], num_partitions, sort=False)
-            .map_batches(pick_reps, batch_format="pandas", batch_size=None)
+            .map_batches(pick_reps_partition, batch_format="pandas", batch_size=None)
             # coalesce: the per-partition picker leaves empty (sometimes
             # schema-degenerate) blocks that poison downstream joins; the
             # reps table is tiny by construction (<= one row per group)
@@ -284,8 +319,14 @@ def create_historic_keys(
             missing.select_columns(["legacy_key", "raw_address"]), ["legacy_key"], num_partitions,
             sort=False,
         ).map_batches(
+            # tie-break on equal lengths: raw_address ASC (deterministic
+            # and SQL-expressible — the historic_keys oracle relies on it)
             lambda df: df.assign(_len=df["raw_address"].str.len())
-            .sort_values(["legacy_key", "_len"], ascending=[True, False], kind="mergesort")
+            .sort_values(
+                ["legacy_key", "_len", "raw_address"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
             .drop_duplicates("legacy_key", keep="first")
             .rename(columns={"legacy_key": "uprn", "raw_address": "full_address"})
             .assign(historic=True)[["uprn", "full_address", "historic"]],
