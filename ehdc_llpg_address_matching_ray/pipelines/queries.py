@@ -2173,6 +2173,299 @@ QUALIFY row_number() OVER (
 
 
 # ---------------------------------------------------------------------------
+# S4 — enhanced exporter derived columns
+# ---------------------------------------------------------------------------
+
+
+def q_export_enhanced(sf_dir: str) -> rd.Dataset:
+    """S4 exporter derived columns (internal/engine/exporter.go:222-340)
+    over deterministic inputs: sources = documents (coords on %5==0,
+    postcode on %4==0, two source types), matches = %3!=0 rows matched
+    to doc_id+1 at review-band scores, gazetteer = documents with coords
+    on even ids.  Exercises GOOD/FAIR/POOR quality scoring, the
+    NEEDS_REVIEW status band, Euclidean coordinate distance and the
+    greedy token-Jaccard similarity (greedy first-unused equals
+    sum(min(count_a, count_b)) under exact word equality, which is what
+    the SQL twin computes)."""
+    from .export import enhance_matches
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_sources(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "src_id": pa.array(ids.astype(str), pa.string()),
+                "source_type": pa.array(
+                    np.where(ids % 2 == 0, "web", "crawl"), pa.string()
+                ),
+                "raw_address": b["text"],
+                "pc_text": pa.array(
+                    np.where(ids % 4 == 0, "GU34 1AA", ""), pa.string()
+                ),
+                "e": pa.array(
+                    np.where(ids % 5 == 0, ids * 1.0, np.nan), pa.float64()
+                ),
+                "n": pa.array(
+                    np.where(ids % 5 == 0, ids * 2.0, np.nan), pa.float64()
+                ),
+            }
+        )
+
+    def to_matches(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        ids = ids[ids % 3 != 0]
+        return pa.table(
+            {
+                "src_id": pa.array(ids.astype(str), pa.string()),
+                "matched_id": pa.array((ids + 1).astype(str), pa.string()),
+                "score": pa.array(0.6 + (ids % 4) * 0.1, pa.float64()),
+                "method": pa.array(["exact"] * len(ids), pa.string()),
+            }
+        )
+
+    def to_gaz(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "uprn": pa.array(ids.astype(str), pa.string()),
+                "full_address": b["text"],
+                "ge": pa.array(
+                    np.where(ids % 2 == 0, ids + 3.0, np.nan), pa.float64()
+                ),
+                "gn": pa.array(
+                    np.where(ids % 2 == 0, ids * 2.0 + 4.0, np.nan), pa.float64()
+                ),
+            }
+        )
+
+    # NaN -> null coords (enhance_matches tests notna)
+    def nan_to_null(b: pa.Table, cols: tuple[str, ...]) -> pa.Table:
+        for c in cols:
+            arr = b[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            mask = pc.is_nan(arr)
+            b = b.set_column(
+                b.column_names.index(c), c, pc.if_else(mask, pa.scalar(None, pa.float64()), arr)
+            )
+        return b
+
+    sources = docs.map_batches(to_sources, batch_format="pyarrow").map_batches(
+        lambda b: nan_to_null(b, ("e", "n")), batch_format="pyarrow"
+    )
+    matches = docs.map_batches(to_matches, batch_format="pyarrow")
+    gaz = docs.map_batches(to_gaz, batch_format="pyarrow").map_batches(
+        lambda b: nan_to_null(b, ("ge", "gn")), batch_format="pyarrow"
+    )
+    enhanced = enhance_matches(
+        sources,
+        matches,
+        gaz,
+        postcode_col="pc_text",
+        easting_col="e",
+        northing_col="n",
+        gaz_easting="ge",
+        gaz_northing="gn",
+    )
+    return enhanced.map_batches(
+        lambda b: pa.table(
+            {
+                "src_id": b["src_id"],
+                "source_type": b["source_type"],
+                "address_quality": b["address_quality"],
+                "match_status": b["match_status"],
+                "coordinate_distance": pc.round(b["coordinate_distance"], 6),
+                "address_similarity": pc.round(b["address_similarity"], 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_EXPORT_ENHANCED = r"""
+WITH src AS (
+  SELECT CAST(doc_id AS VARCHAR) AS src_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'web' ELSE 'crawl' END AS source_type,
+         text AS raw,
+         CASE WHEN doc_id % 4 = 0 THEN 'GU34 1AA' ELSE '' END AS pc,
+         CASE WHEN doc_id % 5 = 0 THEN doc_id * 1.0 END AS e,
+         CASE WHEN doc_id % 5 = 0 THEN doc_id * 2.0 END AS n
+  FROM documents
+), m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS src_id,
+         CAST(doc_id + 1 AS VARCHAR) AS matched_uprn,
+         0.6 + (doc_id % 4) * 0.1 AS score
+  FROM documents WHERE doc_id % 3 <> 0
+), gaz AS (
+  SELECT CAST(doc_id AS VARCHAR) AS g_id, text AS gaddr,
+         CASE WHEN doc_id % 2 = 0 THEN doc_id + 3.0 END AS ge,
+         CASE WHEN doc_id % 2 = 0 THEN doc_id * 2.0 + 4.0 END AS gn
+  FROM documents
+), j AS (
+  SELECT s.*, m.matched_uprn, m.score, g.gaddr, g.ge, g.gn
+  FROM src s
+  LEFT JOIN m USING (src_id)
+  LEFT JOIN gaz g ON g.g_id = m.matched_uprn
+), aw AS (
+  SELECT src_id, tok, count(*) AS c
+  FROM (
+    SELECT src_id, unnest(list_filter(
+      regexp_split_to_array(upper(trim(raw)), '\s+'), x -> x <> '')) AS tok
+    FROM j WHERE coalesce(matched_uprn, '') <> ''
+  ) GROUP BY src_id, tok
+), bw AS (
+  SELECT src_id, tok, count(*) AS c
+  FROM (
+    SELECT src_id, unnest(list_filter(
+      regexp_split_to_array(upper(trim(coalesce(gaddr, ''))), '\s+'), x -> x <> '')) AS tok
+    FROM j WHERE coalesce(matched_uprn, '') <> ''
+  ) GROUP BY src_id, tok
+), inter AS (
+  SELECT a.src_id, sum(least(a.c, b.c))::BIGINT AS m
+  FROM aw a JOIN bw b USING (src_id, tok) GROUP BY a.src_id
+), wc AS (
+  SELECT src_id,
+         (SELECT coalesce(sum(c), 0) FROM aw WHERE aw.src_id = j.src_id)::BIGINT AS la,
+         (SELECT coalesce(sum(c), 0) FROM bw WHERE bw.src_id = j.src_id)::BIGINT AS lb
+  FROM j WHERE coalesce(matched_uprn, '') <> ''
+), derived AS (
+  SELECT j.src_id, j.source_type,
+         (CASE WHEN length(raw) >= 15 THEN 2 WHEN length(raw) >= 8 THEN 1 ELSE 0 END
+          + CASE WHEN pc <> '' THEN 2 ELSE 0 END
+          + CASE WHEN e IS NOT NULL AND n IS NOT NULL THEN 2 ELSE 0 END
+          + CASE WHEN regexp_matches(raw, '[0-9]') THEN 1 ELSE 0 END) AS q,
+         (length(trim(raw)) <= 3 OR upper(trim(raw)) = 'N A') AS poor,
+         coalesce(matched_uprn, '') <> '' AS matched,
+         coalesce(score, 0.0) AS score,
+         CASE WHEN e IS NOT NULL AND n IS NOT NULL AND ge IS NOT NULL AND gn IS NOT NULL
+              THEN sqrt((ge - e) * (ge - e) + (gn - n) * (gn - n)) END AS dist,
+         CASE
+           WHEN coalesce(matched_uprn, '') = '' THEN NULL
+           WHEN upper(trim(raw)) = upper(trim(coalesce(gaddr, ''))) THEN 1.0
+           ELSE CASE WHEN coalesce(wc.la, 0) + coalesce(wc.lb, 0) - coalesce(i.m, 0) > 0
+                     THEN coalesce(i.m, 0)::DOUBLE
+                          / (coalesce(wc.la, 0) + coalesce(wc.lb, 0) - coalesce(i.m, 0))
+                     ELSE 0.0 END
+         END AS sim
+  FROM j
+  LEFT JOIN inter i ON i.src_id = j.src_id
+  LEFT JOIN wc ON wc.src_id = j.src_id
+)
+SELECT src_id, source_type,
+       CASE WHEN poor THEN 'POOR'
+            WHEN q >= 6 THEN 'GOOD' WHEN q >= 3 THEN 'FAIR' ELSE 'POOR' END AS address_quality,
+       CASE WHEN matched AND score < 0.70 THEN 'NEEDS_REVIEW'
+            WHEN matched THEN 'MATCHED' ELSE 'UNMATCHED' END AS match_status,
+       round(dist, 6) AS coordinate_distance,
+       round(sim, 6) AS address_similarity
+FROM derived
+"""
+
+
+# ---------------------------------------------------------------------------
+# D5 — threshold tuner sweep
+# ---------------------------------------------------------------------------
+
+
+def q_threshold_sweep(sf_dir: str):
+    """D5 tuner sweep (internal/engine/threshold_tuner.go:83-244):
+    deterministic scored pairs (adjacent docs, score doc_id%101/100)
+    joined to labels on the unordered pair key — %2==0 adjacent pairs
+    labelled is_match=(doc_id%4==0), plus %10==0 (id, id+2) labels the
+    blocker never scored (score 0, the never-co-blocked clause) — and
+    the 49-point precision/recall/F1 grid."""
+    from .tuning import collect_scored_labels, sweep_thresholds
+
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def to_scored(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "url_a": pa.array(["doc://" + s for s in ids.astype(str)], pa.string()),
+                "url_b": pa.array(
+                    ["doc://" + s for s in (ids + 1).astype(str)], pa.string()
+                ),
+                "score": pa.array((ids % 101) / 100.0, pa.float64()),
+            }
+        )
+
+    def to_labels(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        even = ids[ids % 2 == 0]
+        tens = ids[ids % 10 == 0]
+        return pa.table(
+            {
+                "url_a": pa.array(
+                    ["doc://" + s for s in even.astype(str)]
+                    + ["doc://" + s for s in tens.astype(str)],
+                    pa.string(),
+                ),
+                "url_b": pa.array(
+                    ["doc://" + s for s in (even + 1).astype(str)]
+                    + ["doc://" + s for s in (tens + 2).astype(str)],
+                    pa.string(),
+                ),
+                "is_match": pa.array(
+                    (even % 4 == 0).tolist() + [True] * len(tens), pa.bool_()
+                ),
+            }
+        )
+
+    from ..rayutil import hash_shuffle
+
+    with hash_shuffle():
+        scored = docs.map_batches(to_scored, batch_format="pyarrow")
+        labels = docs.map_batches(to_labels, batch_format="pyarrow")
+        df = collect_scored_labels(scored, labels)
+    return sweep_thresholds(df)
+
+
+SQL_THRESHOLD_SWEEP = """
+WITH scored AS (
+  SELECT 'doc://' || CAST(a.doc_id AS VARCHAR) AS ua,
+         'doc://' || CAST(a.doc_id + 1 AS VARCHAR) AS ub,
+         (a.doc_id % 101) / 100.0 AS score
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+), labels AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS ua,
+         'doc://' || CAST(doc_id + 1 AS VARCHAR) AS ub,
+         doc_id % 4 = 0 AS is_match
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR),
+         'doc://' || CAST(doc_id + 2 AS VARCHAR), true
+  FROM documents WHERE doc_id % 10 = 0
+), keyed AS (
+  SELECT l.is_match, coalesce(s.score, 0.0) AS score
+  FROM labels l LEFT JOIN scored s
+    ON least(l.ua, l.ub) = least(s.ua, s.ub)
+   AND greatest(l.ua, l.ub) = greatest(s.ua, s.ub)
+), grid AS (
+  SELECT round(0.50 + g * 0.01, 2) AS threshold FROM generate_series(0, 48) t(g)
+), agg AS (
+  SELECT g.threshold,
+         sum(CASE WHEN k.score >= g.threshold AND k.is_match THEN 1 ELSE 0 END)::BIGINT AS tp,
+         sum(CASE WHEN k.score >= g.threshold AND NOT k.is_match THEN 1 ELSE 0 END)::BIGINT AS fp,
+         sum(CASE WHEN k.score < g.threshold AND k.is_match THEN 1 ELSE 0 END)::BIGINT AS fn
+  FROM grid g CROSS JOIN keyed k GROUP BY g.threshold
+)
+SELECT threshold, tp, fp, fn,
+       round(CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0.0 END, 4) AS precision,
+       round(CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) ELSE 0.0 END, 4) AS recall,
+       round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0.0 END)
+                     + (CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) ELSE 0.0 END) > 0
+             THEN 2 * (CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0.0 END)
+                    * (CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) ELSE 0.0 END)
+                  / ((CASE WHEN tp + fp > 0 THEN tp::DOUBLE / (tp + fp) ELSE 0.0 END)
+                     + (CASE WHEN tp + fn > 0 THEN tp::DOUBLE / (tp + fn) ELSE 0.0 END))
+             ELSE 0.0 END, 4) AS f1
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2215,6 +2508,8 @@ QUERIES = {
     "corrections_override": q_corrections_override,
     "historic_keys": q_historic_keys,
     "rescue_reps": q_rescue_reps,
+    "export_enhanced": q_export_enhanced,
+    "threshold_sweep": q_threshold_sweep,
 }
 
 ORACLE_SQL = {
@@ -2253,4 +2548,6 @@ ORACLE_SQL = {
     "corrections_override": SQL_CORRECTIONS_OVERRIDE,
     "historic_keys": SQL_HISTORIC_KEYS,
     "rescue_reps": SQL_RESCUE_REPS,
+    "export_enhanced": SQL_EXPORT_ENHANCED,
+    "threshold_sweep": SQL_THRESHOLD_SWEEP,
 }
