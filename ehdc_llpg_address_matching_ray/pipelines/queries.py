@@ -1469,6 +1469,64 @@ SELECT doc_id, length(text)::BIGINT AS n_bytes, md5(text) AS digest FROM documen
 """
 
 
+def q_multimodal_decode(sf_dir: str) -> rd.Dataset:
+    """REAL image decode through the actor-pool featurizer: each doc
+    becomes a deterministic 16x16 RGB image (pixel (y,x,c) =
+    (doc_id*7 + y*16 + x + c*31) % 256) encoded as an actual 24-bit BMP
+    byte stream; the featurizer parses the BMP (header, BGR order, row
+    padding, bottom-up rows — stages/multimodal.decode_bmp) and emits
+    header dimensions + decoded pixel mean, which the SQL twin
+    recomputes from the generative formula.  A wrong decode (channel
+    order, row order, padding, offset) shifts the mean and fails the
+    hash."""
+    from ..stages.multimodal import encode_bmp, featurize
+
+    W = H = 16
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        y, x, c = np.meshgrid(
+            np.arange(H), np.arange(W), np.arange(3), indexing="ij"
+        )
+        base = (y * 16 + x + c * 31).astype(np.int64)
+        payloads = [
+            encode_bmp(((int(i) * 7 + base) % 256).astype(np.uint8)) for i in ids
+        ]
+        return pa.table(
+            {
+                "item_id": pa.array(ids.astype(str), pa.string()),
+                "mime": pa.array(["image/bmp"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    payloads = _t(sf_dir, "documents", ["doc_id"]).map_batches(
+        to_payload, batch_format="pyarrow"
+    )
+    feats = featurize(payloads, concurrency=(1, 4), batch_size=64, strict=True)
+    return feats.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["item_id"], pa.int64()),
+                "width": pc.cast(b["width"], pa.int64()),
+                "height": pc.cast(b["height"], pa.int64()),
+                "pixel_mean": pc.round(b["pixel_mean"], 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT d.doc_id, 16::BIGINT AS width, 16::BIGINT AS height,
+       round((SELECT avg((d.doc_id * 7 + y.g * 16 + x.g + c.g * 31) % 256)
+              FROM generate_series(0, 15) y(g),
+                   generate_series(0, 15) x(g),
+                   generate_series(0, 2) c(g)), 6) AS pixel_mean
+FROM documents d
+"""
+
+
 
 
 def q_match_documents(sf_dir: str) -> rd.Dataset:
@@ -2510,6 +2568,7 @@ QUERIES = {
     "rescue_reps": q_rescue_reps,
     "export_enhanced": q_export_enhanced,
     "threshold_sweep": q_threshold_sweep,
+    "multimodal_decode": q_multimodal_decode,
 }
 
 ORACLE_SQL = {
@@ -2550,4 +2609,5 @@ ORACLE_SQL = {
     "rescue_reps": SQL_RESCUE_REPS,
     "export_enhanced": SQL_EXPORT_ENHANCED,
     "threshold_sweep": SQL_THRESHOLD_SWEEP,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
 }

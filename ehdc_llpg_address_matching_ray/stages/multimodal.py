@@ -38,6 +38,93 @@ PAYLOAD_SCHEMA = pa.schema(
 FEATURE_DIMS = 64
 
 
+# ---------------------------------------------------------------------------
+# Real image codec: 24-bit uncompressed BMP, pure numpy (no image libs in
+# this environment; BMP needs none).  This is an actual byte-format
+# decoder — BITMAPFILEHEADER, BITMAPINFOHEADER, BGR order, 4-byte row
+# padding, bottom-up or top-down row order — not a stub.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit uncompressed BMP bytes."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_bmp expects (h, w, 3) uint8 RGB")
+    h, w = img.shape[:2]
+    row_size = (w * 3 + 3) & ~3
+    pix = np.zeros((h, row_size), dtype=np.uint8)
+    # BGR channel order, bottom-up row order
+    pix[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)
+    data_size = row_size * h
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + data_size).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + data_size.to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return header + pix.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> (h, w, 3) uint8 RGB.
+
+    Parses the BITMAPFILEHEADER + BITMAPINFOHEADER, honours the pixel
+    data offset, 4-byte row padding, BGR order and both bottom-up
+    (positive height) and top-down (negative height) layouts."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(data[10:14], "little")
+    hdr_size = int.from_bytes(data[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    planes = int.from_bytes(data[26:28], "little")
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP (planes={planes} bpp={bpp} comp={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row_size = (w * 3 + 3) & ~3
+    need = off + row_size * h
+    if len(data) < need:
+        raise ValueError(f"truncated BMP: {len(data)} < {need}")
+    rows = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=off)
+    rows = rows.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
+    img = rows[:, :, ::-1]  # BGR -> RGB
+    if not top_down:
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def _image_features(img: np.ndarray) -> np.ndarray:
+    """Deterministic 64-dim image descriptor: 16-bin histograms per RGB
+    channel + 16-bin luma histogram, L2-normalized."""
+    bins = []
+    for c in range(3):
+        bins.append(np.bincount(img[:, :, c].reshape(-1) >> 4, minlength=16)[:16])
+    luma = (
+        0.299 * img[:, :, 0].astype(np.float64)
+        + 0.587 * img[:, :, 1]
+        + 0.114 * img[:, :, 2]
+    ).astype(np.uint8)
+    bins.append(np.bincount(luma.reshape(-1) >> 4, minlength=16)[:16])
+    vec = np.concatenate(bins).astype(np.float64)
+    n = np.linalg.norm(vec)
+    return (vec / (n or 1.0)).astype(np.float32)
+
+
 def _decode_stub(payload: bytes, mime: str) -> dict:
     """Deterministic fake decoder.
 
@@ -66,25 +153,48 @@ class MultimodalFeaturizer:
     """Actor-pool map_batches stage: decode + feature-extract binary
     payloads (ST2/ST3 pattern: model slot loaded once per actor).
 
-    ``strict=True`` raises NotImplementedError on decode — the marker
-    that a real decoder must be plugged in before production use.
+    ``image/bmp`` payloads take the REAL decode path (the pure-numpy BMP
+    codec above): header-parsed width/height, decoded pixel statistics,
+    histogram features.  Other mimes (audio/video formats whose codecs
+    are genuinely absent here) fall back to the deterministic stub, or
+    raise under ``strict=True`` — the marker that a real codec must be
+    plugged in before production use of those mimes.
     """
 
     def __init__(self, strict: bool = False):
         self.strict = strict
-        # model-load slot: a real implementation opens its decoder/model
-        # HERE, once per actor — never per batch.
+        # model-load slot: a real implementation opens its heavier
+        # decoders/models HERE, once per actor — never per batch.
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.strict:
-            raise NotImplementedError(
-                "real image/audio decode is not available in this environment; "
-                "construct MultimodalFeaturizer(strict=False) for the deterministic stub"
-            )
         ids = batch["item_id"]
         mimes = batch["mime"].to_pylist()
         payloads = batch["payload"].to_pylist()
-        metas = [_decode_stub(p or b"", m or "") for p, m in zip(payloads, mimes)]
+        metas = []
+        for p, m in zip(payloads, mimes):
+            p = p or b""
+            if (m or "") == "image/bmp":
+                img = decode_bmp(p)
+                h = hashlib.md5(p).digest()
+                metas.append(
+                    {
+                        "width": int(img.shape[1]),
+                        "height": int(img.shape[0]),
+                        "n_bytes": len(p),
+                        "crc32": zlib.crc32(p) & 0x7FFFFFFF,
+                        "digest": h.hex(),
+                        "features": _image_features(img),
+                        "pixel_mean": float(img.mean()),
+                    }
+                )
+            elif self.strict:
+                raise NotImplementedError(
+                    f"no real decoder for mime {m!r} in this environment; "
+                    "only image/bmp decodes natively — construct "
+                    "MultimodalFeaturizer(strict=False) for the deterministic stub"
+                )
+            else:
+                metas.append({**_decode_stub(p, m or ""), "pixel_mean": None})
         feats = np.stack([m["features"] for m in metas]) if metas else np.zeros((0, FEATURE_DIMS), np.float32)
         return pa.table(
             {
@@ -95,6 +205,7 @@ class MultimodalFeaturizer:
                 "n_bytes": pa.array([m["n_bytes"] for m in metas], pa.int64()),
                 "crc32": pa.array([m["crc32"] for m in metas], pa.int64()),
                 "digest": pa.array([m["digest"] for m in metas], pa.string()),
+                "pixel_mean": pa.array([m["pixel_mean"] for m in metas], pa.float64()),
                 "features": pa.FixedSizeListArray.from_arrays(
                     pa.array(feats.reshape(-1), pa.float32()), FEATURE_DIMS
                 ),

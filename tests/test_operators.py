@@ -177,7 +177,8 @@ class TestMultimodal:
         )
         out = featurize(ds).to_pandas()
         assert list(out.columns) == [
-            "item_id", "mime", "width", "height", "n_bytes", "crc32", "digest", "features",
+            "item_id", "mime", "width", "height", "n_bytes", "crc32", "digest",
+            "pixel_mean", "features",
         ]
         assert (out["n_bytes"] == [9, 7]).all()
         assert all(len(f) == FEATURE_DIMS for f in out["features"])
@@ -198,6 +199,67 @@ class TestMultimodal:
         )
         with _pytest.raises(Exception):
             featurize(ds, strict=True).materialize()
+
+    def test_bmp_codec_roundtrip(self):
+        import numpy as np
+
+        from ehdc_llpg_address_matching_ray.stages.multimodal import decode_bmp, encode_bmp
+
+        rng = np.random.default_rng(5)
+        for h, w in ((16, 16), (7, 5), (1, 1), (3, 31)):  # odd widths hit row padding
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            out = decode_bmp(encode_bmp(img))
+            assert out.shape == (h, w, 3)
+            assert np.array_equal(out, img)
+
+    def test_bmp_decode_top_down(self):
+        import numpy as np
+
+        from ehdc_llpg_address_matching_ray.stages.multimodal import decode_bmp, encode_bmp
+
+        img = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+        data = bytearray(encode_bmp(img))
+        # flip the height sign to declare top-down rows, then reverse the
+        # stored row order to compensate — decode must be identical
+        h = int.from_bytes(data[22:26], "little", signed=True)
+        data[22:26] = (-h).to_bytes(4, "little", signed=True)
+        row = (3 * 3 + 3) & ~3
+        body = bytes(data[54:])
+        rows = [body[i * row:(i + 1) * row] for i in range(4)][::-1]
+        assert np.array_equal(decode_bmp(bytes(data[:54]) + b"".join(rows)), img)
+
+    def test_bmp_decode_rejects_garbage(self):
+        import pytest as _pytest
+
+        from ehdc_llpg_address_matching_ray.stages.multimodal import decode_bmp
+
+        with _pytest.raises(ValueError):
+            decode_bmp(b"not a bmp at all, definitely not")
+
+    def test_featurizer_real_bmp_path(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ehdc_llpg_address_matching_ray.stages.multimodal import encode_bmp, featurize
+
+        img = np.full((8, 8, 3), 100, dtype=np.uint8)
+        img[:, :, 2] = 200
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "item_id": ["a"],
+                    "mime": ["image/bmp"],
+                    "payload": pa.array([encode_bmp(img)], pa.large_binary()),
+                }
+            )
+        )
+        # strict=True: image/bmp must decode for REAL, not raise
+        out = featurize(ds, strict=True).to_pandas()
+        assert out.loc[0, "width"] == 8 and out.loc[0, "height"] == 8
+        assert out.loc[0, "pixel_mean"] == (100 + 100 + 200) / 3
+        feats = np.asarray(out.loc[0, "features"])
+        assert abs(np.linalg.norm(feats) - 1.0) < 1e-5
 
     def test_frame_sample(self, ray_session):
         import pyarrow as pa
