@@ -161,6 +161,11 @@ def enumerate_block_pairs(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
     nk = sum(1 for c in batch.column_names if c.startswith("k"))
     bk = batch["block_key"].to_numpy()
     K = np.stack([batch[f"k{j:02d}"].to_numpy() for j in range(nk)], axis=1)
+    # band-agreement pruning inputs: the first num_bands key columns are
+    # LSH bands, any later ones are prefix keys (absolute — they rescue
+    # pairs the bands can't see)
+    min_agree = getattr(cfg, "min_band_agreement", 1)
+    n_band_cols = min(cfg.num_bands, nk)
 
     boundaries = np.flatnonzero(np.diff(bk)) + 1
     starts = np.concatenate([[0], boundaries])
@@ -172,11 +177,19 @@ def enumerate_block_pairs(batch: pa.Table, cfg: BlockingConfig) -> pa.Table:
     dropped_total = 0
 
     def _keep_pairs(ia: np.ndarray, ib: np.ndarray, keyvals: np.ndarray) -> None:
-        """first-shared-key rule over flat global index vectors."""
+        """first-shared-key rule over flat global index vectors, plus the
+        optional min-band-agreement prune (every block that sees a pair
+        evaluates the same full shared-key vector, so the rule composes
+        with first-shared-key dedup without any extra shuffle)."""
         Ka, Kb = K[ia], K[ib]
         shared = Ka == Kb  # (p, nk)
         cur = ((Ka == keyvals[:, None]) & (Kb == keyvals[:, None])).argmax(axis=1)
         keep = shared.argmax(axis=1) == cur
+        if min_agree > 1:
+            strong = shared[:, :n_band_cols].sum(axis=1) >= min_agree
+            if n_band_cols < nk:
+                strong |= shared[:, n_band_cols:].any(axis=1)
+            keep &= strong
         if keep.any():
             out_a.append(ia[keep])
             out_b.append(ib[keep])
