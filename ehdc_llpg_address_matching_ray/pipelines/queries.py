@@ -1527,6 +1527,60 @@ FROM documents d
 """
 
 
+def q_multimodal_resize(sf_dir: str) -> rd.Dataset:
+    """REAL decode -> nearest-neighbor resize -> re-encode roundtrip:
+    the 16x16 generative BMPs from q_multimodal_decode pass through the
+    ImageResizer actor pool (16x16 -> 8x8, dst (y,x) samples src
+    (2y,2x)) and the RESIZED payloads are then decoded again by the
+    strict featurizer.  The SQL twin recomputes the resized pixel mean
+    from the generative formula at the sampled coordinates — any error
+    in either BMP codec direction or the NN index mapping shifts the
+    mean and fails the hash."""
+    from ..stages.multimodal import encode_bmp, featurize, resize_images
+
+    W = H = 16
+
+    def to_payload(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy()
+        y, x, c = np.meshgrid(np.arange(H), np.arange(W), np.arange(3), indexing="ij")
+        base = (y * 16 + x + c * 31).astype(np.int64)
+        payloads = [encode_bmp(((int(i) * 7 + base) % 256).astype(np.uint8)) for i in ids]
+        return pa.table(
+            {
+                "item_id": pa.array(ids.astype(str), pa.string()),
+                "mime": pa.array(["image/bmp"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    payloads = _t(sf_dir, "documents", ["doc_id"]).map_batches(
+        to_payload, batch_format="pyarrow"
+    )
+    small = resize_images(payloads, out_h=8, out_w=8, strict=True)
+    feats = featurize(small, concurrency=(1, 4), batch_size=64, strict=True)
+    return feats.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["item_id"], pa.int64()),
+                "width": pc.cast(b["width"], pa.int64()),
+                "height": pc.cast(b["height"], pa.int64()),
+                "pixel_mean": pc.round(b["pixel_mean"], 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_MULTIMODAL_RESIZE = """
+SELECT d.doc_id, 8::BIGINT AS width, 8::BIGINT AS height,
+       round((SELECT avg((d.doc_id * 7 + (y.g * 2) * 16 + (x.g * 2) + c.g * 31) % 256)
+              FROM generate_series(0, 7) y(g),
+                   generate_series(0, 7) x(g),
+                   generate_series(0, 2) c(g)), 6) AS pixel_mean
+FROM documents d
+"""
+
+
 
 
 def q_match_documents(sf_dir: str) -> rd.Dataset:
@@ -2569,6 +2623,7 @@ QUERIES = {
     "export_enhanced": q_export_enhanced,
     "threshold_sweep": q_threshold_sweep,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_resize": q_multimodal_resize,
 }
 
 ORACLE_SQL = {
@@ -2610,4 +2665,5 @@ ORACLE_SQL = {
     "export_enhanced": SQL_EXPORT_ENHANCED,
     "threshold_sweep": SQL_THRESHOLD_SWEEP,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal_resize": SQL_MULTIMODAL_RESIZE,
 }

@@ -333,10 +333,13 @@ def _assign_rep(batch: pa.Table) -> pa.Table:
         sort_keys=[("text_hash", "ascending"), ("url", "ascending")],
     )
     b = batch.take(order)
-    th = np.asarray(b["text_hash"].to_pylist(), dtype=object)
+    th = b["text_hash"].combine_chunks() if isinstance(b["text_hash"], pa.ChunkedArray) else b["text_hash"]
     is_new = np.ones(len(th), dtype=bool)
     if len(th) > 1:
-        is_new[1:] = th[1:] != th[:-1]
+        # adjacent-run detection stays in Arrow (no Python-object round-trip)
+        is_new[1:] = np.invert(
+            pc.equal(th.slice(1), th.slice(0, len(th) - 1)).to_numpy(zero_copy_only=False)
+        )
     starts = np.flatnonzero(is_new)
     lengths = np.diff(np.concatenate([starts, [len(th)]]))
     rep_idx = np.repeat(starts, lengths)

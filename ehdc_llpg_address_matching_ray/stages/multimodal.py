@@ -233,6 +233,70 @@ def featurize(
     )
 
 
+def resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy: dst pixel (y, x) samples
+    src (floor(y*h/out_h), floor(x*w/out_w)) — the standard NN mapping,
+    deterministic so the resized pixel statistics are oracle-checkable."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return np.ascontiguousarray(img[rows][:, cols])
+
+
+class ImageResizer:
+    """Actor-pool map_batches stage: decode each ``image/bmp`` payload,
+    nearest-neighbor resize to (out_h, out_w), re-encode as BMP.  The
+    whole roundtrip is the real byte format both ways (decode_bmp /
+    encode_bmp above); output keeps the payload schema so resize stages
+    compose with featurize/frame_sample.  Non-BMP mimes pass through
+    untouched (or raise under ``strict=True``) — the task-brief pattern
+    for codecs absent in this environment."""
+
+    def __init__(self, out_h: int = 8, out_w: int = 8, strict: bool = False):
+        self.out_h, self.out_w, self.strict = out_h, out_w, strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mimes = batch["mime"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        out = []
+        for p, m in zip(payloads, mimes):
+            p = p or b""
+            if (m or "") == "image/bmp":
+                out.append(encode_bmp(resize_nn(decode_bmp(p), self.out_h, self.out_w)))
+            elif self.strict:
+                raise NotImplementedError(
+                    f"no real decoder for mime {m!r}; only image/bmp resizes natively"
+                )
+            else:
+                out.append(p)
+        return pa.table(
+            {
+                "item_id": batch["item_id"],
+                "mime": batch["mime"],
+                "payload": pa.array(out, pa.large_binary()),
+            }
+        )
+
+
+def resize_images(
+    ds: rd.Dataset,
+    out_h: int = 8,
+    out_w: int = 8,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+    strict: bool = False,
+) -> rd.Dataset:
+    """Payload dataset -> payload dataset with images resized.  Small
+    batch_size for the same heap-bounding reason as featurize()."""
+    return ds.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs=dict(out_h=out_h, out_w=out_w, strict=strict),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def frame_sample(ds: rd.Dataset, every_n: int = 10) -> rd.Dataset:
     """Frame-sampling analogue for video-like payload sequences: keep
     every Nth item per stream — expressed as a plain vectorized filter

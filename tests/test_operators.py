@@ -236,6 +236,49 @@ class TestMultimodal:
         with _pytest.raises(ValueError):
             decode_bmp(b"not a bmp at all, definitely not")
 
+    def test_resize_nn_kernel(self):
+        import numpy as np
+
+        from ehdc_llpg_address_matching_ray.stages.multimodal import resize_nn
+
+        img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+        out = resize_nn(img, 8, 8)
+        assert out.shape == (8, 8, 3)
+        # dst (y, x) samples src (2y, 2x)
+        assert np.array_equal(out, img[::2, ::2])
+        # non-integer ratio: floor(y*h/out_h) mapping
+        out2 = resize_nn(img, 5, 7)
+        rows = (np.arange(5) * 16) // 5
+        cols = (np.arange(7) * 16) // 7
+        assert np.array_equal(out2, img[rows][:, cols])
+
+    def test_resize_stage_roundtrip(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from ehdc_llpg_address_matching_ray.stages.multimodal import (
+            decode_bmp,
+            encode_bmp,
+            resize_images,
+        )
+
+        rng = np.random.default_rng(11)
+        imgs = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(3)]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "item_id": ["a", "b", "c"],
+                    "mime": ["image/bmp"] * 3,
+                    "payload": pa.array([encode_bmp(i) for i in imgs], pa.large_binary()),
+                }
+            )
+        )
+        out = resize_images(ds, out_h=8, out_w=8, strict=True).to_pandas()
+        got = {r.item_id: decode_bmp(r.payload) for r in out.itertuples()}
+        for key, img in zip(["a", "b", "c"], imgs):
+            assert np.array_equal(got[key], img[::2, ::2])
+
     def test_featurizer_real_bmp_path(self, ray_session):
         import numpy as np
         import pyarrow as pa
