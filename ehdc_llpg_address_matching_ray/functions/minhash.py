@@ -146,33 +146,27 @@ _BBK_CHUNK = 256  # texts per internal chunk: keeps the (num_perm, S)
 # 1024+ spills it and runs ~10x slower (measured)
 
 
-def batch_band_keys_char(
-    texts: list[str], a: np.ndarray, b: np.ndarray, num_bands: int, k: int = 3
+def batch_signatures_char(
+    texts: list[str], a: np.ndarray, b: np.ndarray, k: int = 3
 ) -> np.ndarray:
-    """Fully vectorized char-shingle variant of :func:`batch_band_keys`
-    (value-identical, parity-tested): ONE concatenated byte buffer for
-    the whole batch, window codes gathered with k shifted index vectors,
-    one (num_perm, total_shingles) universal-hash matrix, and per-text
+    """(n_rows, num_perm) uint64 MinHash signature matrix over char
+    k-shingles, fully vectorized: ONE concatenated byte buffer for the
+    whole batch, window codes gathered with k shifted index vectors, one
+    (num_perm, total_shingles) universal-hash matrix, and per-text
     signature minima via ``np.minimum.reduceat`` — no per-text Python.
-
-    The scalar path loops char_shingles→signature→band_keys per text
-    (~200 us/text of numpy call overhead on ~50-shingle web canonicals);
-    at ~1M reps that loop was ~6 s of the flagship's pairs stage at 32
-    CPUs.  Duplicate shingles are NOT deduped here: a duplicate cannot
-    change a minimum, so ``np.unique`` per text is pure overhead.
+    Value-identical to char_shingles→minhash_signature per text
+    (parity-tested).  Duplicate shingles are NOT deduped: a duplicate
+    cannot change a minimum, so ``np.unique`` per text is pure overhead.
     """
     n = len(texts)
-    out = np.empty((n, num_bands), dtype=np.uint64)
-    if n == 0:
-        return out
-    if n > _BBK_CHUNK:
-        for i in range(0, n, _BBK_CHUNK):
-            out[i : i + _BBK_CHUNK] = batch_band_keys_char(
-                texts[i : i + _BBK_CHUNK], a, b, num_bands, k
-            )
-        return out
-
     num_perm = len(a)
+    if n == 0:
+        return np.empty((0, num_perm), dtype=np.uint64)
+    if n > _BBK_CHUNK:
+        out = np.empty((n, num_perm), dtype=np.uint64)
+        for i in range(0, n, _BBK_CHUNK):
+            out[i : i + _BBK_CHUNK] = batch_signatures_char(texts[i : i + _BBK_CHUNK], a, b, k)
+        return out
     # pad 1..k-1-byte texts to k with NULs (char_shingles semantics:
     # short-but-nonempty texts emit exactly one padded shingle)
     encoded = []
@@ -205,6 +199,27 @@ def batch_band_keys_char(
         hashed = (a[:, None] * x[None, :] + b[:, None]) % _P  # (num_perm, total)
         seg = np.concatenate(([0], np.cumsum(n_sh[live])[:-1]))
         sig[live] = np.minimum.reduceat(hashed, seg, axis=1).T
+    return sig
+
+
+def batch_band_keys_char(
+    texts: list[str], a: np.ndarray, b: np.ndarray, num_bands: int, k: int = 3
+) -> np.ndarray:
+    """Fully vectorized char-shingle variant of :func:`batch_band_keys`
+    (value-identical, parity-tested): :func:`batch_signatures_char` for
+    the signature matrix, then one vectorized band fold.
+
+    The scalar path loops char_shingles→signature→band_keys per text
+    (~200 us/text of numpy call overhead on ~50-shingle web canonicals);
+    at ~1M reps that loop was ~6 s of the flagship's pairs stage at 32
+    CPUs.
+    """
+    n = len(texts)
+    num_perm = len(a)
+    out = np.empty((n, num_bands), dtype=np.uint64)
+    if n == 0:
+        return out
+    sig = batch_signatures_char(texts, a, b, k)
 
     # band fold, vectorized over all rows (identical to band_keys)
     rows = num_perm // num_bands

@@ -1583,6 +1583,162 @@ FROM documents d
 
 
 
+_MH_SIG_NUM_PERM = 8
+_MH_SIG_SEED = 7
+_MH_P = (1 << 61) - 1  # functions/minhash._P
+
+
+def q_minhash_sigs(sf_dir: str) -> rd.Dataset:
+    """Value-exact MinHash SIGNATURES over documents — puts the MinHash
+    kernel itself (char 3-shingle packing, splitmix64 avalanche, fold
+    below 2^24, universal hash mod 2^61-1, per-perm minimum, empty-text
+    sentinel) behind the driver's hash gate, the same way simhash_codes
+    gates the SimHash kernel.  The LSH *banding* downstream of these
+    signatures remains rows-only (minhash_neardup); this query is its
+    kernel-level hard oracle.  Text is pre-sanitized to printable ASCII
+    so DuckDB's character arithmetic and the kernel's byte arithmetic
+    agree; the SQL twin rebuilds splitmix64 with HUGEINT split-multiply
+    (mod-2^64 wraparound) and 32-bit-half xor."""
+    import re as _re
+
+    from ..functions import minhash as MH
+
+    a, b = MH.make_perms(_MH_SIG_NUM_PERM, _MH_SIG_SEED)
+    ascii_only = _re.compile(r"[^\x20-\x7e]")
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = [ascii_only.sub("", t or "") for t in batch["text"].to_pylist()]
+        sig = MH.batch_signatures_char(texts, a, b, 3)  # (n, num_perm) uint64, < p
+        n = len(texts)
+        did = np.repeat(pc.cast(batch["doc_id"], pa.int64()).to_numpy(), _MH_SIG_NUM_PERM)
+        pidx = np.tile(np.arange(_MH_SIG_NUM_PERM, dtype=np.int64), n)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "perm_idx": pa.array(pidx, pa.int64()),
+                "sig": pa.array(sig.reshape(-1).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def _minhash_sigs_oracle_sql() -> str:
+    """Generated SQL twin of q_minhash_sigs.  64-bit wraparound multiply
+    is HUGEINT split-multiply (lo*C + ((hi*C) mod 2^32)*2^32 mod 2^64);
+    xor over 64-bit values is xor() on the BIGINT-safe 32-bit halves.
+    The first splitmix64 step (x ^= x>>30) is the identity here because
+    shingle codes are 3-byte packs (< 2^24)."""
+    from ..functions.minhash import make_perms
+
+    a, b = make_perms(_MH_SIG_NUM_PERM, _MH_SIG_SEED)
+    perms = ", ".join(
+        f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)" for j in range(_MH_SIG_NUM_PERM)
+    )
+
+    def mulmod(x: str, c: int) -> str:
+        return (
+            f"((({x}) % 4294967296) * {c}::HUGEINT"
+            f" + (((({x}) // 4294967296) * {c}::HUGEINT) % 4294967296) * 4294967296)"
+            f" % 18446744073709551616::HUGEINT"
+        )
+
+    def xor64(x: str, y: str) -> str:
+        return (
+            f"(xor((({x}) // 4294967296)::BIGINT, (({y}) // 4294967296)::BIGINT)::HUGEINT"
+            f" * 4294967296"
+            f" + xor((({x}) % 4294967296)::BIGINT, (({y}) % 4294967296)::BIGINT)::HUGEINT)"
+        )
+
+    return f"""
+WITH perms(perm_idx, a, b) AS (VALUES {perms}),
+san AS (
+    SELECT doc_id, regexp_replace(coalesce(text, ''), '[^\\x20-\\x7e]', '', 'g') AS t
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS g
+    FROM san WHERE length(t) >= 3
+),
+codes AS (
+    SELECT doc_id,
+           (ascii(substr(t, g, 1))::HUGEINT * 65536
+            + ascii(substr(t, g + 1, 1))::HUGEINT * 256
+            + ascii(substr(t, g + 2, 1))::HUGEINT) AS code
+    FROM pos
+    UNION ALL
+    -- short-but-nonempty texts emit exactly one NUL-padded shingle
+    SELECT doc_id,
+           (ascii(substr(t, 1, 1))::HUGEINT * 65536
+            + CASE WHEN length(t) = 2 THEN ascii(substr(t, 2, 1))::HUGEINT * 256
+                   ELSE 0::HUGEINT END) AS code
+    FROM san WHERE length(t) IN (1, 2)
+),
+m1 AS (SELECT doc_id, {mulmod('code', 0xBF58476D1CE4E5B9)} AS x FROM codes),
+m2 AS (SELECT doc_id, {xor64('x', 'x // 134217728')} AS x FROM m1),
+m3 AS (SELECT doc_id, {mulmod('x', 0x94D049BB133111EB)} AS x FROM m2),
+m4 AS (SELECT doc_id, {xor64('x', 'x // 2147483648')} % 16777157 AS x FROM m3),
+hashed AS (
+    SELECT c.doc_id, p.perm_idx, (p.a * c.x + p.b) % {_MH_P} AS h
+    FROM m4 c CROSS JOIN perms p
+),
+sig AS (SELECT doc_id, perm_idx, min(h) AS sig FROM hashed GROUP BY doc_id, perm_idx)
+SELECT d.doc_id, p.perm_idx, coalesce(s.sig, {_MH_P})::BIGINT AS sig
+FROM documents d
+CROSS JOIN perms p
+LEFT JOIN sig s ON s.doc_id = d.doc_id AND s.perm_idx = p.perm_idx
+"""
+
+
+SQL_MINHASH_SIGS = _minhash_sigs_oracle_sql()
+
+
+def q_multimodal_frame_sample(sf_dir: str) -> rd.Dataset:
+    """Frame-sampling over a video-like payload stream: documents become
+    (stream_id, frame_no, payload) rows, frame_sample keeps every 5th
+    frame, and the output proves both the filter semantics and that the
+    binary payload rode through untouched (its exact BMP byte length)."""
+    from ..stages.multimodal import encode_bmp, frame_sample
+
+    blank = encode_bmp(np.zeros((4, 4, 3), dtype=np.uint8))  # 54 + 4*12 bytes
+
+    def to_frames(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "item_id": pa.array(ids.astype(str), pa.string()),
+                "stream_id": pa.array(ids % 16, pa.int64()),
+                "frame_no": pa.array(ids % 37, pa.int64()),
+                "payload": pa.array([blank] * len(ids), pa.large_binary()),
+            }
+        )
+
+    frames = _t(sf_dir, "documents", ["doc_id"]).map_batches(to_frames, batch_format="pyarrow")
+    kept = frame_sample(frames, every_n=5)
+    return kept.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["item_id"], pa.int64()),
+                "stream_id": b["stream_id"],
+                "frame_no": b["frame_no"],
+                "payload_len": pa.array(
+                    pc.binary_length(b["payload"]).to_numpy(zero_copy_only=False).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_MULTIMODAL_FRAME_SAMPLE = """
+SELECT doc_id, doc_id % 16 AS stream_id, doc_id % 37 AS frame_no,
+       102::BIGINT AS payload_len
+FROM documents
+WHERE (doc_id % 37) % 5 = 0
+"""
+
+
 def q_match_documents(sf_dir: str) -> rd.Dataset:
     """Two-table match cascade (pipelines/match.py — the reference's
     production flow): every 5th document is the "gazetteer", the rest are
@@ -2624,6 +2780,8 @@ QUERIES = {
     "threshold_sweep": q_threshold_sweep,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+    "minhash_sigs": q_minhash_sigs,
 }
 
 ORACLE_SQL = {
@@ -2666,4 +2824,6 @@ ORACLE_SQL = {
     "threshold_sweep": SQL_THRESHOLD_SWEEP,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
+    "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
+    "minhash_sigs": SQL_MINHASH_SIGS,
 }

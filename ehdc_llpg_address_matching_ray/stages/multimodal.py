@@ -269,13 +269,11 @@ class ImageResizer:
                 )
             else:
                 out.append(p)
-        return pa.table(
-            {
-                "item_id": batch["item_id"],
-                "mime": batch["mime"],
-                "payload": pa.array(out, pa.large_binary()),
-            }
-        )
+        # replace payload in place so metadata columns (stream_id,
+        # frame_no, ...) pass through and resize composes with
+        # frame_sample/featurize
+        idx = batch.schema.get_field_index("payload")
+        return batch.set_column(idx, "payload", pa.array(out, pa.large_binary()))
 
 
 def resize_images(

@@ -42,6 +42,55 @@ class TestBatchBandKeysChar:
         assert np.array_equal(ref, vec)
 
 
+class TestBatchSignaturesChar:
+    def test_parity_with_scalar_signature(self):
+        a, b = MH.make_perms(8, 7)
+        texts = _synthetic_texts(50, seed=3) + ["", "a", "ab", "abc", "x" * 100]
+        vec = MH.batch_signatures_char(texts, a, b, 3)
+        for i, t in enumerate(texts):
+            ref = MH.minhash_signature(MH.char_shingles(t, 3), a, b)
+            assert np.array_equal(vec[i], ref), t
+
+    def test_sql_twin_value_exact(self):
+        """The generated DuckDB oracle reproduces the kernel bit-for-bit
+        on edge cases: empty text, NULL, 1/2-char pads, unicode strip."""
+        import duckdb
+        import pandas as pd
+
+        from ehdc_llpg_address_matching_ray.pipelines.queries import (
+            _MH_SIG_NUM_PERM,
+            _MH_SIG_SEED,
+            SQL_MINHASH_SIGS,
+        )
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "",
+            None,
+            "a",
+            "ab",
+            "abc",
+            "héllo wörld one — two",  # non-ASCII stripped on both sides
+            "repeat repeat repeat repeat",
+        ]
+        con = duckdb.connect()
+        df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        con.register("documents", df)
+        got = (
+            con.execute(SQL_MINHASH_SIGS)
+            .df()
+            .sort_values(["doc_id", "perm_idx"])
+            .reset_index(drop=True)
+        )
+
+        import re
+
+        a, b = MH.make_perms(_MH_SIG_NUM_PERM, _MH_SIG_SEED)
+        clean = [re.sub(r"[^\x20-\x7e]", "", t or "") for t in texts]
+        sig = MH.batch_signatures_char(clean, a, b, 3).astype(np.int64)
+        assert np.array_equal(got["sig"].to_numpy(), sig.reshape(-1))
+
+
 class TestJaroWinklerChunking:
     def test_chunked_equals_unchunked(self):
         texts_a = _synthetic_texts(S._JW_CHUNK + 100, seed=1)
