@@ -36,6 +36,14 @@ def load_manifest(stage_dir: str) -> dict | None:
         return json.load(f)
 
 
+def has_valid_checkpoint(stage_dir: str, config_hash: str) -> bool:
+    """True when ``checkpoint(...)`` would resume from ``stage_dir``
+    without recomputing — lets callers skip building the stage's input
+    graph entirely (e.g. the flagship's eager edge scan)."""
+    m = load_manifest(stage_dir)
+    return m is not None and m.get("config_hash") == config_hash and bool(m.get("complete"))
+
+
 def checkpoint(
     ds: rd.Dataset,
     stage_dir: str,

@@ -35,7 +35,7 @@ from ..stages import decide as D
 from ..stages import extract as X
 from ..stages import scoring as SC
 from ..rayutil import default_concurrency, default_partitions, hash_shuffle, wide_partitions
-from .checkpoint import checkpoint, score_histogram
+from .checkpoint import checkpoint, has_valid_checkpoint, score_histogram
 
 
 def _add_nid(batch: pa.Table) -> pa.Table:
@@ -236,7 +236,15 @@ def _run_linkage_inner(
             broadcast = False
             reps_slim = reps.select_columns(["url", "text", "canonical"])
         else:
-            payload_ref = reps_slim.to_arrow_refs()
+            # pre-combine + nid-sort ONCE in a remote task (overlaps the
+            # blocking stage below); every scorer worker then maps the
+            # single sorted block zero-copy instead of rebuilding its own
+            # concat+argsort index — a per-worker, width-independent floor
+            payload_ref = [
+                ray.remote(num_cpus=1)(SC.combine_payload_blocks).remote(
+                    *reps_slim.to_arrow_refs()
+                )
+            ]
     if not broadcast:
         # the join path still runs id-keyed: pairs carry (id_a, id_b)
         # int64 through every pair-scale shuffle; only the rep-sized
@@ -267,6 +275,32 @@ def _run_linkage_inner(
     scored = ckpt(scored, "04_scored")
     hist = score_histogram(scored) if checkpoint_dir is not None else None
 
+    # kick off clustering BEFORE the decide chain: the edge scan is one
+    # cheap fused map over the materialized scored blocks, and the
+    # union-find then runs as ONE remote task that overlaps the decide
+    # chain's shuffles (the two subtrees are independent until the fact
+    # build; serializing them wasted ~4 s at 16 CPUs — a pure
+    # width-independent floor).  Skipped entirely when a valid
+    # 06_clusters checkpoint will resume.
+    clusters_resume = checkpoint_dir is not None and resume and has_valid_checkpoint(
+        os.path.join(checkpoint_dir, "06_clusters"), chash
+    )
+    if clusters_resume:
+        rep_clusters = None  # ckpt() reads the valid checkpoint; input unused
+    else:
+        nodes = reps.select_columns(["url"])
+        id_edges = scored.map_batches(
+            C.edge_ids_from_scored, batch_format="pyarrow", batch_size=1 << 18
+        ).materialize()
+        n_edges = id_edges.count()
+        rep_clusters = C.connected_components_deferred(
+            nodes,
+            id_edges,
+            n_edges,
+            max_iters=cfg.max_cluster_iters,
+            driver_threshold=cluster_driver_threshold,
+        )
+
     edges = scored.filter(expr="is_edge == True").select_columns(["id_a", "id_b"])
     decisions = D.decide(scored, cfg.tiers, num_partitions=P)
     # resolve the int ids back to urls: via the broadcast payload blocks
@@ -283,6 +317,8 @@ def _run_linkage_inner(
             tables = [tb for tb in ray.get(payload_ref) if tb.num_rows]
             t = pa.concat_tables([tb.select(["nid", "url"]) for tb in tables])
             ids = t["nid"].to_numpy()
+            if len(ids) > 1 and bool(_np.all(ids[1:] >= ids[:-1])):
+                return ids, t["url"].combine_chunks()  # pre-sorted payload
             order = _np.argsort(ids, kind="stable")
             return ids[order], t["url"].combine_chunks().take(pa.array(order, pa.int64()))
 
@@ -360,20 +396,8 @@ def _run_linkage_inner(
     # for the same fact stage)
     decisions = ckpt(decisions, "05_decisions")
 
-    nodes = reps.select_columns(["url"])
-    # fused filter+project+hash in ONE bundled operator over the scored
-    # blocks (the `edges` url-pair view above stays lazy for API callers;
-    # the cluster path itself never rescans the wide table twice)
-    id_edges = scored.map_batches(
-        C.edge_ids_from_scored, batch_format="pyarrow", batch_size=1 << 18
-    )
-    rep_clusters = C.connected_components(
-        nodes,
-        id_edges,
-        max_iters=cfg.max_cluster_iters,
-        driver_threshold=cluster_driver_threshold,
-        edges_as_ids=True,
-    )
+    # the deferred union-find task has been computing since before the
+    # decide chain; the lazy assignment map consumes it here
     rep_clusters = ckpt(rep_clusters, "06_clusters", pin=False)
 
     fact = build_fact(membership, rep_clusters, decisions, num_partitions=P)
@@ -471,6 +495,115 @@ def _group_sum_min(
     )
 
 
+def _fact_rep_enrich(rc: pa.Table, dec: pa.Table, mp: pa.Table) -> pa.Table:
+    """ONE rep_url co-partition of the fact build's rep-level enrichment:
+    merge the member-stat partials, then rc ⟕ dec ⋈ stats — what was a
+    chain of two joins plus a partial-merge exchange fused into a single
+    task (all rows for a rep_url are local by construction)."""
+    import polars as pl
+
+    from ..rayutil import cast_like
+
+    stats = _group_sum_min(mp, "rep_url", "rep_size", "rep_min_url", "rep_size", "rep_min_url")
+    if rc.num_rows == 0 or stats.num_rows == 0:
+        return pa.table(
+            {
+                "rep_url": pa.array([], pa.string()),
+                "cluster_id": pa.array([], pa.int64()),
+                "decision": pa.array([], pa.string()),
+                "top_score": pa.array([], pa.float64()),
+                "rep_size": pa.array([], pa.int64()),
+                "rep_min_url": pa.array([], pa.string()),
+            }
+        )
+    if dec.num_rows == 0:
+        dec = pa.table(
+            {
+                "rep_url": pa.array([], pa.string()),
+                "decision": pa.array([], pa.string()),
+                "top_score": pa.array([], pa.float64()),
+            }
+        )
+    out = (
+        pl.from_arrow(rc)
+        .join(pl.from_arrow(dec), on="rep_url", how="left")
+        .join(pl.from_arrow(stats), on="rep_url", how="inner")
+        .to_arrow()
+    )
+    return cast_like(out, rc, dec, stats)
+
+
+def _fact_cluster_stats(small: pa.Table) -> pa.Table:
+    """ONE cluster_id co-partition: roll the rep partials up to cluster
+    stats (size = sum of rep group sizes, rep_url = min member url) and
+    join them back LOCALLY — every row of a cluster lives in this
+    partition, so no second exchange exists."""
+    import polars as pl
+
+    from ..rayutil import cast_like
+
+    if small.num_rows == 0:
+        return pa.table(
+            {
+                "rep_url": pa.array([], pa.string()),
+                "cluster_id": pa.array([], pa.int64()),
+                "decision": pa.array([], pa.string()),
+                "top_score": pa.array([], pa.float64()),
+                "cluster_size": pa.array([], pa.int64()),
+                "cluster_rep_url": pa.array([], pa.string()),
+            }
+        )
+    stats = _group_sum_min(
+        small, "cluster_id", "rep_size", "rep_min_url", "cluster_size", "cluster_rep_url"
+    )
+    out = (
+        pl.from_arrow(small.select(["rep_url", "cluster_id", "decision", "top_score"]))
+        .join(pl.from_arrow(stats), on="cluster_id", how="inner")
+        .to_arrow()
+    )
+    return cast_like(out, small, stats)
+
+
+def _fact_final(mem: pa.Table, small: pa.Table) -> pa.Table:
+    """ONE rep_url co-partition of the single member-level exchange:
+    membership ⋈ rep-enrichment + the finalize projection, fused."""
+    import polars as pl
+
+    from ..rayutil import cast_like
+
+    fact_schema = {
+        "url": pa.string(),
+        "canonical": pa.string(),
+        "text_hash": pa.string(),
+        "cluster_id": pa.int64(),
+        "cluster_rep_url": pa.string(),
+        "cluster_size": pa.int64(),
+        "decision": pa.string(),
+        "top_score": pa.float64(),
+        "is_exact_dup": pa.bool_(),
+    }
+    if mem.num_rows == 0 or small.num_rows == 0:
+        return pa.table({k: pa.array([], v) for k, v in fact_schema.items()})
+    b = pl.from_arrow(mem).join(pl.from_arrow(small), on="rep_url", how="inner").to_arrow()
+    b = cast_like(b, mem, small)
+    decision = pc.coalesce(b["decision"], "no_candidates")
+    top_score = pc.coalesce(b["top_score"], pa.scalar(0.0, pa.float64()))
+    is_dup = pc.not_equal(b["url"], b["rep_url"])
+    return pa.table(
+        {
+            "url": b["url"],
+            "canonical": b["canonical"],
+            "text_hash": b["text_hash"],
+            "cluster_id": b["cluster_id"],
+            "cluster_rep_url": b["cluster_rep_url"],
+            "cluster_size": b["cluster_size"].cast(pa.int64()),
+            "decision": decision,
+            "top_score": top_score,
+            "is_exact_dup": is_dup,
+        }
+    )
+
+
 def build_fact(
     membership: rd.Dataset,
     rep_clusters: rd.Dataset,
@@ -485,25 +618,23 @@ def build_fact(
       ⟕ decisions on rep_url     → decision provenance
       + cluster_size / cluster_rep_url via one fused groupby aggregate.
 
-    The rep-level enrichment (clusters ⟕ decisions ⋈ member stats ⋈
-    cluster stats) is assembled first over rep-sized exchanges; the
-    member-level table crosses exactly one exchange, in the final join.
-    ``small`` is materialized before it fans out to the cluster-stats
-    aggregate and the final join: the streaming executor would otherwise
-    replay the join subtree once per consumer, spawning overlapping
-    hash-shuffle aggregator pools (observed to starve a small CPU
-    budget).
+    THREE fused exchange rounds (co_partition_apply), not a chain of
+    engine_joins — the serialized chain's per-join barriers measured
+    ~5 s of width-independent floor at 16 CPUs on 906k reps:
+
+    1. rep_url round: rc + dec + member-stat partials co-partitioned;
+       per partition merge partials, rc ⟕ dec ⋈ stats.
+    2. cluster_id round: cluster stats rolled up from the rep partials
+       AND joined back locally (a cluster's rows are partition-local).
+    3. rep_url round: the single member-level exchange — membership ⋈
+       enrichment with the finalize projection fused into the same task.
     """
+    from ..rayutil import co_partition_apply
+
     rc = rep_clusters.map_batches(
         lambda b: pa.table({"rep_url": b["url"], "cluster_id": b["cluster_id"]}),
         batch_format="pyarrow",
     )
-    from ..rayutil import engine_join, partition_by_key
-
-    # assemble the PER-REP enrichment table first (rep-count-sized
-    # exchanges only), so the member-level table crosses ONE exchange —
-    # the previous shape re-shuffled the full membership for each of the
-    # two joins plus the cluster-stats groupby (3x the big-side traffic)
     dec = decisions.map_batches(
         lambda b: pa.table(
             {
@@ -514,77 +645,23 @@ def build_fact(
         ),
         batch_format="pyarrow",
     )
-    small = engine_join(rc, dec, ("rep_url",), how="left_outer", num_partitions=num_partitions)
-
-    # per-rep member stats from a partial aggregate (no member-level
-    # exchange: each batch contributes (rep_url, partial count, partial
-    # min url); the rep-keyed exchange moves only the rep-sized partials)
-    rep_stats = partition_by_key(
-        membership.select_columns(["rep_url", "url"]).map_batches(
-            lambda b: _group_sum_min(b, "rep_url", None, "url", "rep_size", "rep_min_url"),
-            batch_format="pyarrow",
-            batch_size=1 << 18,
-        ),
-        ["rep_url"],
-        num_partitions,
-        sort=False,
-    ).map_batches(
-        lambda b: _group_sum_min(b, "rep_url", "rep_size", "rep_min_url", "rep_size", "rep_min_url"),
+    # per-rep member stats as partial aggregates: each batch contributes
+    # (rep_url, partial count, partial min url); only these rep-sized
+    # partials cross the exchange, never the member-level table
+    mp = membership.select_columns(["rep_url", "url"]).map_batches(
+        lambda b: _group_sum_min(b, "rep_url", None, "url", "rep_size", "rep_min_url"),
         batch_format="pyarrow",
-        batch_size=None,
+        batch_size=1 << 18,
     )
-    small = engine_join(
-        small, rep_stats, ("rep_url",), how="inner", num_partitions=num_partitions
-    ).materialize()
-
-    # cluster stats roll up the REP partials (cluster_size = sum of rep
-    # group sizes; cluster_rep_url = min member url across the cluster's
-    # reps == min over all members)
-    stats = partition_by_key(
-        small.select_columns(["cluster_id", "rep_size", "rep_min_url"]),
-        ["cluster_id"],
+    small = co_partition_apply(
+        [rc, dec, mp], [["rep_url"]] * 3, num_partitions, _fact_rep_enrich
+    )
+    small = co_partition_apply(
+        [small], [["cluster_id"]], num_partitions, _fact_cluster_stats
+    )
+    return co_partition_apply(
+        [membership.select_columns(["url", "canonical", "text_hash", "rep_url"]), small],
+        [["rep_url"], ["rep_url"]],
         num_partitions,
-        sort=False,
-    ).map_batches(
-        lambda b: _group_sum_min(
-            b, "cluster_id", "rep_size", "rep_min_url", "cluster_size", "cluster_rep_url"
-        ),
-        batch_format="pyarrow",
-        batch_size=None,
+        _fact_final,
     )
-    small = engine_join(
-        small.select_columns(["rep_url", "cluster_id", "decision", "top_score"]),
-        stats,
-        ("cluster_id",),
-        how="inner",
-        num_partitions=num_partitions,
-    )
-
-    # the single member-level exchange
-    base = engine_join(
-        membership.select_columns(["url", "canonical", "text_hash", "rep_url"]),
-        small,
-        ("rep_url",),
-        how="inner",
-        num_partitions=num_partitions,
-    )
-
-    def finalize(b: pa.Table) -> pa.Table:
-        decision = pc.coalesce(b["decision"], "no_candidates")
-        top_score = pc.coalesce(b["top_score"], pa.scalar(0.0, pa.float64()))
-        is_dup = pc.not_equal(b["url"], b["rep_url"])
-        return pa.table(
-            {
-                "url": b["url"],
-                "canonical": b["canonical"],
-                "text_hash": b["text_hash"],
-                "cluster_id": b["cluster_id"],
-                "cluster_rep_url": b["cluster_rep_url"],
-                "cluster_size": b["cluster_size"].cast(pa.int64()),
-                "decision": decision,
-                "top_score": top_score,
-                "is_exact_dup": is_dup,
-            }
-        )
-
-    return base.map_batches(finalize, batch_format="pyarrow")

@@ -28,6 +28,8 @@ dedup that the first-shared-key rule does in zero extra time.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -296,9 +298,14 @@ def build_blocks(
     keyed = reps_ds.select_columns([id_col, "canonical"]).map_batches(
         _emit, batch_format="pyarrow", batch_size=4096
     )
-    part = partition_by_key(keyed, ["block_key"], num_partitions, sort=False)
-    pairs = part.map_batches(
-        lambda b: enumerate_block_pairs(b, cfg), batch_format="pyarrow", batch_size=None
+    # pair enumeration FUSED into the exchange's merge task (one task
+    # round + one barrier fewer than a downstream map_batches)
+    pairs = partition_by_key(
+        keyed,
+        ["block_key"],
+        num_partitions,
+        sort=False,
+        apply_fn=functools.partial(enumerate_block_pairs, cfg=cfg),
     )
     if not attach_payload:
         return pairs

@@ -239,29 +239,10 @@ def label_propagation(
     return out
 
 
-def driver_union_find(
-    nodes_ds: rd.Dataset, edges_ds: rd.Dataset, edges_as_ids: bool = False
-) -> rd.Dataset:
-    """Small-graph fast path: vectorized min-label propagation over the
-    edge list on the driver; returns (url, cluster_id).  Identical
-    partitions to label_propagation (tested).
-
-    The url->id hashing runs DISTRIBUTED (map_batches before
-    iter_batches) — only two int64 columns ever reach the driver — and
-    the component computation is numpy throughout (np.minimum.at rounds
-    + pointer jumping, converges in O(log diameter) passes), replacing
-    the per-edge Python union-find loop that dominated this stage at
-    millions of edges."""
-    eu_parts: list[np.ndarray] = []
-    ev_parts: list[np.ndarray] = []
-    id_edges = (
-        edges_ds if edges_as_ids else edges_ds.map_batches(_edges_to_ids, batch_format="pyarrow")
-    )
-    for batch in id_edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
-        eu_parts.append(batch["u"].to_numpy())
-        ev_parts.append(batch["v"].to_numpy())
-    eu = np.concatenate(eu_parts) if eu_parts else np.array([], dtype=np.int64)
-    ev = np.concatenate(ev_parts) if ev_parts else np.array([], dtype=np.int64)
+def _min_label_components(eu: np.ndarray, ev: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized min-label propagation over an int64 edge list:
+    (sorted distinct node ids, component min-id per node).  np.minimum.at
+    rounds + pointer jumping converge in O(log diameter) passes."""
     ids = np.unique(np.concatenate([eu, ev])) if len(eu) else np.array([], dtype=np.int64)
     cu = np.searchsorted(ids, eu)
     cv = np.searchsorted(ids, ev)
@@ -279,6 +260,88 @@ def driver_union_find(
             break
         label = new
     cluster_of = ids[label] if len(ids) else ids
+    return ids, cluster_of
+
+
+def _uf_over_blocks(*blocks) -> tuple[np.ndarray, np.ndarray]:
+    """Union-find over materialized int64 (u, v) edge blocks — runs as a
+    single remote task so the driver can interleave other work (the
+    decide chain) while components compute."""
+    eu_parts = [b["u"].to_numpy() for b in blocks if b.num_rows]
+    ev_parts = [b["v"].to_numpy() for b in blocks if b.num_rows]
+    eu = np.concatenate(eu_parts) if eu_parts else np.array([], dtype=np.int64)
+    ev = np.concatenate(ev_parts) if ev_parts else np.array([], dtype=np.int64)
+    return _min_label_components(eu, ev)
+
+
+def _assign_labels_map(uf_ref):
+    """(url) batches -> (url, cluster_id) via the (ids, labels) pair in
+    ``uf_ref`` (None = no edges: every node self-labels)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        if uf_ref is None:
+            ids_l = np.array([], dtype=np.int64)
+            lab = ids_l
+        else:
+            ids_l, lab = ray.get(uf_ref)
+        nid = url_to_node_id(batch["url"].to_pylist())
+        if len(ids_l):
+            pos = np.minimum(np.searchsorted(ids_l, nid), len(ids_l) - 1)
+            hit = ids_l[pos] == nid
+            labels = np.where(hit, lab[pos], nid)  # isolated nodes self-label
+        else:
+            labels = nid
+        return pa.table({"url": batch["url"], "cluster_id": pa.array(labels, pa.int64())})
+
+    return assign
+
+
+def connected_components_deferred(
+    nodes_ds: rd.Dataset,
+    id_edges_mat: rd.Dataset,
+    n_edges: int,
+    max_iters: int = 25,
+    driver_threshold: int = 20_000_000,
+) -> rd.Dataset:
+    """Small-graph path with the union-find OFF the driver's critical
+    path: submits one remote task over the (already materialized) int64
+    edge blocks and returns a LAZY (url, cluster_id) dataset — the caller
+    interleaves other driver work (the flagship's decide chain) before
+    consuming it, so the component computation overlaps instead of
+    serializing.  Above ``driver_threshold`` falls back to the
+    distributed label propagation (sequential, 100-TB path)."""
+    if n_edges > driver_threshold:
+        return label_propagation(
+            nodes_ds, id_edges_mat, max_iters=max_iters, edges_as_ids=True
+        )
+    refs = id_edges_mat.to_arrow_refs()
+    uf_ref = ray.remote(num_cpus=1)(_uf_over_blocks).remote(*refs) if refs else None
+    return nodes_ds.map_batches(_assign_labels_map(uf_ref), batch_format="pyarrow")
+
+
+def driver_union_find(
+    nodes_ds: rd.Dataset, edges_ds: rd.Dataset, edges_as_ids: bool = False
+) -> rd.Dataset:
+    """Small-graph fast path: vectorized min-label propagation over the
+    edge list on the driver; returns (url, cluster_id).  Identical
+    partitions to label_propagation (tested).
+
+    The url->id hashing runs DISTRIBUTED (map_batches before
+    iter_batches) — only two int64 columns ever reach the driver — and
+    the component computation is numpy throughout (_min_label_components),
+    replacing the per-edge Python union-find loop that dominated this
+    stage at millions of edges."""
+    eu_parts: list[np.ndarray] = []
+    ev_parts: list[np.ndarray] = []
+    id_edges = (
+        edges_ds if edges_as_ids else edges_ds.map_batches(_edges_to_ids, batch_format="pyarrow")
+    )
+    for batch in id_edges.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        eu_parts.append(batch["u"].to_numpy())
+        ev_parts.append(batch["v"].to_numpy())
+    eu = np.concatenate(eu_parts) if eu_parts else np.array([], dtype=np.int64)
+    ev = np.concatenate(ev_parts) if ev_parts else np.array([], dtype=np.int64)
+    ids, cluster_of = _min_label_components(eu, ev)
 
     ids_ref = ray.put(ids)
     lab_ref = ray.put(cluster_of)

@@ -31,6 +31,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..config import FeatureWeights
 from ..functions import features as F
@@ -149,6 +150,23 @@ def enrich_payload(batch: pa.Table) -> pa.Table:
     return out
 
 
+def combine_payload_blocks(*blocks) -> pa.Table:
+    """Pre-combine + nid-sort the broadcast payload ONCE, in a single
+    remote task that overlaps the blocking stage: every scorer worker
+    then skips its own concat / combine_chunks / argsort — a per-worker
+    build that was a width-independent ~1 s floor on the scoring stage
+    (all workers rebuild it concurrently at stage start, at every
+    cluster width)."""
+    tables = [t for t in blocks if t.num_rows]
+    if not tables:
+        return blocks[0].slice(0, 0) if blocks else pa.table({})
+    t = pa.concat_tables(tables).combine_chunks()
+    if "nid" in t.column_names:
+        order = pc.sort_indices(t["nid"])
+        t = t.take(order).combine_chunks()
+    return t
+
+
 @lru_cache(maxsize=262144)
 def _house_numbers_cached(text: str) -> tuple[str, ...]:
     return tuple(N.extract_house_numbers(text))
@@ -247,12 +265,9 @@ class PairScorer:
                         self.payload = payload
                         self._pdict4 = True
                     else:
-                        import polars as pl
-
-                        h = pl.from_arrow(t.select(["url"])).hash_rows(seed=7).to_numpy()
-                        order = np.argsort(h, kind="stable")
-                        self._phash = h[order]
-                        self._prow = order.astype(np.int64)
+                        # the url-hash index is built LAZILY (first
+                        # url-keyed batch): id-keyed pipelines never pay
+                        # the per-worker polars hash + argsort
                         if "nid" in t.column_names:
                             # int-keyed pairs: direct searchsorted on the
                             # sorted nid column — no per-batch string
@@ -263,8 +278,15 @@ class PairScorer:
                             # decisions and clusters, so detect it once
                             # here and fail loudly.
                             ids = t["nid"].to_numpy()
-                            iorder = np.argsort(ids, kind="stable")
-                            sorted_ids = ids[iorder]
+                            if len(ids) > 1 and bool(np.all(ids[1:] >= ids[:-1])):
+                                # pre-sorted payload (combine_payload_blocks
+                                # ran once, upstream): identity row map,
+                                # no per-worker argsort
+                                iorder = np.arange(len(ids), dtype=np.int64)
+                                sorted_ids = ids
+                            else:
+                                iorder = np.argsort(ids, kind="stable")
+                                sorted_ids = ids[iorder]
                             if len(sorted_ids) > 1 and bool(
                                 (sorted_ids[1:] == sorted_ids[:-1]).any()
                             ):
@@ -534,7 +556,15 @@ class PairScorer:
 
         urls = urls.combine_chunks()
         n = len(urls)
-        if self._phash is None or len(self._phash) == 0:
+        if self._ptable is None:
+            return [""] * n, [""] * n, [()] * n, [()] * n
+        if self._phash is None:
+            # lazy url-hash index: only url-keyed pair batches pay for it
+            hh = pl.from_arrow(self._ptable.select(["url"])).hash_rows(seed=7).to_numpy()
+            order = np.argsort(hh, kind="stable")
+            self._phash = hh[order]
+            self._prow = order.astype(np.int64)
+        if len(self._phash) == 0:
             return [""] * n, [""] * n, [()] * n, [()] * n
         h = pl.from_arrow(pa.table({"url": urls})).hash_rows(seed=7).to_numpy()
         pos = np.minimum(np.searchsorted(self._phash, h), len(self._phash) - 1)
