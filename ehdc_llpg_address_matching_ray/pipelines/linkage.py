@@ -183,7 +183,10 @@ def _run_linkage_inner(
             normalized, sym_ref, cfg.symspell,
             concurrency=conc, batch_size=cfg.normalize_batch_size,
         )
-        normalized = ckpt(normalized, "01b_corrected")
+        # pin=False: the exact-group exchange is the single consumer and
+        # materializes the corrected map itself — an eager pin here was a
+        # full extra object-store round-trip of the corpus
+        normalized = ckpt(normalized, "01b_corrected", pin=False)
         # remap the df vocabulary through the same corrector (driver-side,
         # vocab-sized) so idf reflects corrected tokens without a second
         # corpus pass
@@ -302,58 +305,24 @@ def _run_linkage_inner(
         )
 
     edges = scored.filter(expr="is_edge == True").select_columns(["id_a", "id_b"])
-    decisions = D.decide(scored, cfg.tiers, num_partitions=P)
     # resolve the int ids back to urls: via the broadcast payload blocks
-    # (already resident in the local object store — one vectorized map,
-    # no shuffle) when broadcasting, else two rep-sized joins
+    # (already resident in the local object store — fused into the decide
+    # exchange as its post_fn, zero extra task rounds) when broadcasting,
+    # else two rep-sized joins
     if payload_ref is not None:
-        from ..rayutil import ref_token, worker_cached
+        import functools
+
+        from ..rayutil import ref_token
 
         _rtok = ref_token(payload_ref, "dec_resolve")
-
-        def _build_lut():
-            import numpy as _np
-
-            tables = [tb for tb in ray.get(payload_ref) if tb.num_rows]
-            t = pa.concat_tables([tb.select(["nid", "url"]) for tb in tables])
-            ids = t["nid"].to_numpy()
-            if len(ids) > 1 and bool(_np.all(ids[1:] >= ids[:-1])):
-                return ids, t["url"].combine_chunks()  # pre-sorted payload
-            order = _np.argsort(ids, kind="stable")
-            return ids[order], t["url"].combine_chunks().take(pa.array(order, pa.int64()))
-
-        def _resolve(b: pa.Table) -> pa.Table:
-            import numpy as _np
-
-            ids_sorted, urls_sorted = worker_cached("dec_url_lut", _rtok, _build_lut)
-
-            def look(col, dangling_empty: bool):
-                vals = col.to_numpy() if not isinstance(col, pa.ChunkedArray) else col.combine_chunks().to_numpy()
-                pos = _np.minimum(_np.searchsorted(ids_sorted, vals), len(ids_sorted) - 1)
-                hit = ids_sorted[pos] == vals
-                out = urls_sorted.take(pa.array(pos, pa.int64()))
-                if dangling_empty:
-                    out = pc.if_else(pa.array(hit), out, pa.scalar("", pa.string()))
-                return out, hit
-
-            src_url, src_hit = look(b["id"], dangling_empty=False)
-            acc_url, _ = look(b["accepted_id"], dangling_empty=True)
-            t = pa.table(
-                {
-                    "url": src_url,
-                    "decision": b["decision"],
-                    "accepted_url": acc_url,
-                    "top_score": b["top_score"],
-                    "margin": b["margin"],
-                    "n_candidates": b["n_candidates"],
-                }
-            )
-            # drop the salting sentinel (id -1) decision rows, the id
-            # analogue of the url "" rows the join path never matches
-            return t.filter(pa.array(src_hit))
-
-        decisions = decisions.map_batches(_resolve, batch_format="pyarrow")
+        decisions = D.decide(
+            scored,
+            cfg.tiers,
+            num_partitions=P,
+            post_fn=functools.partial(_resolve_decision_ids, payload_ref=payload_ref, rtok=_rtok),
+        )
     else:
+        decisions = D.decide(scored, cfg.tiers, num_partitions=P)
         from ..rayutil import engine_join
 
         lookup = reps_slim.select_columns(["nid", "url"])
@@ -414,6 +383,55 @@ def _run_linkage_inner(
         "rep_clusters": rep_clusters,
         "fact": fact,
     }
+
+
+def _resolve_decision_ids(b: pa.Table, payload_ref=None, rtok: str = "") -> pa.Table:
+    """(id, accepted_id) decision rows -> url-keyed rows via the
+    broadcast payload's sorted nid index (worker-cached; identity row
+    map for the pre-sorted combined payload).  Drops the salting
+    sentinel (id -1) rows — the id analogue of the url "" rows the join
+    path never matches.  Runs FUSED inside the decide exchange as its
+    post_fn: no extra task round, no extra object-store pass."""
+    import numpy as np
+
+    from ..rayutil import worker_cached
+
+    def _build_lut():
+        tables = [tb for tb in ray.get(payload_ref) if tb.num_rows]
+        t = pa.concat_tables([tb.select(["nid", "url"]) for tb in tables])
+        ids = t["nid"].to_numpy()
+        if len(ids) > 1 and bool(np.all(ids[1:] >= ids[:-1])):
+            return ids, t["url"].combine_chunks()  # pre-sorted payload
+        order = np.argsort(ids, kind="stable")
+        return ids[order], t["url"].combine_chunks().take(pa.array(order, pa.int64()))
+
+    ids_sorted, urls_sorted = worker_cached("dec_url_lut", rtok, _build_lut)
+
+    def look(col, dangling_empty: bool):
+        vals = col.to_numpy() if not isinstance(col, pa.ChunkedArray) else col.combine_chunks().to_numpy()
+        if len(ids_sorted) == 0:
+            empty_urls = pa.array([""] * len(vals), pa.string())
+            return empty_urls, np.zeros(len(vals), dtype=bool)
+        pos = np.minimum(np.searchsorted(ids_sorted, vals), len(ids_sorted) - 1)
+        hit = ids_sorted[pos] == vals
+        out = urls_sorted.take(pa.array(pos, pa.int64()))
+        if dangling_empty:
+            out = pc.if_else(pa.array(hit), out, pa.scalar("", pa.string()))
+        return out, hit
+
+    src_url, src_hit = look(b["id"], dangling_empty=False)
+    acc_url, _ = look(b["accepted_id"], dangling_empty=True)
+    t = pa.table(
+        {
+            "url": src_url,
+            "decision": b["decision"],
+            "accepted_url": acc_url,
+            "top_score": b["top_score"],
+            "margin": b["margin"],
+            "n_candidates": b["n_candidates"],
+        }
+    )
+    return t.filter(pa.array(src_hit))
 
 
 def _empty_outputs(normalized: rd.Dataset, membership: rd.Dataset) -> dict[str, rd.Dataset]:

@@ -15,6 +15,8 @@ with pure numpy over the equal-src runs.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -316,6 +318,7 @@ def decide(
     tiers: MatchTiers | None = None,
     num_partitions: int = 8,
     combine_batch_size: int = 1 << 18,
+    post_fn=None,
 ):
     """scored pairs -> per-source DECISIONS Dataset.
 
@@ -344,7 +347,19 @@ def decide(
         batch_format="pyarrow",
         batch_size=combine_batch_size,
     )
-    part = partition_by_key(reduced, ["src"], num_partitions, sort=False)
-    return part.map_batches(
-        lambda b: decide_partition(b, tiers), batch_format="pyarrow", batch_size=None
+    # decide_partition (and the caller's optional post-transform, e.g.
+    # the flagship's id->url resolve) run INSIDE the src-keyed exchange's
+    # merge task: two task rounds and their object-store round-trips
+    # fewer than chained map_batches
+    return partition_by_key(
+        reduced,
+        ["src"],
+        num_partitions,
+        sort=False,
+        apply_fn=functools.partial(_decide_apply, tiers=tiers, post_fn=post_fn),
     )
+
+
+def _decide_apply(batch: pa.Table, tiers, post_fn=None) -> pa.Table:
+    out = decide_partition(batch, tiers)
+    return post_fn(out) if post_fn is not None else out
