@@ -336,3 +336,42 @@ class TestThresholdTuner:
         assert 0.70 <= t <= 0.86
         row = sw[sw.threshold == t].iloc[0]
         assert row.precision >= 0.98 and row.recall >= 0.95
+
+    def test_sweep_parity_hand_computed(self):
+        """Parity fixture for the D5 sweep (threshold_tuner.go:83-244):
+        seven labeled pairs, every tp/fp/fn/precision/recall/F1 cell below
+        computed by hand, pinned exactly (4-dp rounding as in the port)."""
+        import pandas as pd
+
+        from ehdc_llpg_address_matching_ray.pipelines.tuning import best_threshold, sweep_thresholds
+
+        df = pd.DataFrame(
+            {
+                "score": [0.96, 0.91, 0.86, 0.74, 0.62, 0.55, 0.41],
+                "is_match": [True, True, False, True, False, True, False],
+            }
+        )
+        sw = sweep_thresholds(df).set_index("threshold")
+        # t=0.90 -> pred {0.96,0.91}: tp=2 fp=0 fn=2 -> P=1, R=0.5
+        assert (sw.loc[0.90, ["tp", "fp", "fn"]].tolist() == [2, 0, 2]
+                and sw.loc[0.90, "precision"] == 1.0
+                and sw.loc[0.90, "recall"] == 0.5
+                and sw.loc[0.90, "f1"] == 0.6667)
+        # t=0.80 -> adds the 0.86 false pair: tp=2 fp=1 fn=2
+        assert (sw.loc[0.80, ["tp", "fp", "fn"]].tolist() == [2, 1, 2]
+                and sw.loc[0.80, "precision"] == 0.6667
+                and sw.loc[0.80, "f1"] == 0.5714)
+        # t=0.70 -> adds the 0.74 true pair: tp=3 fp=1 fn=1 -> P=R=F1=0.75
+        assert sw.loc[0.70, ["precision", "recall", "f1"]].tolist() == [0.75, 0.75, 0.75]
+        # t=0.60 -> adds the 0.62 false pair: P=0.6 R=0.75 F1=0.6667
+        assert sw.loc[0.60, ["precision", "recall", "f1"]].tolist() == [0.6, 0.75, 0.6667]
+        # t=0.50 -> adds the 0.55 true pair: tp=4 fp=2 fn=0 -> R=1, F1=0.8
+        assert (sw.loc[0.50, ["tp", "fp", "fn"]].tolist() == [4, 2, 0]
+                and sw.loc[0.50, "precision"] == 0.6667
+                and sw.loc[0.50, "recall"] == 1.0
+                and sw.loc[0.50, "f1"] == 0.8)
+        # operating point: P>=0.98 first holds at t=0.87 (pred {0.96,0.91}),
+        # where F1 peaks (0.6667) within the qualifying band
+        assert best_threshold(sw.reset_index(), min_precision=0.98) == 0.87
+        # relaxed bar admits the t=0.63..0.74 band (P=0.75, F1=0.75)
+        assert best_threshold(sw.reset_index(), min_precision=0.70) == 0.63
