@@ -2733,6 +2733,239 @@ FROM agg
 """
 
 
+def q_source_coerce(sf_dir: str) -> rd.Dataset:
+    """S2/S3 — the CSV/JSONL ingest coercion kernel
+    (sources/ingest.py: coerce_source_batch; reference
+    internal/import/common.go:40-152) oracled end-to-end: synthesize the
+    reference's raw source-document fields deterministically from
+    ``documents`` (five date layouts incl. an overflow date and garbage,
+    blank/garbage/padded numerics, a '.00' UPRN), run the real coercion
+    stage, and project hash-safe columns (dates as ISO strings, NULL
+    floats as -1)."""
+    import numpy as np
+
+    from ..sources.ingest import coerce_source_batch
+
+    def f(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy()
+        sid = did.astype("U")
+        d = did % 28 + 1
+        m = did % 12 + 1
+        y = 1970 + did % 60
+        dd = np.char.zfill(d.astype("U"), 2)
+        mm = np.char.zfill(m.astype("U"), 2)
+        ys = y.astype("U")
+        yy = np.char.zfill((y % 100).astype("U"), 2)
+        v = did % 6
+        date_str = np.select(
+            [v == 0, v == 1, v == 2, v == 3, v == 4],
+            [
+                _j(dd, "/", mm, "/", ys),
+                _j(d.astype("U"), "/", m.astype("U"), "/", ys),
+                _j(dd, "/", mm, "/", yy),
+                _j(ys, "-", mm, "-", dd),
+                _j(np.full(len(did), "31/11/"), ys),
+            ],
+            default="NOT A DATE",
+        )
+        u = did % 3
+        uprn = np.select(
+            [u == 0, u == 1],
+            [_j(sid, np.full(len(did), ".00")), _j(np.full(len(did), "  "), sid, "  ")],
+            default="",
+        )
+        e4 = did % 4
+        easting = np.select(
+            [e4 == 0, e4 == 1, e4 == 2],
+            [(did % 100000).astype("U"), np.full(len(did), ""), np.full(len(did), "bad")],
+            default=" 42 ",
+        )
+        n5 = did % 5
+        northing = np.where(n5 == 0, "", (did % 90000 + 7).astype("U"))
+        raw = pa.table(
+            {
+                "job_number": b["source"],
+                "filepath": pc.binary_join_element_wise(
+                    "scans/", b["lang"], "/", pa.array(sid, pa.string()), ".pdf", ""
+                ),
+                "external_ref": pc.binary_join_element_wise(
+                    "APP/", pa.array(sid, pa.string()), ""
+                ),
+                "doc_type": pc.utf8_upper(b["lang"]),
+                "raw_address": b["text"],
+                "doc_date": pa.array(date_str, pa.string()),
+                "uprn_raw": pa.array(uprn, pa.string()),
+                "easting_raw": pa.array(easting, pa.string()),
+                "northing_raw": pa.array(northing, pa.string()),
+            }
+        )
+        out = coerce_source_batch(raw, "decision_notices", positional=False)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "job_number": out["job_number"],
+                "filepath": out["filepath"],
+                "external_ref": out["external_ref"],
+                "doc_type": out["doc_type"],
+                "doc_date_iso": pc.coalesce(
+                    pc.strftime(out["doc_date"], format="%Y-%m-%d"), ""
+                ),
+                "raw_address": out["raw_address"],
+                "addr_can": out["addr_can"],
+                "postcode_text": out["postcode_text"],
+                "uprn_raw": out["uprn_raw"],
+                "easting_raw": pc.coalesce(out["easting_raw"], -1.0),
+                "northing_raw": pc.coalesce(out["northing_raw"], -1.0),
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text", "lang", "source"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+def _j(*parts) -> "np.ndarray":
+    """Elementwise string concat of numpy U arrays / scalars."""
+    import numpy as np
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = np.char.add(out, p)
+    return out
+
+
+# the SQL twin of parseDate: regex parts -> Go 2-digit-year pivot ->
+# ISO rebuild -> strptime + strftime round-trip (rejects 31/11-style
+# overflow that both C strptime and DuckDB silently normalize)
+_RAW_CANON_SQL, _RAW_CODE_SQL = m1_canonical_sql("raw_address")
+SQL_SOURCE_COERCE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         source AS job_number,
+         'scans/' || lang || '/' || doc_id || '.pdf' AS filepath,
+         'APP/' || doc_id AS external_ref,
+         upper(lang) AS doc_type,
+         text AS raw_address,
+         CASE doc_id % 6
+           WHEN 0 THEN lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || '/' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '/' || (1970 + doc_id % 60)
+           WHEN 1 THEN (doc_id % 28 + 1) || '/' || (doc_id % 12 + 1) || '/' || (1970 + doc_id % 60)
+           WHEN 2 THEN lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || '/' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '/' || lpad(((1970 + doc_id % 60) % 100)::VARCHAR, 2, '0')
+           WHEN 3 THEN (1970 + doc_id % 60) || '-' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+           WHEN 4 THEN '31/11/' || (1970 + doc_id % 60)
+           ELSE 'NOT A DATE' END AS date_str,
+         CASE doc_id % 3
+           WHEN 0 THEN doc_id || '.00'
+           WHEN 1 THEN '  ' || doc_id || '  '
+           ELSE '' END AS uprn_str,
+         CASE doc_id % 4
+           WHEN 0 THEN (doc_id % 100000)::VARCHAR
+           WHEN 1 THEN ''
+           WHEN 2 THEN 'bad'
+           ELSE ' 42 ' END AS easting_str,
+         CASE doc_id % 5 WHEN 0 THEN '' ELSE (doc_id % 90000 + 7)::VARCHAR END AS northing_str
+  FROM documents
+), p AS (
+  SELECT *, regexp_extract(trim(date_str), '^(\\d{{1,2}})/(\\d{{1,2}})/(\\d{{4}}|\\d{{2}})$', ['d', 'm', 'y']) AS g
+  FROM raw
+), b AS (
+  SELECT *,
+         CASE WHEN g.d <> '' THEN
+                (CASE WHEN length(g.y) = 2
+                      THEN (CASE WHEN CAST(g.y AS INT) >= 69 THEN '19' ELSE '20' END) || g.y
+                      ELSE g.y END)
+                || '-' || lpad(g.m, 2, '0') || '-' || lpad(g.d, 2, '0')
+              WHEN regexp_matches(trim(date_str), '^\\d{{4}}-\\d{{2}}-\\d{{2}}$') THEN trim(date_str)
+         END AS cand
+  FROM p
+)
+SELECT doc_id,
+       trim(job_number) AS job_number,
+       trim(filepath) AS filepath,
+       trim(external_ref) AS external_ref,
+       trim(doc_type) AS doc_type,
+       COALESCE(CASE WHEN strftime(try_strptime(cand, '%Y-%m-%d'), '%Y-%m-%d') = cand THEN cand END, '') AS doc_date_iso,
+       trim(raw_address) AS raw_address,
+       {_RAW_CANON_SQL} AS addr_can,
+       {_RAW_CODE_SQL} AS postcode_text,
+       trim(uprn_str) AS uprn_raw,
+       COALESCE(try_cast(trim(easting_str) AS DOUBLE), -1.0) AS easting_raw,
+       COALESCE(try_cast(trim(northing_str) AS DOUBLE), -1.0) AS northing_raw
+FROM b
+"""
+
+
+def q_audio_features(sf_dir: str) -> rd.Dataset:
+    """Real audio decode end-to-end: quantize each embedding vector to
+    int16 PCM (floor(x*1e4) in float64 — exact on both engines), encode a
+    REAL RIFF/WAV payload, run the AudioFeaturizer actor stage
+    (stages/audio.py: full chunk-walk decode), and emit its integer-exact
+    stats.  The SQL twin recomputes n_samples / rms / zero-crossings from
+    the same quantization over the float source — if the codec or the
+    stage mangled one sample, the value hash breaks."""
+    import numpy as np
+
+    from ..stages.audio import encode_wav, featurize_audio
+
+    def build(b: pa.Table) -> pa.Table:
+        emb = b["embedding"].combine_chunks()
+        flat = emb.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        offs = emb.offsets.to_numpy()
+        quant = np.clip(np.floor(flat * 10000.0), -32768, 32767).astype(np.int16)
+        payloads = [
+            encode_wav(quant[offs[i] : offs[i + 1]]) for i in range(len(b))
+        ]
+        return pa.table(
+            {
+                "item_id": b["vec_id"],
+                "mime": pa.array(["audio/wav"] * len(b), pa.string()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    payloads = _t(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        build, batch_format="pyarrow"
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": b["item_id"],
+                "n_samples": b["n_samples"],
+                "sample_rate": b["sample_rate"],
+                "duration_s": b["duration_s"],
+                "rms": b["rms"],
+                "zero_crossings": b["zero_crossings"],
+            }
+        )
+
+    return featurize_audio(payloads, strict=True).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
+SQL_AUDIO_FEATURES = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(greatest(-32768, least(32767, floor(CAST(x AS DOUBLE) * 10000))) AS BIGINT)) AS s
+  FROM embeddings
+), r AS (
+  SELECT vec_id, unnest(s) AS v, generate_subscripts(s, 1) AS i FROM q
+), z AS (
+  SELECT vec_id, v,
+         CASE WHEN v * lag(v) OVER (PARTITION BY vec_id ORDER BY i) < 0 THEN 1 ELSE 0 END AS zc
+  FROM r
+)
+SELECT vec_id,
+       count(*)::BIGINT AS n_samples,
+       16000 AS sample_rate,
+       count(*)::DOUBLE / 16000 AS duration_s,
+       sqrt(sum(v * v)::DOUBLE / count(*)) AS rms,
+       sum(zc)::BIGINT AS zero_crossings
+FROM z GROUP BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2782,6 +3015,8 @@ QUERIES = {
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "minhash_sigs": q_minhash_sigs,
+    "source_coerce": q_source_coerce,
+    "audio_features": q_audio_features,
 }
 
 ORACLE_SQL = {
@@ -2826,4 +3061,6 @@ ORACLE_SQL = {
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "minhash_sigs": SQL_MINHASH_SIGS,
+    "source_coerce": SQL_SOURCE_COERCE,
+    "audio_features": SQL_AUDIO_FEATURES,
 }

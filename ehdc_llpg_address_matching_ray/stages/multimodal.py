@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads with typed
 metadata, processed by actor-pool map_batches stages.
 
-The image/audio decode libraries are not available in this environment,
-so the DECODE KERNEL is stubbed behind a deterministic fake (or raises
-NotImplementedError in strict mode) — but everything Ray-side is real
-and tested: schema contract, actor signature, batch sizing for wide
-binary rows, and the output layout.  Swapping ``_decode_stub`` for a
-real decoder (PIL / torchaudio / ffmpeg) changes nothing else.
+The heavyweight decode libraries are not available in this environment,
+but three byte formats need none and decode for REAL here: 24-bit BMP
+and 8-bit PNG below (pure numpy + stdlib zlib) and RIFF/PCM WAV in
+stages/audio.py.  Mimes that genuinely require codecs (jpeg, mp4, mp3)
+fall back to a deterministic stub (or raise NotImplementedError in
+strict mode) — everything Ray-side stays real and tested either way:
+schema contract, actor signature, batch sizing for wide binary rows,
+output layout.  Swapping ``_decode_stub`` for PIL / ffmpeg changes
+nothing else.
 
 Design notes for 100 TB (task brief "multimodal columns"):
 - payloads ride as ``large_binary``; keep ``batch_size`` SMALL for these
@@ -108,6 +111,136 @@ def decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+# ---------------------------------------------------------------------------
+# Real image codec #2: PNG (8-bit RGB/RGBA, non-interlaced), pure
+# numpy + stdlib zlib.  Full chunk parsing with CRC validation and all
+# five scanline filters on decode; encode emits filter-0 rows so decoding
+# our own payloads stays fully vectorized.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        len(body).to_bytes(4, "big")
+        + tag
+        + body
+        + (zlib.crc32(tag + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (color type 2, filter 0 rows)."""
+    if img.ndim != 3 or img.shape[2] != 3 or img.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8 RGB")
+    h, w = img.shape[:2]
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no interlace
+    )
+    rows = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    rows[:, 1:] = img.reshape(h, w * 3)  # filter byte 0 per row
+    idat = zlib.compress(rows.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _unfilter_rows(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """PNG scanline unfilter (spec 4.5.2-4.6.6): raw is (h, 1+stride)
+    filter-byte-prefixed rows; returns (h, stride) reconstructed bytes.
+    Filters none/sub/up vectorize (sub via per-lane cumsum mod 256);
+    average/paeth recurse on the left neighbor, so those rows fall back
+    to a per-pixel loop."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        row = raw[y, 1:].astype(np.uint16)
+        if ftype == 0:
+            rec = row
+        elif ftype == 1:  # Sub: per-byte-lane prefix sum
+            rec = np.cumsum(row.reshape(-1, bpp).astype(np.uint32), axis=0).reshape(-1) % 256
+        elif ftype == 2:  # Up
+            rec = (row + prev) % 256
+        elif ftype == 3:  # Average
+            rec = np.zeros(stride, dtype=np.uint16)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (row[x] + ((left + prev[x]) >> 1)) % 256
+        elif ftype == 4:  # Paeth
+            rec = np.zeros(stride, dtype=np.uint16)
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        rec = rec.astype(np.uint16)
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8 RGB.
+
+    Supports 8-bit color types 2 (RGB) and 6 (RGBA, alpha dropped),
+    non-interlaced, all five scanline filters, multi-IDAT streams,
+    per-chunk CRC validation."""
+    if len(data) < len(_PNG_SIG) or data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        ln = int.from_bytes(data[pos : pos + 4], "big")
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        crc = int.from_bytes(data[pos + 8 + ln : pos + 12 + ln], "big")
+        if (zlib.crc32(tag + body) & 0xFFFFFFFF) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = body
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or ctype not in (2, 6) or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG (depth={depth} color={ctype} interlace={interlace})"
+        )
+    ch = 3 if ctype == 2 else 4
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (1 + stride):
+        raise ValueError(f"PNG pixel stream size {raw.size} != {h * (1 + stride)}")
+    rec = _unfilter_rows(raw.reshape(h, 1 + stride), h, stride, ch)
+    img = rec.reshape(h, w, ch)[:, :, :3]
+    return np.ascontiguousarray(img)
+
+
+# mime -> (decode, re-encode) for the real codec paths
+_CODECS = {
+    "image/bmp": (decode_bmp, encode_bmp),
+    "image/png": (decode_png, encode_png),
+}
+
+
 def _image_features(img: np.ndarray) -> np.ndarray:
     """Deterministic 64-dim image descriptor: 16-bin histograms per RGB
     channel + 16-bin luma histogram, L2-normalized."""
@@ -173,8 +306,17 @@ class MultimodalFeaturizer:
         metas = []
         for p, m in zip(payloads, mimes):
             p = p or b""
-            if (m or "") == "image/bmp":
-                img = decode_bmp(p)
+            codec = _CODECS.get(m or "")
+            img = None
+            if codec is not None:
+                try:
+                    img = codec[0](p)
+                except ValueError:
+                    # malformed payload: strict propagates, lax degrades
+                    # to the stub (the reference's skip-and-count shape)
+                    if self.strict:
+                        raise
+            if img is not None:
                 h = hashlib.md5(p).digest()
                 metas.append(
                     {
@@ -190,7 +332,7 @@ class MultimodalFeaturizer:
             elif self.strict:
                 raise NotImplementedError(
                     f"no real decoder for mime {m!r} in this environment; "
-                    "only image/bmp decodes natively — construct "
+                    "only image/bmp and image/png decode natively — construct "
                     "MultimodalFeaturizer(strict=False) for the deterministic stub"
                 )
             else:
@@ -261,11 +403,19 @@ class ImageResizer:
         out = []
         for p, m in zip(payloads, mimes):
             p = p or b""
-            if (m or "") == "image/bmp":
-                out.append(encode_bmp(resize_nn(decode_bmp(p), self.out_h, self.out_w)))
+            codec = _CODECS.get(m or "")
+            if codec is not None:
+                dec, enc = codec
+                try:
+                    out.append(enc(resize_nn(dec(p), self.out_h, self.out_w)))
+                except ValueError:
+                    if self.strict:
+                        raise
+                    out.append(p)  # malformed payload passes through
             elif self.strict:
                 raise NotImplementedError(
-                    f"no real decoder for mime {m!r}; only image/bmp resizes natively"
+                    f"no real decoder for mime {m!r}; only image/bmp and "
+                    "image/png resize natively"
                 )
             else:
                 out.append(p)

@@ -236,6 +236,133 @@ class TestMultimodal:
         with _pytest.raises(ValueError):
             decode_bmp(b"not a bmp at all, definitely not")
 
+    def test_png_codec_roundtrip(self):
+        import numpy as np
+
+        from ehdc_llpg_address_matching_ray.stages.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(7)
+        for h, w in ((16, 16), (7, 5), (1, 1), (3, 31)):
+            img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            out = decode_png(encode_png(img))
+            assert out.shape == (h, w, 3) and np.array_equal(out, img)
+
+    @staticmethod
+    def _png_filter_forward(img, ftypes):
+        """Reference forward filterer (PNG spec 4.5.2): per-row residuals
+        for the given filter-type sequence."""
+        import numpy as np
+
+        h, w = img.shape[:2]
+        bpp, stride = 3, w * 3
+        flat = img.reshape(h, stride).astype(np.int32)
+        out = np.zeros((h, 1 + stride), dtype=np.uint8)
+        for y, ft in enumerate(ftypes):
+            out[y, 0] = ft
+            prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+            for x in range(stride):
+                a = flat[y, x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if (x >= bpp and y) else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+                out[y, 1 + x] = (flat[y, x] - pred) % 256
+        return out
+
+    def test_png_decode_all_filters(self):
+        """decode_png must invert every scanline filter type, not just the
+        filter-0 rows encode_png emits."""
+        import zlib
+
+        import numpy as np
+
+        from ehdc_llpg_address_matching_ray.stages.multimodal import (
+            _png_chunk,
+            _PNG_SIG,
+            decode_png,
+        )
+
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 256, (5, 6, 3), dtype=np.uint8)
+        raw = self._png_filter_forward(img, [0, 1, 2, 3, 4])
+        ihdr = (6).to_bytes(4, "big") + (5).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+        data = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(data), img)
+
+    def test_png_decode_rgba_and_crc(self):
+        import zlib
+
+        import numpy as np
+        import pytest as _pytest
+
+        from ehdc_llpg_address_matching_ray.stages.multimodal import (
+            _png_chunk,
+            _PNG_SIG,
+            decode_png,
+            encode_png,
+        )
+
+        # RGBA (color type 6): alpha dropped
+        rng = np.random.default_rng(13)
+        rgba = rng.integers(0, 256, (4, 3, 4), dtype=np.uint8)
+        rows = np.zeros((4, 1 + 3 * 4), dtype=np.uint8)
+        rows[:, 1:] = rgba.reshape(4, 12)
+        ihdr = (3).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([8, 6, 0, 0, 0])
+        data = (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(rows.tobytes()))
+            + _png_chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(data), rgba[:, :, :3])
+
+        # corrupt a payload byte: CRC validation must catch it
+        good = bytearray(encode_png(rgba[:, :, :3]))
+        good[40] ^= 0xFF
+        with _pytest.raises(ValueError):
+            decode_png(bytes(good))
+        with _pytest.raises(ValueError):
+            decode_png(b"not a png")
+
+    def test_resizer_png_path(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from ehdc_llpg_address_matching_ray.stages.multimodal import (
+            ImageResizer,
+            decode_png,
+            encode_png,
+            resize_nn,
+        )
+
+        rng = np.random.default_rng(17)
+        img = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+        batch = pa.table(
+            {
+                "item_id": ["x"],
+                "mime": ["image/png"],
+                "payload": pa.array([encode_png(img)], pa.large_binary()),
+            }
+        )
+        out = ImageResizer(out_h=4, out_w=4, strict=True)(batch)
+        got = decode_png(out["payload"][0].as_py())
+        assert np.array_equal(got, resize_nn(img, 4, 4))
+
     def test_resize_nn_kernel(self):
         import numpy as np
 
@@ -284,25 +411,36 @@ class TestMultimodal:
         import pyarrow as pa
         import ray.data as rd
 
-        from ehdc_llpg_address_matching_ray.stages.multimodal import encode_bmp, featurize
+        from ehdc_llpg_address_matching_ray.stages.multimodal import (
+            encode_bmp,
+            encode_png,
+            featurize,
+        )
 
         img = np.full((8, 8, 3), 100, dtype=np.uint8)
         img[:, :, 2] = 200
         ds = rd.from_arrow(
             pa.table(
                 {
-                    "item_id": ["a"],
-                    "mime": ["image/bmp"],
-                    "payload": pa.array([encode_bmp(img)], pa.large_binary()),
+                    "item_id": ["a", "b"],
+                    "mime": ["image/bmp", "image/png"],
+                    "payload": pa.array(
+                        [encode_bmp(img), encode_png(img)], pa.large_binary()
+                    ),
                 }
             )
         )
-        # strict=True: image/bmp must decode for REAL, not raise
-        out = featurize(ds, strict=True).to_pandas()
-        assert out.loc[0, "width"] == 8 and out.loc[0, "height"] == 8
-        assert out.loc[0, "pixel_mean"] == (100 + 100 + 200) / 3
-        feats = np.asarray(out.loc[0, "features"])
-        assert abs(np.linalg.norm(feats) - 1.0) < 1e-5
+        # strict=True: image/bmp AND image/png must decode for REAL, not raise
+        out = featurize(ds, strict=True).to_pandas().set_index("item_id")
+        for i in ("a", "b"):
+            assert out.loc[i, "width"] == 8 and out.loc[i, "height"] == 8
+            assert out.loc[i, "pixel_mean"] == (100 + 100 + 200) / 3
+            feats = np.asarray(out.loc[i, "features"])
+            assert abs(np.linalg.norm(feats) - 1.0) < 1e-5
+        # identical pixels -> identical histogram features across codecs
+        assert np.array_equal(
+            np.asarray(out.loc["a", "features"]), np.asarray(out.loc["b", "features"])
+        )
 
     def test_frame_sample(self, ray_session):
         import pyarrow as pa
