@@ -2966,6 +2966,149 @@ FROM z GROUP BY vec_id
 """
 
 
+def q_asof_join(sf_dir: str) -> rd.Dataset:
+    """As-of join — an operator Ray Data lacks, built per the task-brief
+    recipe (a): keyed exchange + per-partition vectorized merge.  Each
+    'purchase' event joins the same user's most recent 'view' at or
+    before its timestamp (backward as-of).  Partitioning assumption:
+    co-partition BOTH sides by the equality key (user_id) — one user's
+    history lives in one partition; within a partition pandas
+    ``merge_asof`` (a C sorted-merge) does the time matching.  Output
+    times ride as epoch-microsecond int64 (hash-stable across engines);
+    unmatched purchases keep view_us = gap_us = -1 (left join)."""
+
+    def asof(df: pd.DataFrame) -> pd.DataFrame:
+        left = df[df["event_type"] == "purchase"]
+        right = df[df["event_type"] == "view"]
+        out = pd.DataFrame(
+            {
+                "event_id": left["event_id"].astype("int64"),
+                "user_id": left["user_id"].astype("int64"),
+                "purchase_us": left["ts"].astype("int64"),
+            }
+        )
+        if len(right) == 0 or len(out) == 0:
+            out["view_us"] = np.int64(-1)
+            out["gap_us"] = np.int64(-1)
+            return out.reset_index(drop=True)
+        r = pd.DataFrame(
+            {
+                "user_id": right["user_id"].astype("int64"),
+                "view_us": right["ts"].astype("int64"),
+            }
+        ).sort_values("view_us", kind="mergesort")
+        m = pd.merge_asof(
+            out.sort_values("purchase_us", kind="mergesort"),
+            r,
+            left_on="purchase_us",
+            right_on="view_us",
+            by="user_id",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        m["view_us"] = m["view_us"].fillna(-1).astype("int64")
+        m["gap_us"] = np.where(
+            m["view_us"] >= 0, m["purchase_us"] - m["view_us"], -1
+        ).astype("int64")
+        return m
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    return _grouped(ev, ["user_id"], asof)
+
+
+SQL_ASOF_JOIN = """
+SELECT p.event_id,
+       p.user_id,
+       epoch_us(p.ts) AS purchase_us,
+       COALESCE(epoch_us(v.ts), -1) AS view_us,
+       COALESCE(epoch_us(p.ts) - epoch_us(v.ts), -1) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND p.ts >= v.ts
+"""
+
+
+def q_tumbling_window(sf_dir: str) -> rd.Dataset:
+    """Tumbling-window aggregate (custom operator family): hourly windows
+    per event type, counts + value sums.  Shape for 100 TB: a stateless
+    per-batch PARTIAL aggregate (combiner) first, so the keyed exchange
+    moves one row per (window, type) per batch instead of raw events."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("int64").to_numpy()
+        df = df.assign(window_us=(us // 3_600_000_000) * 3_600_000_000)
+        g = df.groupby(["window_us", "event_type"], sort=False, as_index=False).agg(
+            n=("value", "size"), sum_value=("value", "sum")
+        )
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["window_us", "event_type"], sort=False, as_index=False).agg(
+            n=("n", "sum"), sum_value=("sum_value", "sum")
+        )
+        g["n"] = g["n"].astype("int64")
+        g["sum_value"] = g["sum_value"].round(4)
+        return g
+
+    ev = _t(sf_dir, "events", ["ts", "event_type", "value"])
+    partials = ev.map_batches(partial, batch_format="pandas")
+    return _grouped(partials, ["window_us", "event_type"], merge)
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_us,
+       event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_train_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/valid/test assignment — the training-data
+    pipeline's split operator.  Hash-based (md5 of the stable doc key,
+    first 8 hex digits mod 1000: <900 train, <950 valid, else test) so
+    the split is reproducible across engines, runs and cluster sizes,
+    and any subset of shards yields the same per-doc assignment — no
+    global shuffle, no state, embarrassingly parallel."""
+
+    def f(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["doc_id"].to_pylist()
+        buckets = np.array(
+            [int(h[:8], 16) % 1000 for h in TS.md5_hex([str(i) for i in ids])],
+            dtype=np.int64,
+        )
+        split = np.where(buckets < 900, "train", np.where(buckets < 950, "valid", "test"))
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "lang": b["lang"],
+                "bucket": pa.array(buckets, pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        f, batch_format="pyarrow"
+    )
+
+
+SQL_TRAIN_SPLIT = """
+SELECT doc_id, lang, bucket,
+       CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
+  FROM documents
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3017,6 +3160,9 @@ QUERIES = {
     "minhash_sigs": q_minhash_sigs,
     "source_coerce": q_source_coerce,
     "audio_features": q_audio_features,
+    "asof_join": q_asof_join,
+    "tumbling_window": q_tumbling_window,
+    "train_split": q_train_split,
 }
 
 ORACLE_SQL = {
@@ -3063,4 +3209,7 @@ ORACLE_SQL = {
     "minhash_sigs": SQL_MINHASH_SIGS,
     "source_coerce": SQL_SOURCE_COERCE,
     "audio_features": SQL_AUDIO_FEATURES,
+    "asof_join": SQL_ASOF_JOIN,
+    "tumbling_window": SQL_TUMBLING_WINDOW,
+    "train_split": SQL_TRAIN_SPLIT,
 }

@@ -513,3 +513,70 @@ class TestThresholdTuner:
         assert best_threshold(sw.reset_index(), min_precision=0.98) == 0.87
         # relaxed bar admits the t=0.63..0.74 band (P=0.75, F1=0.75)
         assert best_threshold(sw.reset_index(), min_precision=0.70) == 0.63
+
+
+class TestAsofAndWindows:
+    @staticmethod
+    def _events_dir(tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        us = 1_700_000_000_000_000
+        rows = [
+            # user 1: view at t0, purchase at t0 (exact tie -> matches),
+            # purchase at t0+10 (matches same view)
+            (1, us, 1, "view", 1.0),
+            (2, us, 1, "purchase", 2.0),
+            (3, us + 10, 1, "purchase", 3.0),
+            # user 2: purchase BEFORE any view -> unmatched; later view+purchase
+            (4, us + 5, 2, "purchase", 4.0),
+            (5, us + 20, 2, "view", 5.0),
+            (6, us + 30, 2, "purchase", 6.0),
+            # user 3: views only -> no output rows
+            (7, us + 1, 3, "view", 7.0),
+        ]
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, str(tmp_path / "events.parquet"))
+        return str(tmp_path)
+
+    def test_asof_join_edges(self, ray_session, tmp_path):
+        from ehdc_llpg_address_matching_ray.pipelines.queries import q_asof_join
+
+        us = 1_700_000_000_000_000
+        out = (
+            q_asof_join(self._events_dir(tmp_path))
+            .to_pandas()
+            .sort_values("event_id")
+            .set_index("event_id")
+        )
+        assert out.index.tolist() == [2, 3, 4, 6]
+        # exact-tie match (allow_exact_matches / p.ts >= v.ts)
+        assert out.loc[2, "view_us"] == us and out.loc[2, "gap_us"] == 0
+        assert out.loc[3, "view_us"] == us and out.loc[3, "gap_us"] == 10
+        # purchase before any view: unmatched sentinel
+        assert out.loc[4, "view_us"] == -1 and out.loc[4, "gap_us"] == -1
+        assert out.loc[6, "view_us"] == us + 20 and out.loc[6, "gap_us"] == 10
+
+    def test_tumbling_window(self, ray_session, tmp_path):
+        from ehdc_llpg_address_matching_ray.pipelines.queries import q_tumbling_window
+
+        us = 1_700_000_000_000_000
+        hour = 3_600_000_000
+        win0 = (us // hour) * hour
+        out = (
+            q_tumbling_window(self._events_dir(tmp_path))
+            .to_pandas()
+            .sort_values(["window_us", "event_type"])
+        )
+        g = out.set_index(["window_us", "event_type"])
+        assert g.loc[(win0, "purchase"), "n"] == 4
+        assert g.loc[(win0, "purchase"), "sum_value"] == 2.0 + 3.0 + 4.0 + 6.0
+        assert g.loc[(win0, "view"), "n"] == 3
