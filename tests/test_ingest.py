@@ -113,3 +113,49 @@ class TestReadSources:
 
         e = out["easting_raw"].tolist()
         assert e[0] == 1.5 and pd.isna(e[1])
+
+
+class TestDateParserProperty:
+    def test_valid_dates_roundtrip(self):
+        """Property: every real calendar date rendered in any of the Go
+        layouts parses back to exactly that date; impossible calendar
+        dates never parse."""
+        import datetime as dt
+
+        import pyarrow as pa
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from ehdc_llpg_address_matching_ray.sources.ingest import _parse_dates
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.dates(min_value=dt.date(1970, 1, 1), max_value=dt.date(2068, 12, 31)),
+            st.sampled_from(["dmy_pad", "dmy", "dmy2", "iso"]),
+        )
+        def check(d, layout):
+            if layout == "dmy_pad":
+                s = f"{d.day:02d}/{d.month:02d}/{d.year}"
+            elif layout == "dmy":
+                s = f"{d.day}/{d.month}/{d.year}"
+            elif layout == "dmy2":
+                # 2-digit years are only unambiguous inside the Go pivot
+                # window 1969-2068
+                s = f"{d.day:02d}/{d.month:02d}/{d.year % 100:02d}"
+            else:
+                s = d.isoformat()
+            out = _parse_dates(pa.array([s], pa.string()))
+            got = out[0].as_py()
+            assert got is not None and got.date() == d, (s, got)
+
+        check()
+
+    def test_impossible_dates_rejected(self):
+        import pyarrow as pa
+
+        from ehdc_llpg_address_matching_ray.sources.ingest import _parse_dates
+
+        bad = ["31/02/2020", "31/11/2019", "00/01/2020", "12/13/2020",
+               "2020-02-30", "32/01/2020", "1/1/1", "", "yesterday"]
+        out = _parse_dates(pa.array(bad, pa.string()))
+        assert all(v is None for v in out.to_pylist())
