@@ -50,6 +50,19 @@ def _emit(ds, out: str | None, limit: int) -> None:
         print(head.to_string())
 
 
+def _sink(ds, out: str | None) -> int:
+    """Consume a result Dataset exactly once: stream it to parquet when
+    ``--out`` is given (never materialized in the object store — the
+    100-TB path) and count from the written files' metadata; otherwise
+    just count."""
+    import ray.data as rd
+
+    if out:
+        ds.write_parquet(out)
+        return rd.read_parquet(out).count()  # parquet metadata, no re-read
+    return ds.count()
+
+
 def cmd_link(args) -> int:
     ray = _ray_session(args.num_cpus)
     import ray.data as rd
@@ -64,10 +77,7 @@ def cmd_link(args) -> int:
         from_html=args.from_html,
         checkpoint_dir=args.checkpoint,
     )
-    fact = out["fact"]
-    n = fact.count()
-    if args.out:
-        fact.write_parquet(args.out)
+    n = _sink(out["fact"], args.out)
     print(f"linkage_fact rows={n}" + (f" -> {args.out}" if args.out else ""))
     ray.shutdown()
     return 0
@@ -89,10 +99,7 @@ def cmd_match(args) -> int:
         gaz_id=args.gaz_id,
         gaz_text=args.gaz_text,
     )
-    matches = out["matches"]
-    n = matches.count()
-    if args.out:
-        matches.write_parquet(args.out)
+    n = _sink(out["matches"], args.out)
     print(f"matches rows={n}" + (f" -> {args.out}" if args.out else ""))
     ray.shutdown()
     return 0
@@ -116,10 +123,7 @@ def cmd_ingest(args) -> int:
     from .sources.ingest import read_source_csv, read_source_jsonl
 
     reader = read_source_jsonl if args.format == "jsonl" else read_source_csv
-    ds = reader(args.path, args.source_type)
-    n = ds.count()
-    if args.out:
-        ds.write_parquet(args.out)
+    n = _sink(reader(args.path, args.source_type), args.out)
     print(f"src_document rows={n}" + (f" -> {args.out}" if args.out else ""))
     ray.shutdown()
     return 0

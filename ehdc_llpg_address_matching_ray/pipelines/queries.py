@@ -3109,6 +3109,29 @@ FROM (
 """
 
 
+def q_top_docs(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """Global top-k WITHOUT a global sort: every block reduces to its own
+    top-k (combiner), the ≤ k·blocks survivors collapse into one
+    partition, and a final top-k finishes — the shape that moves k rows
+    per block at 100 TB instead of shuffling the whole table through
+    ``Dataset.sort``.  Deterministic tie-break (doc_id ASC) so the result
+    set is value-exact against the SQL twin."""
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["n_chars", "doc_id"], ascending=[False, True], kind="mergesort")
+        return d.head(k).reset_index(drop=True)
+
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars", "lang"])
+    partials = docs.map_batches(topk, batch_format="pandas")
+    return partials.repartition(1).map_batches(topk, batch_format="pandas", batch_size=None)
+
+
+SQL_TOP_DOCS = """
+SELECT doc_id, n_chars, lang FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 100
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3163,6 +3186,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "tumbling_window": q_tumbling_window,
     "train_split": q_train_split,
+    "top_docs": q_top_docs,
 }
 
 ORACLE_SQL = {
@@ -3212,4 +3236,5 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF_JOIN,
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "train_split": SQL_TRAIN_SPLIT,
+    "top_docs": SQL_TOP_DOCS,
 }
