@@ -3132,6 +3132,229 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 100
 """
 
 
+def q_gopher_quality(sf_dir: str) -> rd.Dataset:
+    """Gopher-style repetition / quality signals (Rae et al. 2021 §A1.1):
+    per-document top-token fraction, duplicate-2-gram fraction, mean
+    token length, and the keep/drop verdict.  Stateless, embarrassingly
+    parallel — one vectorized pass per batch, no shuffle; the filter the
+    reference's M9/M11 quality gates correspond to in a training-data
+    pipeline."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        n_toks = np.empty(len(df), dtype=np.int64)
+        top_frac = np.empty(len(df), dtype=np.float64)
+        dup2 = np.empty(len(df), dtype=np.float64)
+        mean_len = np.empty(len(df), dtype=np.float64)
+        for i, txt in enumerate(df["text"].to_numpy()):
+            toks = (txt or "").split()
+            n = len(toks)
+            n_toks[i] = n
+            if n == 0:
+                top_frac[i] = 0.0
+                dup2[i] = 0.0
+                mean_len[i] = 0.0
+                continue
+            arr = np.asarray(toks, dtype=object)
+            _, counts = np.unique(arr, return_counts=True)
+            top_frac[i] = counts.max() / n
+            mean_len[i] = float(np.mean([len(t) for t in toks]))
+            if n >= 2:
+                bigrams = np.char.add(
+                    np.char.add(arr[:-1].astype(str), "\x1f"), arr[1:].astype(str)
+                )
+                dup2[i] = 1.0 - len(np.unique(bigrams)) / (n - 1)
+            else:
+                dup2[i] = 0.0
+        keep = (
+            (n_toks >= 10)
+            & (top_frac <= 0.2)
+            & (dup2 <= 0.9)
+            & (mean_len >= 2.0)
+            & (mean_len <= 12.0)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_tokens": n_toks,
+                "top_tok_frac": np.round(top_frac, 6),
+                "dup_2gram_frac": np.round(dup2, 6),
+                "mean_tok_len": np.round(mean_len, 6),
+                "keep": keep,
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+
+
+SQL_GOPHER_QUALITY = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+), tok_counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM toks) GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, max(c) AS max_c, sum(c) AS n FROM tok_counts GROUP BY 1
+), base AS (
+  SELECT t.doc_id,
+         len(t.toks)::BIGINT AS n_tokens,
+         CASE WHEN len(t.toks) = 0 THEN 0.0
+              ELSE p.max_c / p.n::DOUBLE END AS top_tok_frac,
+         CASE WHEN len(t.toks) < 2 THEN 0.0
+              ELSE 1.0 - len(list_distinct(list_transform(
+                       range(1, len(t.toks)), i -> t.toks[i] || chr(31) || t.toks[i+1])))
+                   / (len(t.toks) - 1)::DOUBLE END AS dup_2gram_frac,
+         CASE WHEN len(t.toks) = 0 THEN 0.0
+              ELSE list_avg(list_transform(t.toks, x -> length(x)))::DOUBLE END AS mean_tok_len
+  FROM toks t LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT doc_id, n_tokens,
+       round(top_tok_frac, 6) AS top_tok_frac,
+       round(dup_2gram_frac, 6) AS dup_2gram_frac,
+       round(mean_tok_len, 6) AS mean_tok_len,
+       (n_tokens >= 10 AND top_tok_frac <= 0.2 AND dup_2gram_frac <= 0.9
+        AND mean_tok_len >= 2.0 AND mean_tok_len <= 12.0) AS keep
+FROM base
+"""
+
+
+def q_vocab_topk(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """Vocabulary build: top-k tokens by document frequency.  Scale shape:
+    per-batch DISTINCT (token, doc_id) pairs first (the combiner — a doc
+    repeats a token ~dozens of times, so the shuffle moves distinct pairs
+    only), keyed shuffle on token, per-partition exact df, per-partition
+    top-k, then one tiny final merge.  Deterministic tie-break (token
+    ASC) for the value-exact SQL twin."""
+
+    def explode_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list[int] = []
+        toks: list[str] = []
+        for did, txt in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
+            for tok in set((txt or "").split()):
+                ids.append(did)
+                toks.append(tok)
+        return pd.DataFrame({"token": toks, "doc_id": ids}).drop_duplicates()
+
+    def df_topk(g: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            g.groupby("token", sort=False)["doc_id"].nunique().reset_index(name="df")
+        )
+        counts["df"] = counts["df"].astype("int64")
+        return counts.sort_values(["df", "token"], ascending=[False, True], kind="mergesort").head(k)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["df", "token"], ascending=[False, True], kind="mergesort").head(
+            k
+        ).reset_index(drop=True)
+
+    pairs = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        explode_distinct, batch_format="pandas"
+    )
+    partials = _grouped(pairs, ["token"], df_topk)
+    return partials.repartition(1).map_batches(final_topk, batch_format="pandas", batch_size=None)
+
+
+SQL_VOCAB_TOPK = r"""
+SELECT token, df FROM (
+  SELECT tok AS token, count(DISTINCT doc_id)::BIGINT AS df
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents)
+  GROUP BY 1
+) ORDER BY df DESC, token ASC LIMIT 100
+"""
+
+
+def q_stratified_sample(sf_dir: str, quota: int = 50) -> rd.Dataset:
+    """Deterministic stratified sampling: exactly min(quota, group size)
+    docs per language, chosen by md5(doc_id) order so the sample is
+    reproducible across engines and cluster sizes.  Scale shape: per-key
+    top-k is a combiner (each block keeps ≤ quota rows per lang), the
+    keyed shuffle moves only survivors, the per-lang merge finishes —
+    never a global sort."""
+
+    def hash_key(b: pa.Table) -> pa.Table:
+        h = TS.md5_hex([str(i) for i in b["doc_id"].to_pylist()])
+        return pa.table(
+            {"doc_id": b["doc_id"], "lang": b["lang"], "h": pa.array(h, pa.string())}
+        )
+
+    def grp_topk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        d = d.groupby("lang", sort=False).head(quota)
+        return d.reset_index(drop=True)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["lang", "h", "doc_id"], kind="mergesort")
+        d = d.groupby("lang", sort=False).head(quota)
+        d["sample_rank"] = d.groupby("lang", sort=False).cumcount().astype("int64") + 1
+        return d[["doc_id", "lang", "sample_rank"]].reset_index(drop=True)
+
+    keyed = _t(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        hash_key, batch_format="pyarrow"
+    )
+    partials = keyed.map_batches(grp_topk, batch_format="pandas")
+    return _grouped(partials, ["lang"], finish)
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, lang, rn AS sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 50
+"""
+
+
+def q_length_quantiles(sf_dir: str) -> rd.Dataset:
+    """Exact distributed quantiles (p50/p90/p99 of n_chars per lang)
+    WITHOUT a global sort: each batch emits per-(lang, value) partial
+    counts (document lengths have bounded distinct values, so the
+    combiner output is tiny), a keyed shuffle merges histograms per
+    lang, and the quantile is walked out of the merged counts with the
+    same linear interpolation DuckDB's quantile_cont uses
+    (h = (n-1)·q; v[⌊h⌋] + (h-⌊h⌋)·(v[⌊h⌋+1]-v[⌊h⌋]))."""
+
+    QS = (0.5, 0.9, 0.99)
+
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    def merge_quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for lang, g in df.groupby("lang", sort=False):
+            m = g.groupby("n_chars", sort=True)["c"].sum()
+            vals = m.index.to_numpy(dtype=np.float64)
+            counts = m.to_numpy(dtype=np.int64)
+            cum = np.cumsum(counts)
+            n = int(cum[-1])
+            row = {"lang": lang, "n_docs": n}
+            for q, name in zip(QS, ("p50", "p90", "p99")):
+                h = (n - 1) * q
+                lo = int(np.floor(h))
+                v_lo = vals[np.searchsorted(cum, lo + 1)]
+                v_hi = vals[np.searchsorted(cum, min(lo + 1, n - 1) + 1)]
+                row[name] = round(v_lo + (h - lo) * (v_hi - v_lo), 6)
+            out.append(row)
+        return pd.DataFrame(out, columns=["lang", "n_docs", "p50", "p90", "p99"])
+
+    docs = _t(sf_dir, "documents", ["lang", "n_chars"])
+    partials = docs.map_batches(partial_counts, batch_format="pandas")
+    return _grouped(partials, ["lang"], merge_quantiles)
+
+
+SQL_LENGTH_QUANTILES = """
+SELECT lang,
+       count(*)::BIGINT AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90,
+       round(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3187,6 +3410,10 @@ QUERIES = {
     "tumbling_window": q_tumbling_window,
     "train_split": q_train_split,
     "top_docs": q_top_docs,
+    "gopher_quality": q_gopher_quality,
+    "vocab_topk": q_vocab_topk,
+    "stratified_sample": q_stratified_sample,
+    "length_quantiles": q_length_quantiles,
 }
 
 ORACLE_SQL = {
@@ -3237,4 +3464,8 @@ ORACLE_SQL = {
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "train_split": SQL_TRAIN_SPLIT,
     "top_docs": SQL_TOP_DOCS,
+    "gopher_quality": SQL_GOPHER_QUALITY,
+    "vocab_topk": SQL_VOCAB_TOPK,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "length_quantiles": SQL_LENGTH_QUANTILES,
 }
