@@ -3132,39 +3132,65 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 100
 """
 
 
+def _flat_token_codes(texts: pa.ChunkedArray | pa.Array):
+    """Whitespace-tokenize a batch of strings WITHOUT a per-row Python
+    loop: Arrow split → flatten → drop the empty tokens Arrow emits for
+    leading/trailing whitespace (after which the token stream equals
+    Python ``str.split()``) → dictionary-encode.  Returns
+    ``(row_idx, codes, token_lens, dictionary)`` — all int64 numpy except
+    the Arrow token dictionary — with tokens of one row contiguous and in
+    document order."""
+    ls = pc.utf8_split_whitespace(texts)
+    if isinstance(ls, pa.ChunkedArray):
+        ls = ls.combine_chunks()
+    counts = pc.list_value_length(ls).to_numpy(zero_copy_only=False).astype(np.int64)
+    row_all = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    flat_all = pc.list_flatten(ls)
+    lens_all = pc.utf8_length(flat_all).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = lens_all > 0
+    enc = pc.dictionary_encode(flat_all.filter(pa.array(nonempty)))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return row_all[nonempty], codes, lens_all[nonempty], enc.dictionary
+
+
 def q_gopher_quality(sf_dir: str) -> rd.Dataset:
     """Gopher-style repetition / quality signals (Rae et al. 2021 §A1.1):
     per-document top-token fraction, duplicate-2-gram fraction, mean
     token length, and the keep/drop verdict.  Stateless, embarrassingly
-    parallel — one vectorized pass per batch, no shuffle; the filter the
+    parallel — one vectorized pass per batch (flattened token codes +
+    sorted-run reduceat, no per-row loop), no shuffle; the filter the
     reference's M9/M11 quality gates correspond to in a training-data
     pipeline."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        n_toks = np.empty(len(df), dtype=np.int64)
-        top_frac = np.empty(len(df), dtype=np.float64)
-        dup2 = np.empty(len(df), dtype=np.float64)
-        mean_len = np.empty(len(df), dtype=np.float64)
-        for i, txt in enumerate(df["text"].to_numpy()):
-            toks = (txt or "").split()
-            n = len(toks)
-            n_toks[i] = n
-            if n == 0:
-                top_frac[i] = 0.0
-                dup2[i] = 0.0
-                mean_len[i] = 0.0
-                continue
-            arr = np.asarray(toks, dtype=object)
-            _, counts = np.unique(arr, return_counts=True)
-            top_frac[i] = counts.max() / n
-            mean_len[i] = float(np.mean([len(t) for t in toks]))
-            if n >= 2:
-                bigrams = np.char.add(
-                    np.char.add(arr[:-1].astype(str), "\x1f"), arr[1:].astype(str)
+    def f(b: pa.Table) -> pa.Table:
+        nrows = b.num_rows
+        doc, codes, lens, _ = _flat_token_codes(pc.fill_null(b["text"], ""))
+        n_toks = np.bincount(doc, minlength=nrows).astype(np.int64)
+        denom = np.maximum(n_toks, 1)
+        mean_len = np.bincount(doc, weights=lens, minlength=nrows) / denom
+        # top-token count per doc: unique (doc, token) keys arrive sorted,
+        # so per-doc maxima are one reduceat over run starts.
+        top = np.zeros(nrows, dtype=np.int64)
+        dup2 = np.zeros(nrows, dtype=np.float64)
+        if len(doc):
+            vocab = int(codes.max()) + 1
+            uk, ucnt = np.unique(doc * vocab + codes, return_counts=True)
+            udoc = uk // vocab
+            starts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+            top[udoc[starts]] = np.maximum.reduceat(ucnt, starts)
+            same = doc[:-1] == doc[1:]
+            bg_doc = doc[:-1][same]
+            if len(bg_doc):
+                bg = pd.factorize(codes[:-1][same] * vocab + codes[1:][same])[0]
+                vb = int(bg.max()) + 1
+                n_distinct = np.bincount(
+                    np.unique(bg_doc * vb + bg) // vb, minlength=nrows
                 )
-                dup2[i] = 1.0 - len(np.unique(bigrams)) / (n - 1)
-            else:
-                dup2[i] = 0.0
+                n_bg = np.bincount(bg_doc, minlength=nrows)
+                dup2 = np.where(n_bg > 0, 1.0 - n_distinct / np.maximum(n_bg, 1), 0.0)
+        top_frac = top / denom
         keep = (
             (n_toks >= 10)
             & (top_frac <= 0.2)
@@ -3172,18 +3198,18 @@ def q_gopher_quality(sf_dir: str) -> rd.Dataset:
             & (mean_len >= 2.0)
             & (mean_len <= 12.0)
         )
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": df["doc_id"].to_numpy(),
-                "n_tokens": n_toks,
-                "top_tok_frac": np.round(top_frac, 6),
-                "dup_2gram_frac": np.round(dup2, 6),
-                "mean_tok_len": np.round(mean_len, 6),
-                "keep": keep,
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(n_toks),
+                "top_tok_frac": pa.array(np.round(top_frac, 6)),
+                "dup_2gram_frac": pa.array(np.round(dup2, 6)),
+                "mean_tok_len": pa.array(np.round(mean_len, 6)),
+                "keep": pa.array(keep),
             }
         )
 
-    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pandas")
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
 SQL_GOPHER_QUALITY = r"""
@@ -3225,19 +3251,23 @@ def q_vocab_topk(sf_dir: str, k: int = 100) -> rd.Dataset:
     top-k, then one tiny final merge.  Deterministic tie-break (token
     ASC) for the value-exact SQL twin."""
 
-    def explode_distinct(df: pd.DataFrame) -> pd.DataFrame:
-        ids: list[int] = []
-        toks: list[str] = []
-        for did, txt in zip(df["doc_id"].to_numpy(), df["text"].to_numpy()):
-            for tok in set((txt or "").split()):
-                ids.append(did)
-                toks.append(tok)
-        return pd.DataFrame({"token": toks, "doc_id": ids}).drop_duplicates()
+    def explode_distinct(b: pa.Table) -> pa.Table:
+        row, codes, _, vocab_arr = _flat_token_codes(pc.fill_null(b["text"], ""))
+        if not len(row):
+            return pa.table(
+                {"token": pa.array([], pa.string()), "doc_id": pa.array([], pa.int64())}
+            )
+        vocab = len(vocab_arr)
+        u = np.unique(row * vocab + codes)
+        doc_ids = b["doc_id"].to_numpy(zero_copy_only=False)[u // vocab]
+        return pa.table(
+            {"token": vocab_arr.take(pa.array(u % vocab)), "doc_id": pa.array(doc_ids)}
+        )
 
     def df_topk(g: pd.DataFrame) -> pd.DataFrame:
-        counts = (
-            g.groupby("token", sort=False)["doc_id"].nunique().reset_index(name="df")
-        )
+        # pairs are already distinct (a doc lives in exactly one upstream
+        # batch), so document frequency is plain group size.
+        counts = g.groupby("token", sort=False).size().reset_index(name="df")
         counts["df"] = counts["df"].astype("int64")
         return counts.sort_values(["df", "token"], ascending=[False, True], kind="mergesort").head(k)
 
@@ -3247,7 +3277,7 @@ def q_vocab_topk(sf_dir: str, k: int = 100) -> rd.Dataset:
         ).reset_index(drop=True)
 
     pairs = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        explode_distinct, batch_format="pandas"
+        explode_distinct, batch_format="pyarrow"
     )
     partials = _grouped(pairs, ["token"], df_topk)
     return partials.repartition(1).map_batches(final_topk, batch_format="pandas", batch_size=None)
