@@ -3385,6 +3385,279 @@ FROM documents GROUP BY lang
 """
 
 
+def _shingle_hashes(b: pa.Table, n: int = 4) -> tuple[np.ndarray, list[str]]:
+    """(row_idx, md5-hex) for every n-token shingle in the batch, built
+    from the flattened token-code stream (no per-row loop): n shifted
+    views of the token array are concatenated elementwise and hashed."""
+    doc, codes, _, vocab = _flat_token_codes(pc.fill_null(b["text"], ""))
+    if len(doc) < n:
+        return np.array([], np.int64), []
+    toks = np.asarray(vocab.to_pylist(), dtype=object)[codes]
+    L = len(toks) - n + 1
+    valid = doc[:L] == doc[n - 1 :]
+    parts = toks[:L][valid]
+    for j in range(1, n):
+        parts = parts + " " + toks[j : j + L][valid]
+    return doc[:L][valid], TS.md5_hex(list(parts))
+
+
+def q_decontaminate(sf_dir: str) -> rd.Dataset:
+    """Benchmark decontamination (GPT-3 appx C / Gao et al.): flag every
+    training document sharing any 4-token shingle with the held-out
+    benchmark slice (doc_id % 29 == 0).  Scale shape: the benchmark side
+    is the SMALL side — its distinct shingle hashes are collected once
+    and broadcast (ray.put, resolved once per warm worker), so the train
+    side streams through one stateless map_batches with an np.isin
+    membership probe; no shuffle touches the big side."""
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def bench_shingles(b: pa.Table) -> pa.Table:
+        t = b.filter(pa.array(b["doc_id"].to_numpy(zero_copy_only=False) % 29 == 0))
+        _, hs = _shingle_hashes(t)
+        return pa.table({"h": pa.array(sorted(set(hs)), pa.string())})
+
+    bench = docs.map_batches(bench_shingles, batch_format="pyarrow")
+    # benchmark shingle set: small side, driver-collected ONCE then broadcast
+    bench_sorted = np.unique(
+        np.asarray(
+            [h for t in bench.to_arrow_refs() for h in ray.get(t)["h"].to_pylist()],
+            dtype="U32",
+        )
+    )
+    bench_ref = ray.put(bench_sorted)
+
+    from ..rayutil import ref_token, worker_cached
+
+    _tok = ref_token(bench_ref)
+
+    def probe(b: pa.Table) -> pa.Table:
+        bset = worker_cached("decon_bench_shingles", _tok, lambda: ray.get(bench_ref))
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % 29 != 0))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        row, hs = _shingle_hashes(t)
+        n_shared = np.zeros(t.num_rows, dtype=np.int64)
+        if len(row):
+            d = pd.DataFrame({"r": row, "h": np.asarray(hs, dtype="U32")}).drop_duplicates()
+            hit = d.loc[np.isin(d["h"].to_numpy(), bset), "r"].to_numpy()
+            n_shared = np.bincount(hit, minlength=t.num_rows).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_shared": pa.array(n_shared),
+                "contaminated": pa.array(n_shared > 0),
+            }
+        )
+
+    return docs.map_batches(probe, batch_format="pyarrow")
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t) - 2),
+         i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS h
+  FROM toks WHERE len(t) >= 4
+), bench AS (
+  SELECT DISTINCT h FROM sh WHERE doc_id % 29 = 0
+), train AS (
+  SELECT DISTINCT doc_id, h FROM sh WHERE doc_id % 29 <> 0
+), hits AS (
+  SELECT doc_id, count(*)::BIGINT AS n_shared FROM train JOIN bench USING (h) GROUP BY 1
+)
+SELECT d.doc_id, coalesce(n_shared, 0)::BIGINT AS n_shared,
+       coalesce(n_shared, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 29 <> 0) d
+LEFT JOIN hits USING (doc_id)
+"""
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-\d{3}-\d{4}"
+_PII_IP = r"\b(\d{1,3}\.)(\d{1,3}\.)(\d{1,3}\.)\d{1,3}\b"
+
+
+def q_pii_redact(sf_dir: str) -> rd.Dataset:
+    """PII detection + redaction (emails, NANP phone stubs, IPv4) over a
+    deterministically synthesized raw text (PII injected from doc_id so
+    both engines build the identical input, the source_coerce pattern).
+    Stateless vectorized Arrow: RE2 count + sequential replace per
+    batch, no shuffle — the C4/RefinedWeb-style scrub stage."""
+
+    def f(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"]
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        s = pc.cast(ids, pa.string())
+        base = pc.utf8_slice_codeunits(pc.fill_null(b["text"], ""), 0, 40)
+        email = pc.if_else(
+            pa.array(ids_np % 3 == 0),
+            pc.binary_join_element_wise(" reach me at user", s, "@mail-example.org", ""),
+            "",
+        )
+        phone = pc.if_else(
+            pa.array(ids_np % 5 == 0),
+            pc.binary_join_element_wise(
+                " call +1-555-",
+                pc.utf8_lpad(pc.cast(pa.array(ids_np % 10000), pa.string()), 4, "0"),
+                "",
+            ),
+            "",
+        )
+        ip = pc.if_else(
+            pa.array(ids_np % 7 == 0),
+            pc.binary_join_element_wise(
+                " server 192.168.",
+                pc.cast(pa.array(ids_np % 256), pa.string()),
+                ".",
+                pc.cast(pa.array(ids_np * 7 % 256), pa.string()),
+                "",
+            ),
+            "",
+        )
+        raw = pc.binary_join_element_wise(base, email, phone, ip, "")
+        red = pc.replace_substring_regex(raw, _PII_EMAIL, "<EMAIL>")
+        red = pc.replace_substring_regex(red, _PII_PHONE, "<PHONE>")
+        red = pc.replace_substring_regex(red, _PII_IP, "<IP>")
+        return pa.table(
+            {
+                "doc_id": ids,
+                "n_emails": pc.cast(pc.count_substring_regex(raw, _PII_EMAIL), pa.int64()),
+                "n_phones": pc.cast(pc.count_substring_regex(raw, _PII_PHONE), pa.int64()),
+                "n_ips": pc.cast(pc.count_substring_regex(raw, _PII_IP), pa.int64()),
+                "redacted": red,
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+SQL_PII_REDACT = rf"""
+WITH raw AS (
+  SELECT doc_id,
+         substr(text, 1, 40)
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' reach me at user' || doc_id || '@mail-example.org' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' server 192.168.' || (doc_id % 256) || '.' || (doc_id * 7 % 256) ELSE '' END
+         AS raw
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(raw, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(raw, '{_PII_PHONE}'))::BIGINT AS n_phones,
+       len(regexp_extract_all(raw, '{_PII_IP}'))::BIGINT AS n_ips,
+       regexp_replace(regexp_replace(regexp_replace(raw,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g') AS redacted
+FROM raw
+"""
+
+
+_BOILERPLATE_LINE = "copyright all rights reserved boilerplate"
+
+
+def q_line_dedup(sf_dir: str) -> rd.Dataset:
+    """Line-level exact dedup across the corpus (Lee et al. 2022 /
+    CCNet boilerplate removal): keep each distinct line only at its
+    first global occurrence ordered by (doc_id, line_no).  Lines are
+    synthesized deterministically (8-token chunks, plus a shared
+    boilerplate header on even doc_ids so cross-document duplicates
+    exist).  Scale shape: explode (line_hash, doc_id, line_no) with
+    per-batch vectorized chunking, ONE keyed shuffle on the hash, a
+    sorted-run first-occurrence mark + per-doc partial counts inside
+    each partition, then a tiny per-doc merge — never a global sort."""
+
+    def explode_lines(b: pa.Table) -> pd.DataFrame:
+        doc, codes, _, vocab = _flat_token_codes(pc.fill_null(b["text"], ""))
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        frames = []
+        if len(doc):
+            toks = np.asarray(vocab.to_pylist(), dtype=object)[codes]
+            n_toks = np.bincount(doc, minlength=b.num_rows)
+            starts = np.r_[0, np.cumsum(n_toks)[:-1]]
+            line_no = (np.arange(len(doc)) - starts[doc]) // 8
+            g = (
+                pd.DataFrame({"r": doc, "ln": line_no, "tok": toks})
+                .groupby(["r", "ln"], sort=True)["tok"]
+                .agg(" ".join)
+                .reset_index()
+            )
+            r = g["r"].to_numpy()
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": ids[r],
+                        "line_no": g["ln"].to_numpy() + (ids[r] % 2 == 0).astype(np.int64),
+                        "line": g["tok"].to_numpy(),
+                    }
+                )
+            )
+        hdr_ids = ids[ids % 2 == 0]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "doc_id": hdr_ids,
+                    "line_no": np.zeros(len(hdr_ids), dtype=np.int64),
+                    "line": _BOILERPLATE_LINE,
+                }
+            )
+        )
+        out = pd.concat(frames, ignore_index=True)
+        out["h"] = TS.md5_hex(list(out["line"]))
+        return out[["doc_id", "line_no", "h"]]
+
+    def first_occurrence(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.sort_values(["h", "doc_id", "line_no"], kind="mergesort")
+        kept = d.groupby("h", sort=False).cumcount() == 0
+        agg = (
+            pd.DataFrame({"doc_id": d["doc_id"].to_numpy(), "kept": kept.to_numpy()})
+            .groupby("doc_id", sort=False)
+            .agg(n_lines=("kept", "size"), n_kept=("kept", "sum"))
+            .reset_index()
+        )
+        return agg.astype({"n_lines": "int64", "n_kept": "int64"})
+
+    def merge_docs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", sort=False)[["n_lines", "n_kept"]].sum().reset_index()
+        return out.astype({"n_lines": "int64", "n_kept": "int64"})
+
+    lines = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        explode_lines, batch_format="pyarrow"
+    )
+    partials = _grouped(lines, ["h"], first_occurrence)
+    return _grouped(partials, ["doc_id"], merge_docs)
+
+
+SQL_LINE_DEDUP = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+), lines0 AS (
+  SELECT doc_id,
+         list_concat(
+           CASE WHEN doc_id % 2 = 0 THEN ['{_BOILERPLATE_LINE}'] ELSE [] END,
+           list_transform(range(0, (len(t) + 7) // 8),
+                          i -> array_to_string(t[i*8+1 : i*8+8], ' '))
+         ) AS ls
+  FROM toks
+), lines AS (
+  SELECT doc_id, i - 1 AS line_no, ls[i] AS line
+  FROM lines0, unnest(range(1, len(ls) + 1)) AS u(i)
+), ranked AS (
+  SELECT doc_id, line_no,
+         row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_no) AS rn
+  FROM lines
+)
+SELECT doc_id, count(*)::BIGINT AS n_lines,
+       sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept
+FROM ranked GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3444,6 +3717,9 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "stratified_sample": q_stratified_sample,
     "length_quantiles": q_length_quantiles,
+    "decontaminate": q_decontaminate,
+    "pii_redact": q_pii_redact,
+    "line_dedup": q_line_dedup,
 }
 
 ORACLE_SQL = {
@@ -3498,4 +3774,7 @@ ORACLE_SQL = {
     "vocab_topk": SQL_VOCAB_TOPK,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "length_quantiles": SQL_LENGTH_QUANTILES,
+    "decontaminate": SQL_DECONTAMINATE,
+    "pii_redact": SQL_PII_REDACT,
+    "line_dedup": SQL_LINE_DEDUP,
 }
