@@ -129,6 +129,26 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    ray = _ray_session(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.curate import CurationConfig, run_curation, write_curated
+
+    cfg = CurationConfig(
+        keep_langs=tuple(args.langs.split(",")) if args.langs else None,
+        neardup=not args.no_neardup,
+        redact_pii=not args.no_pii,
+    )
+    curated = run_curation(rd.read_parquet(args.docs), cfg)
+    counts = write_curated(curated, args.out)
+    total = sum(counts.values())
+    print(f"curated rows={total} " + " ".join(f"{k}={v}" for k, v in counts.items())
+          + f" -> {args.out}")
+    ray.shutdown()
+    return 0
+
+
 def cmd_corpus(args) -> int:
     # pure parquet generation — no Ray session needed
     from .sources.corpus import write_corpus
@@ -177,6 +197,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--source-type", required=True)
     p.add_argument("--format", choices=["csv", "jsonl"], default="csv")
     p.set_defaults(fn=cmd_ingest)
+
+    p = sub.add_parser("curate", help="training-data curation: quality -> dedup -> scrub -> split")
+    p.add_argument("--docs", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--langs", default=None, help="comma-separated allow-list (default: all)")
+    p.add_argument("--no-neardup", action="store_true")
+    p.add_argument("--no-pii", action="store_true")
+    p.set_defaults(fn=cmd_curate)
 
     p = sub.add_parser("corpus", help="generate the seeded synthetic corpus")
     p.add_argument("--out", required=True)

@@ -248,3 +248,61 @@ def string_key(s: str) -> int:
 def jaccard_estimate(sig1: np.ndarray, sig2: np.ndarray) -> float:
     """MinHash Jaccard estimate (fraction of agreeing permutations)."""
     return float(np.mean(sig1 == sig2))
+
+
+def batch_shingle_codes(texts: list[str], k: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """(row_idx, codes) for every char k-shingle in the batch — the same
+    one-buffer window gather as :func:`batch_signatures_char` (identical
+    short-text NUL padding), without the hashing.  Codes are k-byte
+    packs (< 2^(8k)); duplicates are NOT deduped."""
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    encoded = []
+    for t in texts:
+        bs = (t or "").encode("utf-8")
+        if 0 < len(bs) < k:
+            bs = bs + b"\x00" * (k - len(bs))
+        encoded.append(bs)
+    plens = np.fromiter((len(e) for e in encoded), dtype=np.int64, count=n)
+    n_sh = np.maximum(plens - (k - 1), 0)
+    total = int(n_sh.sum())
+    if not total:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    flat = np.frombuffer(b"".join(encoded), dtype=np.uint8).astype(np.uint64)
+    offs = np.concatenate(([0], np.cumsum(plens)[:-1]))
+    live = n_sh > 0
+    starts = (
+        np.arange(total)
+        - np.repeat(np.concatenate(([0], np.cumsum(n_sh[live])[:-1])), n_sh[live])
+        + np.repeat(offs[live], n_sh[live])
+    )
+    codes = np.zeros(total, dtype=np.uint64)
+    for j in range(k):
+        codes = (codes << np.uint64(8)) | flat[starts + j]
+    rows = np.repeat(np.arange(n, dtype=np.int64)[live], n_sh[live])
+    return rows, codes
+
+
+def pair_char_jaccard(
+    a_texts: list[str], b_texts: list[str], k: int = 3
+) -> np.ndarray:
+    """Exact char k-shingle set Jaccard per (a_texts[i], b_texts[i])
+    pair, fully vectorized: distinct (pair, code) keys per side, one
+    sorted intersect, bincount sizes.  Pairs where both sides are empty
+    score 0.0 (empties are exact-dup territory, not near-dup)."""
+    n = len(a_texts)
+    assert len(b_texts) == n
+    if n == 0:
+        return np.empty(0, np.float64)
+    shift = np.int64(8 * k + 1)
+    ra, ca = batch_shingle_codes(a_texts, k)
+    rb, cb = batch_shingle_codes(b_texts, k)
+    ua = np.unique((ra << shift) | ca.astype(np.int64))
+    ub = np.unique((rb << shift) | cb.astype(np.int64))
+    inter = np.intersect1d(ua, ub, assume_unique=True)
+    n_a = np.bincount(ua >> shift, minlength=n)
+    n_b = np.bincount(ub >> shift, minlength=n)
+    n_i = np.bincount(inter >> shift, minlength=n) if len(inter) else np.zeros(n, np.int64)
+    union = n_a + n_b - n_i
+    return np.where(union > 0, n_i / np.maximum(union, 1), 0.0)

@@ -139,3 +139,93 @@ def winnow_fingerprint(text: str, k: int = 5, window: int = 4) -> list[int]:
     for i in range(len(grams) - window + 1):
         picks.add(min(grams[i : i + window]))
     return sorted(picks)
+
+
+# ---------------------------------------------------------------------------
+# Flattened token codes + Gopher repetition signals
+# ---------------------------------------------------------------------------
+
+
+def flat_token_codes(
+    texts: pa.ChunkedArray | pa.Array,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, pa.Array]:
+    """Whitespace-tokenize a batch of strings WITHOUT a per-row Python
+    loop: Arrow split → flatten → drop the empty tokens Arrow emits for
+    leading/trailing whitespace (after which the token stream equals
+    Python ``str.split()``) → dictionary-encode.  Returns
+    ``(row_idx, codes, token_lens, dictionary)`` — int64 numpy except
+    the Arrow token dictionary — with tokens of one row contiguous and
+    in document order."""
+    ls = pc.utf8_split_whitespace(texts)
+    if isinstance(ls, pa.ChunkedArray):
+        ls = ls.combine_chunks()
+    counts = pc.list_value_length(ls).to_numpy(zero_copy_only=False).astype(np.int64)
+    row_all = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    flat_all = pc.list_flatten(ls)
+    lens_all = pc.utf8_length(flat_all).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = lens_all > 0
+    enc = pc.dictionary_encode(flat_all.filter(pa.array(nonempty)))
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    return row_all[nonempty], codes, lens_all[nonempty], enc.dictionary
+
+
+def gopher_signals(texts: pa.ChunkedArray | pa.Array) -> dict[str, np.ndarray]:
+    """Gopher-style repetition / quality signals (Rae et al. 2021
+    §A1.1) per row: token count, top-token fraction, duplicate-2-gram
+    fraction, mean token length — one vectorized pass (flattened token
+    codes + sorted-run reduceat, no per-row loop)."""
+    nrows = len(texts)
+    doc, codes, lens, _ = flat_token_codes(pc.fill_null(texts, ""))
+    n_toks = np.bincount(doc, minlength=nrows).astype(np.int64)
+    denom = np.maximum(n_toks, 1)
+    mean_len = np.bincount(doc, weights=lens, minlength=nrows) / denom
+    top = np.zeros(nrows, dtype=np.int64)
+    dup2 = np.zeros(nrows, dtype=np.float64)
+    if len(doc):
+        vocab = int(codes.max()) + 1
+        uk, ucnt = np.unique(doc * vocab + codes, return_counts=True)
+        udoc = uk // vocab
+        starts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
+        top[udoc[starts]] = np.maximum.reduceat(ucnt, starts)
+        same = doc[:-1] == doc[1:]
+        bg_doc = doc[:-1][same]
+        if len(bg_doc):
+            import pandas as _pd
+
+            bg = _pd.factorize(codes[:-1][same] * vocab + codes[1:][same])[0]
+            vb = int(bg.max()) + 1
+            n_distinct = np.bincount(np.unique(bg_doc * vb + bg) // vb, minlength=nrows)
+            n_bg = np.bincount(bg_doc, minlength=nrows)
+            dup2 = np.where(n_bg > 0, 1.0 - n_distinct / np.maximum(n_bg, 1), 0.0)
+    return {
+        "n_tokens": n_toks,
+        "top_tok_frac": top / denom,
+        "dup_2gram_frac": dup2,
+        "mean_tok_len": mean_len,
+    }
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (RE2 — identical semantics in Arrow and DuckDB)
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+1-\d{3}-\d{4}"
+PII_IP = r"\b(\d{1,3}\.)(\d{1,3}\.)(\d{1,3}\.)\d{1,3}\b"
+
+
+def pii_scrub(texts: pa.ChunkedArray | pa.Array) -> dict[str, pa.Array]:
+    """Count + redact emails, NANP phone stubs and IPv4 literals in one
+    vectorized Arrow pass (RE2 kernels; no per-row loop)."""
+    t = pc.fill_null(texts, "")
+    red = pc.replace_substring_regex(t, PII_EMAIL, "<EMAIL>")
+    red = pc.replace_substring_regex(red, PII_PHONE, "<PHONE>")
+    red = pc.replace_substring_regex(red, PII_IP, "<IP>")
+    return {
+        "n_emails": pc.cast(pc.count_substring_regex(t, PII_EMAIL), pa.int64()),
+        "n_phones": pc.cast(pc.count_substring_regex(t, PII_PHONE), pa.int64()),
+        "n_ips": pc.cast(pc.count_substring_regex(t, PII_IP), pa.int64()),
+        "redacted": red,
+    }

@@ -1693,6 +1693,107 @@ LEFT JOIN sig s ON s.doc_id = d.doc_id AND s.perm_idx = p.perm_idx
 SQL_MINHASH_SIGS = _minhash_sigs_oracle_sql()
 
 
+_MH_BK_BANDS = 2  # 8 perms / 2 bands = 4 rows per band — production fold depth
+
+
+def q_minhash_bandkeys(sf_dir: str) -> rd.Dataset:
+    """Value-exact LSH BAND KEYS: the FNV fold of each band's signature
+    rows (functions/minhash.band_keys — the exact key the neardup
+    shuffle blocks on), masked to 63 bits.  With minhash_sigs gating the
+    signature kernel and this gating the fold, every step of
+    minhash_neardup except the capped in-block pair enumeration (unit-
+    tested set-identical to naive) sits behind a hard SQL oracle."""
+    import re as _re
+
+    from ..functions import minhash as MH
+
+    a, b = MH.make_perms(_MH_SIG_NUM_PERM, _MH_SIG_SEED)
+    ascii_only = _re.compile(r"[^\x20-\x7e]")
+    rows = _MH_SIG_NUM_PERM // _MH_BK_BANDS
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = [ascii_only.sub("", t or "") for t in batch["text"].to_pylist()]
+        sig = MH.batch_signatures_char(texts, a, b, 3)  # (n, num_perm) uint64
+        n = len(texts)
+        bands = sig.reshape(n, _MH_BK_BANDS, rows)
+        acc = np.broadcast_to(
+            MH._FNV_OFFSET + np.arange(1, _MH_BK_BANDS + 1, dtype=np.uint64),
+            (n, _MH_BK_BANDS),
+        ).copy()
+        for j in range(rows):
+            acc = (acc ^ bands[:, :, j]) * MH._FNV_PRIME
+        keys = (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64).reshape(-1)
+        did = np.repeat(pc.cast(batch["doc_id"], pa.int64()).to_numpy(), _MH_BK_BANDS)
+        bidx = np.tile(np.arange(_MH_BK_BANDS, dtype=np.int64), n)
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "band_idx": pa.array(bidx, pa.int64()),
+                "band_key": pa.array(keys, pa.int64()),
+            }
+        )
+
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+def _minhash_bandkeys_oracle_sql() -> str:
+    """Generated SQL twin of q_minhash_bandkeys: pivot the oracled
+    signatures into (band, s0..s3) rows, then unroll the FNV fold as
+    chained CTEs with the same HUGEINT mod-2^64 multiply and 32-bit-half
+    xor used by the signature twin."""
+    rows = _MH_SIG_NUM_PERM // _MH_BK_BANDS
+    fnv_offset = 0xCBF29CE484222325
+    fnv_prime = 0x100000001B3
+
+    def mulmod(x: str, c: int) -> str:
+        return (
+            f"((({x}) % 4294967296) * {c}::HUGEINT"
+            f" + (((({x}) // 4294967296) * {c}::HUGEINT) % 4294967296) * 4294967296)"
+            f" % 18446744073709551616::HUGEINT"
+        )
+
+    def xor64(x: str, y: str) -> str:
+        return (
+            f"(xor((({x}) // 4294967296)::BIGINT, (({y}) // 4294967296)::BIGINT)::HUGEINT"
+            f" * 4294967296"
+            f" + xor((({x}) % 4294967296)::BIGINT, (({y}) % 4294967296)::BIGINT)::HUGEINT)"
+        )
+
+    pivot = ",\n           ".join(
+        f"max(CASE WHEN perm_idx % {rows} = {j} THEN sig END)::HUGEINT AS s{j}"
+        for j in range(rows)
+    )
+    scols = ", ".join(f"s{j}" for j in range(rows))
+    steps = []
+    prev = "b0"
+    for j in range(rows):
+        steps.append(
+            f"f{j + 1} AS (SELECT doc_id, band_idx, "
+            f"{mulmod(xor64('acc', f's{j}'), fnv_prime)} AS acc, {scols} FROM {prev})"
+        )
+        prev = f"f{j + 1}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH sigs AS ({SQL_MINHASH_SIGS}),
+piv AS (
+    SELECT doc_id, perm_idx // {rows} AS band_idx,
+           {pivot}
+    FROM sigs GROUP BY doc_id, perm_idx // {rows}
+),
+b0 AS (
+    SELECT doc_id, band_idx,
+           ({fnv_offset}::HUGEINT + band_idx + 1) AS acc, {scols}
+    FROM piv
+),
+{chain}
+SELECT doc_id, band_idx, (acc % 9223372036854775808::HUGEINT)::BIGINT AS band_key
+FROM {prev}
+"""
+
+
+SQL_MINHASH_BANDKEYS = _minhash_bandkeys_oracle_sql()
+
+
 def q_multimodal_frame_sample(sf_dir: str) -> rd.Dataset:
     """Frame-sampling over a video-like payload stream: documents become
     (stream_id, frame_no, payload) rows, frame_sample keeps every 5th
@@ -3132,79 +3233,34 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 100
 """
 
 
-def _flat_token_codes(texts: pa.ChunkedArray | pa.Array):
-    """Whitespace-tokenize a batch of strings WITHOUT a per-row Python
-    loop: Arrow split → flatten → drop the empty tokens Arrow emits for
-    leading/trailing whitespace (after which the token stream equals
-    Python ``str.split()``) → dictionary-encode.  Returns
-    ``(row_idx, codes, token_lens, dictionary)`` — all int64 numpy except
-    the Arrow token dictionary — with tokens of one row contiguous and in
-    document order."""
-    ls = pc.utf8_split_whitespace(texts)
-    if isinstance(ls, pa.ChunkedArray):
-        ls = ls.combine_chunks()
-    counts = pc.list_value_length(ls).to_numpy(zero_copy_only=False).astype(np.int64)
-    row_all = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    flat_all = pc.list_flatten(ls)
-    lens_all = pc.utf8_length(flat_all).to_numpy(zero_copy_only=False).astype(np.int64)
-    nonempty = lens_all > 0
-    enc = pc.dictionary_encode(flat_all.filter(pa.array(nonempty)))
-    if isinstance(enc, pa.ChunkedArray):
-        enc = enc.combine_chunks()
-    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    return row_all[nonempty], codes, lens_all[nonempty], enc.dictionary
+_flat_token_codes = TS.flat_token_codes  # shared kernel (functions/textstats.py)
 
 
 def q_gopher_quality(sf_dir: str) -> rd.Dataset:
     """Gopher-style repetition / quality signals (Rae et al. 2021 §A1.1):
     per-document top-token fraction, duplicate-2-gram fraction, mean
     token length, and the keep/drop verdict.  Stateless, embarrassingly
-    parallel — one vectorized pass per batch (flattened token codes +
-    sorted-run reduceat, no per-row loop), no shuffle; the filter the
-    reference's M9/M11 quality gates correspond to in a training-data
-    pipeline."""
+    parallel — one vectorized pass per batch (TS.gopher_signals:
+    flattened token codes + sorted-run reduceat, no per-row loop), no
+    shuffle; the filter the reference's M9/M11 quality gates correspond
+    to in a training-data pipeline."""
 
     def f(b: pa.Table) -> pa.Table:
-        nrows = b.num_rows
-        doc, codes, lens, _ = _flat_token_codes(pc.fill_null(b["text"], ""))
-        n_toks = np.bincount(doc, minlength=nrows).astype(np.int64)
-        denom = np.maximum(n_toks, 1)
-        mean_len = np.bincount(doc, weights=lens, minlength=nrows) / denom
-        # top-token count per doc: unique (doc, token) keys arrive sorted,
-        # so per-doc maxima are one reduceat over run starts.
-        top = np.zeros(nrows, dtype=np.int64)
-        dup2 = np.zeros(nrows, dtype=np.float64)
-        if len(doc):
-            vocab = int(codes.max()) + 1
-            uk, ucnt = np.unique(doc * vocab + codes, return_counts=True)
-            udoc = uk // vocab
-            starts = np.flatnonzero(np.r_[True, udoc[1:] != udoc[:-1]])
-            top[udoc[starts]] = np.maximum.reduceat(ucnt, starts)
-            same = doc[:-1] == doc[1:]
-            bg_doc = doc[:-1][same]
-            if len(bg_doc):
-                bg = pd.factorize(codes[:-1][same] * vocab + codes[1:][same])[0]
-                vb = int(bg.max()) + 1
-                n_distinct = np.bincount(
-                    np.unique(bg_doc * vb + bg) // vb, minlength=nrows
-                )
-                n_bg = np.bincount(bg_doc, minlength=nrows)
-                dup2 = np.where(n_bg > 0, 1.0 - n_distinct / np.maximum(n_bg, 1), 0.0)
-        top_frac = top / denom
+        sig = TS.gopher_signals(b["text"])
         keep = (
-            (n_toks >= 10)
-            & (top_frac <= 0.2)
-            & (dup2 <= 0.9)
-            & (mean_len >= 2.0)
-            & (mean_len <= 12.0)
+            (sig["n_tokens"] >= 10)
+            & (sig["top_tok_frac"] <= 0.2)
+            & (sig["dup_2gram_frac"] <= 0.9)
+            & (sig["mean_tok_len"] >= 2.0)
+            & (sig["mean_tok_len"] <= 12.0)
         )
         return pa.table(
             {
                 "doc_id": b["doc_id"],
-                "n_tokens": pa.array(n_toks),
-                "top_tok_frac": pa.array(np.round(top_frac, 6)),
-                "dup_2gram_frac": pa.array(np.round(dup2, 6)),
-                "mean_tok_len": pa.array(np.round(mean_len, 6)),
+                "n_tokens": pa.array(sig["n_tokens"]),
+                "top_tok_frac": pa.array(np.round(sig["top_tok_frac"], 6)),
+                "dup_2gram_frac": pa.array(np.round(sig["dup_2gram_frac"], 6)),
+                "mean_tok_len": pa.array(np.round(sig["mean_tok_len"], 6)),
                 "keep": pa.array(keep),
             }
         )
@@ -3474,9 +3530,9 @@ LEFT JOIN hits USING (doc_id)
 """
 
 
-_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PII_PHONE = r"\+1-\d{3}-\d{4}"
-_PII_IP = r"\b(\d{1,3}\.)(\d{1,3}\.)(\d{1,3}\.)\d{1,3}\b"
+_PII_EMAIL = TS.PII_EMAIL
+_PII_PHONE = TS.PII_PHONE
+_PII_IP = TS.PII_IP
 
 
 def q_pii_redact(sf_dir: str) -> rd.Dataset:
@@ -3517,18 +3573,8 @@ def q_pii_redact(sf_dir: str) -> rd.Dataset:
             "",
         )
         raw = pc.binary_join_element_wise(base, email, phone, ip, "")
-        red = pc.replace_substring_regex(raw, _PII_EMAIL, "<EMAIL>")
-        red = pc.replace_substring_regex(red, _PII_PHONE, "<PHONE>")
-        red = pc.replace_substring_regex(red, _PII_IP, "<IP>")
-        return pa.table(
-            {
-                "doc_id": ids,
-                "n_emails": pc.cast(pc.count_substring_regex(raw, _PII_EMAIL), pa.int64()),
-                "n_phones": pc.cast(pc.count_substring_regex(raw, _PII_PHONE), pa.int64()),
-                "n_ips": pc.cast(pc.count_substring_regex(raw, _PII_IP), pa.int64()),
-                "redacted": red,
-            }
-        )
+        scrub = TS.pii_scrub(raw)
+        return pa.table({"doc_id": ids, **scrub})
 
     return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
@@ -3720,6 +3766,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pii_redact": q_pii_redact,
     "line_dedup": q_line_dedup,
+    "minhash_bandkeys": q_minhash_bandkeys,
 }
 
 ORACLE_SQL = {
@@ -3777,4 +3824,5 @@ ORACLE_SQL = {
     "decontaminate": SQL_DECONTAMINATE,
     "pii_redact": SQL_PII_REDACT,
     "line_dedup": SQL_LINE_DEDUP,
+    "minhash_bandkeys": SQL_MINHASH_BANDKEYS,
 }

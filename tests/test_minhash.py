@@ -170,3 +170,74 @@ class TestMinWiseIndependence:
         nb = BlockingConfig().num_bands
         hit = np.mean([(K1[i][:nb] == K2[i][:nb]).any() for i in range(len(bases))])
         assert hit >= 0.9, f"LSH band recall {hit:.2f} at production config"
+
+
+class TestBandKeysOracle:
+    def test_sql_twin_value_exact(self):
+        """The generated band-key SQL twin (pivot of the oracled
+        signatures + unrolled HUGEINT FNV fold) is bit-identical to the
+        engine's band_keys fold on real table text."""
+        import re
+
+        import duckdb
+        import pyarrow.parquet as pq
+
+        from ehdc_llpg_address_matching_ray.pipelines.queries import (
+            _MH_BK_BANDS,
+            _MH_SIG_NUM_PERM,
+            _MH_SIG_SEED,
+            SQL_MINHASH_BANDKEYS,
+        )
+
+        t = pq.read_table(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        )
+        a, b = M.make_perms(_MH_SIG_NUM_PERM, _MH_SIG_SEED)
+        ascii_only = re.compile(r"[^\x20-\x7e]")
+        texts = [ascii_only.sub("", x or "") for x in t["text"].to_pylist()]
+        sig = M.batch_signatures_char(texts, a, b, 3)
+        n, rows = len(texts), _MH_SIG_NUM_PERM // _MH_BK_BANDS
+        bands = sig.reshape(n, _MH_BK_BANDS, rows)
+        acc = np.broadcast_to(
+            M._FNV_OFFSET + np.arange(1, _MH_BK_BANDS + 1, dtype=np.uint64),
+            (n, _MH_BK_BANDS),
+        ).copy()
+        for j in range(rows):
+            acc = (acc ^ bands[:, :, j]) * M._FNV_PRIME
+        keys = (acc & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        exp = {
+            (int(d), bi): int(keys[i, bi])
+            for i, d in enumerate(t["doc_id"].to_pylist())
+            for bi in range(_MH_BK_BANDS)
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        df = con.execute(SQL_MINHASH_BANDKEYS).df()
+        got = {(int(r.doc_id), int(r.band_idx)): int(r.band_key) for r in df.itertuples()}
+        assert got == exp
+
+
+class TestPairCharJaccard:
+    def test_parity_with_scalar_sets(self):
+        rng = np.random.RandomState(3)
+        words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        mk = lambda: " ".join(words[rng.randint(6)] for _ in range(rng.randint(0, 15)))
+        a = [mk() for _ in range(200)] + ["", "a", "ab", "abc", "", "xyz"]
+        b = [mk() for _ in range(200)] + ["", "", "ab", "abd", "q", "xyz"]
+        got = M.pair_char_jaccard(a, b)
+        for i, (x, y) in enumerate(zip(a, b)):
+            sx = set(M.char_shingles(x, 3).tolist())
+            sy = set(M.char_shingles(y, 3).tolist())
+            exp = len(sx & sy) / len(sx | sy) if (sx | sy) else 0.0
+            assert abs(got[i] - exp) < 1e-12, (i, x, y, got[i], exp)
+
+    def test_shingle_codes_parity(self):
+        texts = ["", "a", "ab", "abc", "hello world", "x" * 50]
+        rows, codes = M.batch_shingle_codes(texts, 3)
+        for i, t in enumerate(texts):
+            exp = M.char_shingles(t, 3)  # deduped by contract
+            got = codes[rows == i]  # duplicates retained by contract
+            assert np.array_equal(np.unique(got), np.sort(exp)), t
