@@ -3704,6 +3704,146 @@ FROM ranked GROUP BY doc_id
 """
 
 
+def q_unigram_logppl(sf_dir: str) -> rd.Dataset:
+    """Unigram-LM quality score per document (the CCNet/Wikipedia-LM
+    perplexity-filter analogue): avg_neg_logp = -mean(ln P(token)) with
+    P fit on the corpus itself.  Scale shape: the fit is ONE pass of
+    per-batch partial (token, count) tables (vocab-bounded — the
+    distributed fit_token_df pattern) merged small on the driver and
+    broadcast; scoring is a stateless vectorized map (searchsorted into
+    the broadcast vocab, bincount-weighted log-prob sums), no shuffle."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        _, codes, _, vocab = _flat_token_codes(pc.fill_null(b["text"], ""))
+        cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        return pa.table({"token": vocab, "c": pa.array(cnt)})
+
+    merged: dict[str, int] = {}
+    for ref in docs.map_batches(partial_counts, batch_format="pyarrow").to_arrow_refs():
+        tt = ray.get(ref)
+        for tok, c in zip(tt["token"].to_pylist(), tt["c"].to_pylist()):
+            merged[tok] = merged.get(tok, 0) + c
+    total = float(sum(merged.values())) or 1.0
+    vocab_sorted = np.array(sorted(merged), dtype=object)
+    logp = np.log(
+        np.array([merged[t] for t in vocab_sorted], dtype=np.float64) / total
+    )
+    lm_ref = ray.put((vocab_sorted, logp))
+
+    from ..rayutil import ref_token, worker_cached
+
+    _tok = ref_token(lm_ref)
+
+    def score(b: pa.Table) -> pa.Table:
+        vs, lp = worker_cached("unigram_lm", _tok, lambda: ray.get(lm_ref))
+        nrows = b.num_rows
+        doc, codes, _, vocab = _flat_token_codes(pc.fill_null(b["text"], ""))
+        n = np.bincount(doc, minlength=nrows).astype(np.int64)
+        if len(doc):
+            vt = np.asarray(vocab.to_pylist(), dtype=object)
+            local_lp = lp[np.searchsorted(vs, vt)]
+            s = np.bincount(doc, weights=local_lp[codes], minlength=nrows)
+        else:
+            s = np.zeros(nrows)
+        avg = np.where(n > 0, -s / np.maximum(n, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(n),
+                "avg_neg_logp": pa.array(np.round(avg, 6)),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+SQL_UNIGRAM_LOGPPL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+), cnt AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+), tot AS (
+  SELECT sum(c)::DOUBLE AS s FROM cnt
+), per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(ln(c / s)) AS slp
+  FROM toks JOIN cnt USING (tok), tot GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       round(coalesce(-p.slp / p.n_tokens, 0.0), 6) AS avg_neg_logp
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+def q_curation_projection(sf_dir: str) -> rd.Dataset:
+    """The composed curation pipeline (pipelines/curate.run_curation)
+    behind the driver's hash gate: quality gates → corpus-wide exact
+    dedup → PII scrub → split, exactly as the `curate` CLI runs it, with
+    the one non-SQL stage (near-dup connected components) disabled —
+    that stage's pieces are gated separately (minhash_sigs /
+    minhash_bandkeys / the Jaccard-verified pair kernel parity tests).
+    The SQL twin recomputes the identical keep predicate, min-doc_id
+    survivor rule, RE2 scrub and md5 bucket."""
+    from .curate import CurationConfig, run_curation
+
+    docs = _t(sf_dir, "documents")
+    out = run_curation(docs, CurationConfig(neardup=False))
+    cols = ["doc_id", "lang", "source", "n_chars", "text",
+            "n_emails", "n_phones", "n_ips", "split"]
+    return out.map_batches(lambda b: b.select(cols), batch_format="pyarrow")
+
+
+SQL_CURATION_PROJECTION = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+), tok_counts AS (
+  SELECT doc_id, tok, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks.t) AS tok FROM toks) GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, max(c) AS max_c, sum(c) AS n FROM tok_counts GROUP BY 1
+), sig AS (
+  SELECT t.doc_id,
+         len(t.t)::BIGINT AS n_tokens,
+         CASE WHEN len(t.t) = 0 THEN 0.0 ELSE p.max_c / p.n::DOUBLE END AS top_frac,
+         CASE WHEN len(t.t) < 2 THEN 0.0
+              ELSE 1.0 - len(list_distinct(list_transform(
+                       range(1, len(t.t)), i -> t.t[i] || chr(31) || t.t[i+1])))
+                   / (len(t.t) - 1)::DOUBLE END AS dup2,
+         CASE WHEN len(t.t) = 0 THEN 0.0
+              ELSE list_avg(list_transform(t.t, x -> length(x)))::DOUBLE END AS mlen
+  FROM toks t LEFT JOIN per_doc p USING (doc_id)
+), kept AS (
+  SELECT d.* FROM documents d JOIN sig USING (doc_id)
+  WHERE sig.n_tokens >= 10 AND sig.top_frac <= 0.2 AND sig.dup2 <= 0.9
+    AND sig.mlen >= 2.0 AND sig.mlen <= 12.0
+), surv AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+)
+SELECT doc_id, lang, source, n_chars, red AS text,
+       n_emails, n_phones, n_ips,
+       CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'valid' ELSE 'test' END AS split
+FROM (
+  -- counts use the RAW text (distinct alias `red` avoids shadowing the
+  -- base column — the Ray side also counts pre-redaction)
+  SELECT doc_id, lang, source, n_chars,
+         regexp_replace(regexp_replace(regexp_replace(text,
+             '{_PII_EMAIL}', '<EMAIL>', 'g'),
+             '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IP}', '<IP>', 'g') AS red,
+         len(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phones,
+         len(regexp_extract_all(text, '{_PII_IP}'))::BIGINT AS n_ips,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
+  FROM surv
+)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3767,6 +3907,8 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "line_dedup": q_line_dedup,
     "minhash_bandkeys": q_minhash_bandkeys,
+    "curation_projection": q_curation_projection,
+    "unigram_logppl": q_unigram_logppl,
 }
 
 ORACLE_SQL = {
@@ -3825,4 +3967,6 @@ ORACLE_SQL = {
     "pii_redact": SQL_PII_REDACT,
     "line_dedup": SQL_LINE_DEDUP,
     "minhash_bandkeys": SQL_MINHASH_BANDKEYS,
+    "curation_projection": SQL_CURATION_PROJECTION,
+    "unigram_logppl": SQL_UNIGRAM_LOGPPL,
 }

@@ -23,6 +23,8 @@ CURATION = [
     "decontaminate",
     "pii_redact",
     "line_dedup",
+    "curation_projection",
+    "unigram_logppl",
 ]
 
 
