@@ -3844,6 +3844,388 @@ FROM (
 """
 
 
+def q_substring_dedup(sf_dir: str) -> rd.Dataset:
+    """Exact-substring duplication measure (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): for
+    every overlapping 6-token gram, mark it duplicated when the SAME
+    gram occurs anywhere else in the corpus; report per-doc gram count,
+    duplicated-gram count and duplicated fraction (the suffix-array
+    dup-span measure at fixed k).  Scale shape: explode (gram_hash,
+    doc_id) with the flattened shifted-view shingler (no per-row loop),
+    ONE keyed shuffle on the hash (global per-gram counts become
+    partition-local), per-partition vectorized dup mark + per-doc
+    partial sums, then a tiny per-doc merge — same exchange pattern as
+    ``line_dedup``, never a global sort."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        row, hs = _shingle_hashes(b, n=6)
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"doc_id": pa.array(ids[row], pa.int64()), "h": pa.array(hs, pa.string())}
+        )
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "n_dup": pd.Series([], dtype="int64"),
+                }
+            )
+        dup = g.groupby("h", sort=False)["h"].transform("size").to_numpy() >= 2
+        agg = (
+            pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "dup": dup})
+            .groupby("doc_id", sort=False)
+            .agg(n_grams=("dup", "size"), n_dup=("dup", "sum"))
+            .reset_index()
+        )
+        return agg.astype({"n_grams": "int64", "n_dup": "int64"})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "n_grams": pd.Series([], dtype="int64"),
+                    "n_dup": pd.Series([], dtype="int64"),
+                    "dup_frac": pd.Series([], dtype="float64"),
+                }
+            )
+        out = g.groupby("doc_id", sort=False)[["n_grams", "n_dup"]].sum().reset_index()
+        out["dup_frac"] = (out["n_dup"] / out["n_grams"]).round(6)
+        return out
+
+    grams = docs.map_batches(explode, batch_format="pyarrow")
+    partials = _grouped(grams, ["h"], partial)
+    return _grouped(partials, ["doc_id"], merge)
+
+
+SQL_SUBSTRING_DEDUP = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t) - 4),
+         i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                  || ' ' || t[i+4] || ' ' || t[i+5]))) AS h
+  FROM toks WHERE len(t) >= 6
+), cnt AS (
+  SELECT h, count(*) AS c FROM sh GROUP BY 1
+)
+SELECT doc_id, count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       round(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS dup_frac
+FROM sh JOIN cnt USING (h) GROUP BY doc_id
+"""
+
+
+_SEMDEDUP_K, _SEMDEDUP_TAU = 8, 0.30
+
+
+def q_semdedup(sf_dir: str) -> rd.Dataset:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then inside
+    each cluster prune every vector that has a near-duplicate (cosine >=
+    tau) ranked before it.  Divergence from the paper's keep-farthest-
+    from-centroid rule: the survivor is the SMALLEST vec_id of each
+    near-dup set — deterministic and SQL-expressible.  Centroids are the
+    first K vectors (the ann_ivf stand-in for an offline sample k-means
+    fit, broadcast once via ray.put); assignment is a stateless matmul,
+    pruning is ONE keyed shuffle on the cluster id + an in-cluster
+    lower-triangle matmul — no all-pairs across clusters."""
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _SEMDEDUP_K)],
+    ).sort_by("vec_id")
+    C = np.array(head["embedding"].to_pylist(), dtype=np.float64)
+    cids = head["vec_id"].to_numpy()
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    Cn = C / cn[:, None]
+    state_ref = ray.put((Cn, cids))
+
+    from ..rayutil import ref_token, worker_cached
+
+    _tok = ref_token(state_ref)
+
+    def assign(b: pa.Table) -> pa.Table:
+        Cn_l, cids_l = worker_cached("semdedup_centroids", _tok, lambda: ray.get(state_ref))
+        mat = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        matn = mat / norms[:, None]
+        # argmax = FIRST max over id-sorted centroids → ties to smallest cid
+        lists = cids_l[np.argmax(matn @ Cn_l.T, axis=1)]
+        return pa.table(
+            {
+                "vec_id": b["vec_id"],
+                "list_id": pa.array(lists.astype(np.int64)),
+                "embedding": b["embedding"],
+            }
+        )
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "list_id": pd.Series([], dtype="int64"),
+                    "pruned": pd.Series([], dtype="bool"),
+                }
+            )
+        frames = []
+        for _, g in df.groupby("list_id", sort=False):
+            g = g.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+            mat = np.array(list(g["embedding"]), dtype=np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            matn = mat / norms[:, None]
+            sims = matn @ matn.T
+            pruned = (np.tril(sims, k=-1) >= _SEMDEDUP_TAU).any(axis=1)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "vec_id": g["vec_id"].to_numpy(),
+                        "list_id": g["list_id"].to_numpy(),
+                        "pruned": pruned,
+                    }
+                )
+            )
+        return pd.concat(frames, ignore_index=True)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(assign, batch_format="pyarrow")
+    return _grouped(ds, ["list_id"], prune)
+
+
+SQL_SEMDEDUP = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+           WHERE vec_id < {_SEMDEDUP_K}),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cid FROM c
+          ORDER BY list_cosine_similarity(c.ce, e.embedding) DESC, c.cid
+          LIMIT 1) AS list_id
+  FROM embeddings e)
+SELECT a.vec_id, a.list_id,
+       EXISTS (SELECT 1 FROM assigned b
+               WHERE b.list_id = a.list_id AND b.vec_id < a.vec_id
+                 AND list_cosine_similarity(a.embedding, b.embedding)
+                     >= {_SEMDEDUP_TAU}) AS pruned
+FROM assigned a
+"""
+
+
+def q_rolling_window(sf_dir: str) -> rd.Dataset:
+    """Per-key ordered rolling aggregate: 3-row moving average of
+    ``value`` per user ordered by (ts, event_id) — the sliding-window
+    complement of ``tumbling_window``.  Scale shape: ONE keyed exchange
+    on user_id, then a per-partition mergesort + cython groupby-shift
+    (no per-group Python); rows never leave their partition again."""
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype="int64"),
+                    "user_id": pd.Series([], dtype="int64"),
+                    "avg3": pd.Series([], dtype="float64"),
+                }
+            )
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort").reset_index(
+            drop=True
+        )
+        g = d.groupby("user_id", sort=False)["value"]
+        v1, v2 = g.shift(1), g.shift(2)
+        cnt = 1 + v1.notna().astype(np.int64) + v2.notna().astype(np.int64)
+        avg3 = (d["value"] + v1.fillna(0.0) + v2.fillna(0.0)) / cnt
+        return pd.DataFrame(
+            {
+                "event_id": d["event_id"].to_numpy(),
+                "user_id": d["user_id"].to_numpy(),
+                "avg3": np.round(avg3.to_numpy(), 6),
+            }
+        )
+
+    return _grouped(ev, ["user_id"], roll)
+
+
+SQL_ROLLING_WINDOW = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+FROM events
+"""
+
+
+_RJ_WINDOW_US = 600_000_000  # 10 minutes
+
+
+def q_range_join_clicks(sf_dir: str) -> rd.Dataset:
+    """Time-band range join: for each purchase, the number of clicks by
+    the SAME user with ts in [t - 10min, t) — the interval-join operator
+    Ray Data lacks natively.  Scale shape: both sides cross ONE keyed
+    exchange on user_id (event_type pre-filtered at the read side), then
+    a per-partition double np.searchsorted over (user, ts)-sorted
+    composite integer keys — fully vectorized, no per-row loop, no
+    driver pass.  Partitioning assumption: one user's events fit in a
+    partition; salt hot users by coarse time bucket (emitting right rows
+    to bucket and bucket+1) when they don't."""
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    wanted = pa.array(["click", "purchase"])
+    ev = ev.map_batches(
+        lambda b: b.filter(pc.is_in(b["event_type"], value_set=wanted)),
+        batch_format="pyarrow",
+    )
+
+    def count_clicks(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+                "n_clicks_10m": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        pur = df[df["event_type"] == "purchase"]
+        if not len(pur):
+            return empty
+        p_u = pur["user_id"].to_numpy()
+        p_t = pur["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        clk = df[df["event_type"] == "click"]
+        n = np.zeros(len(pur), dtype=np.int64)
+        if len(clk):
+            c_u = clk["user_id"].to_numpy()
+            c_t = clk["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            order = np.lexsort((c_t, c_u))
+            c_u, c_t = c_u[order], c_t[order]
+            base = min(c_t.min(), p_t.min())
+            span = max(c_t.max(), p_t.max()) - base + 2
+            uniq = np.unique(c_u)
+            assert len(uniq) * span < 2**62, "composite range-join key overflow"
+            keys = np.searchsorted(uniq, c_u) * span + (c_t - base)
+            pos = np.searchsorted(uniq, p_u)
+            safe = np.minimum(pos, len(uniq) - 1)
+            valid = uniq[safe] == p_u
+            dt_hi = p_t - base
+            dt_lo = np.maximum(dt_hi - _RJ_WINDOW_US, 0)
+            lo = np.searchsorted(keys, safe * span + dt_lo, side="left")
+            hi = np.searchsorted(keys, safe * span + dt_hi, side="left")
+            n = np.where(valid, hi - lo, 0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": pur["event_id"].to_numpy(),
+                "user_id": p_u,
+                "n_clicks_10m": n,
+            }
+        )
+
+    return _grouped(ev, ["user_id"], count_clicks)
+
+
+SQL_RANGE_JOIN_CLICKS = """
+SELECT p.event_id, p.user_id, count(c.event_id)::BIGINT AS n_clicks_10m
+FROM events p LEFT JOIN events c
+  ON c.user_id = p.user_id AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL '10 minutes' AND c.ts < p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
+_DSIR_B = 1024
+
+
+def q_dsir_weights(sf_dir: str) -> rd.Dataset:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): hashed unigram
+    bag-of-words log importance weight log p_target(x) - log p_raw(x)
+    with Laplace-smoothed bucket distributions; target = lang='en' docs,
+    raw = the whole corpus.  Scale shape: the fit is one pass of
+    bucket-bounded per-batch bincounts (B=1024 rows per batch cross the
+    wire, never tokens), merged small on the driver; scoring is a
+    stateless vectorized map with the 8 KB log-ratio vector closed over
+    — no shuffle anywhere."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def _buckets(vocab: pa.Array) -> np.ndarray:
+        if not len(vocab):
+            return np.array([], np.int64)
+        return np.array(
+            [int(h[:8], 16) % _DSIR_B for h in TS.md5_hex(vocab.to_pylist())],
+            dtype=np.int64,
+        )
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc, codes, _, vocab = _flat_token_codes(pc.fill_null(b["text"], ""))
+        raw = np.zeros(_DSIR_B, dtype=np.int64)
+        tgt = np.zeros(_DSIR_B, dtype=np.int64)
+        if len(doc):
+            tb = _buckets(vocab)[codes]
+            raw = np.bincount(tb, minlength=_DSIR_B).astype(np.int64)
+            is_en = pc.equal(pc.fill_null(b["lang"], ""), "en").to_numpy(
+                zero_copy_only=False
+            )
+            tgt = np.bincount(tb[is_en[doc]], minlength=_DSIR_B).astype(np.int64)
+        return pa.table(
+            {"b": pa.array(np.arange(_DSIR_B)), "raw": pa.array(raw), "tgt": pa.array(tgt)}
+        )
+
+    fit = pa.concat_tables(
+        ray.get(docs.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+    )
+    bs = fit["b"].to_numpy()
+    raw = np.bincount(bs, weights=fit["raw"].to_numpy(), minlength=_DSIR_B)
+    tgt = np.bincount(bs, weights=fit["tgt"].to_numpy(), minlength=_DSIR_B)
+    logratio = np.log((tgt + 1) / (tgt.sum() + _DSIR_B)) - np.log(
+        (raw + 1) / (raw.sum() + _DSIR_B)
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        doc, codes, _, vocab = _flat_token_codes(pc.fill_null(b["text"], ""))
+        n = np.bincount(doc, minlength=b.num_rows).astype(np.int64)
+        s = np.zeros(b.num_rows)
+        if len(doc):
+            s = np.bincount(doc, weights=logratio[_buckets(vocab)[codes]], minlength=b.num_rows)
+        t = pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_tokens": pa.array(n),
+                "log_weight": pa.array(np.round(s, 6)),
+            }
+        )
+        return t.filter(pa.array(n > 0))
+
+    return docs.map_batches(score, batch_format="pyarrow")
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+), bt AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {_DSIR_B} AS b
+  FROM toks
+), raw AS (SELECT b, count(*) AS rc FROM bt GROUP BY 1),
+tgt AS (SELECT b, count(*) AS tc FROM bt WHERE lang = 'en' GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM bt)::DOUBLE AS rt,
+               (SELECT count(*) FROM bt WHERE lang = 'en')::DOUBLE AS tt),
+lr AS (
+  SELECT r.b, ln((coalesce(tc, 0) + 1) / (tt + {_DSIR_B}))
+            - ln((rc + 1) / (rt + {_DSIR_B})) AS lw
+  FROM raw r LEFT JOIN tgt USING (b), tot
+)
+SELECT doc_id, count(*)::BIGINT AS n_tokens, round(sum(lw), 6) AS log_weight
+FROM bt JOIN lr USING (b) GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3909,6 +4291,11 @@ QUERIES = {
     "minhash_bandkeys": q_minhash_bandkeys,
     "curation_projection": q_curation_projection,
     "unigram_logppl": q_unigram_logppl,
+    "substring_dedup": q_substring_dedup,
+    "semdedup": q_semdedup,
+    "rolling_window": q_rolling_window,
+    "range_join_clicks": q_range_join_clicks,
+    "dsir_weights": q_dsir_weights,
 }
 
 ORACLE_SQL = {
@@ -3969,4 +4356,9 @@ ORACLE_SQL = {
     "minhash_bandkeys": SQL_MINHASH_BANDKEYS,
     "curation_projection": SQL_CURATION_PROJECTION,
     "unigram_logppl": SQL_UNIGRAM_LOGPPL,
+    "substring_dedup": SQL_SUBSTRING_DEDUP,
+    "semdedup": SQL_SEMDEDUP,
+    "rolling_window": SQL_ROLLING_WINDOW,
+    "range_join_clicks": SQL_RANGE_JOIN_CLICKS,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
 }
