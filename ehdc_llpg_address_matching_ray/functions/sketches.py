@@ -1,0 +1,93 @@
+"""Mergeable streaming sketches: HyperLogLog and Count-Min.
+
+Both are the constant-size summaries a 100-TB pipeline reaches for when
+the exact answer (count DISTINCT, per-token frequency) would shuffle
+every token: per-batch partials are a fixed few-KB table regardless of
+input size, merge is an elementwise max (HLL) or sum (CM), and the
+final answer is computed from the merged registers alone.
+
+Hashes derive from md5 hex prefixes so the DuckDB oracle twins rebuild
+them bit-exactly (same pattern as the DSIR bucket hash,
+pipelines/queries.py: q_dsir_weights).
+
+References: Flajolet, Fusy, Gandouet, Meunier, "HyperLogLog: the
+analysis of a near-optimal cardinality estimation algorithm" (AofA
+2007); Cormode & Muthukrishnan, "An improved data stream summary: the
+count-min sketch and its applications" (J. Algorithms 2005).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import textstats as TS
+
+# HyperLogLog geometry: p=10 -> m=1024 registers, ~3.25% relative error.
+HLL_P = 10
+HLL_M = 1 << HLL_P
+# 60-bit hash (15 md5 hex chars; fits signed int64 and DuckDB BIGINT).
+_HLL_HASH_BITS = 60
+_HLL_W_BITS = _HLL_HASH_BITS - HLL_P  # 50 value bits feed the rank
+
+# Count-Min geometry: d=4 rows x w=2048 buckets -> eps ~ e/2048 of the
+# stream length, delta ~ e^-4.
+CM_D = 4
+CM_W = 2048
+
+
+def hash60(items: list[str]) -> np.ndarray:
+    """60-bit nonneg int64 hash per item (md5 hex prefix, the SQL-twin
+    formula: CAST('0x' || substr(md5(x), 1, 15) AS BIGINT))."""
+    return np.array([int(h[:15], 16) for h in TS.md5_hex(items)], dtype=np.int64)
+
+
+def hll_bucket_rho(hashes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Split 60-bit hashes into (bucket, rho): bucket = low p bits' modulo,
+    rho = 1 + number of leading zeros of the remaining 50-bit word
+    (all-zero word -> rho = 51).  np.frexp's exponent IS bit_length for
+    positive ints < 2^53, exactly."""
+    bucket = hashes % HLL_M
+    w = hashes >> HLL_P
+    bl = np.frexp(w.astype(np.float64))[1]  # 0 for w == 0
+    rho = (_HLL_W_BITS + 1 - bl).astype(np.int64)
+    return bucket.astype(np.int64), rho
+
+
+def hll_estimate(buckets: np.ndarray, rhos: np.ndarray) -> float:
+    """Cardinality estimate from a merged register set (only observed
+    buckets need appear; absent buckets are zero).  Standard HLL with
+    the linear-counting small-range correction."""
+    reg = np.zeros(HLL_M, dtype=np.int64)
+    if len(buckets):
+        np.maximum.at(reg, np.asarray(buckets, np.int64), np.asarray(rhos, np.int64))
+    m = float(HLL_M)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int(np.sum(reg == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def cm_buckets(tokens: list[str]) -> np.ndarray:
+    """(d, n) bucket matrix: row r uses md5(f"{r}:{token}") so each of
+    the d hash functions is independent and SQL-reconstructible."""
+    out = np.empty((CM_D, len(tokens)), dtype=np.int64)
+    for r in range(CM_D):
+        out[r] = (
+            np.array(
+                [int(h[:8], 16) for h in TS.md5_hex([f"{r}:{t}" for t in tokens])],
+                dtype=np.int64,
+            )
+            % CM_W
+        )
+    return out
+
+
+def cm_estimate(sketch: np.ndarray, tokens: list[str]) -> np.ndarray:
+    """Point-query the merged (d, w) counter matrix: min over rows of the
+    counter each hash lands on.  Never underestimates the true count."""
+    if not len(tokens):
+        return np.array([], dtype=np.int64)
+    b = cm_buckets(tokens)
+    return np.min(sketch[np.arange(CM_D)[:, None], b], axis=0).astype(np.int64)

@@ -26,8 +26,10 @@ from ..functions import minhash as MH
 from ..rayutil import engine_join, partition_by_key
 from ..functions import normalize as N
 from ..functions import simhash as SH
+from ..functions import sketches as SK
 from ..functions import strings as S
 from ..functions import textstats as TS
+from ..functions.urls import canonical_url_batch
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -4226,6 +4228,287 @@ FROM bt JOIN lr USING (b) GROUP BY 1
 """
 
 
+def q_hll_distinct(sf_dir: str) -> rd.Dataset:
+    """HyperLogLog distinct-tokens-per-language sketch (Flajolet et al.
+    2007; functions/sketches.py).  The oracled output is the merged
+    REGISTER TABLE (lang, bucket, rho) — pure integers, value-hash-exact
+    vs a SQL twin that rebuilds the same md5-derived 60-bit hash, bucket
+    split and leading-zero rank (max rho per bucket falls out of MIN(w)
+    because bit_length is monotone).  The float estimate
+    (sketches.hll_estimate, with linear-counting small-range correction)
+    is accuracy-tested against the exact distinct count in
+    tests/test_sketches.py.  Scale shape: registers merge by MAX — each
+    batch emits at most langs x 1024 partial-max rows (never tokens),
+    one tiny keyed shuffle finishes; at 100 TB the sketch stays a few KB
+    per language while exact count(DISTINCT) shuffles every token."""
+    docs = _t(sf_dir, "documents", ["text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        row, codes, _, vocab = _flat_token_codes(pc.fill_null(b["text"], ""))
+        if not len(row):
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        langs = pc.fill_null(b["lang"], "").to_numpy(zero_copy_only=False)
+        lu, linv = np.unique(langs, return_inverse=True)
+        vocab_n = len(vocab)
+        pairs = np.unique(linv[row].astype(np.int64) * vocab_n + codes)
+        tok_c = pairs % vocab_n
+        lang_c = pairs // vocab_n
+        bucket, rho = SK.hll_bucket_rho(SK.hash60(vocab.to_pylist()))
+        dense = np.zeros((len(lu), SK.HLL_M), dtype=np.int64)
+        np.maximum.at(dense, (lang_c, bucket[tok_c]), rho[tok_c])
+        lidx, bidx = np.nonzero(dense)
+        return pa.table(
+            {
+                "lang": pa.array(lu[lidx]),
+                "bucket": pa.array(bidx.astype(np.int64)),
+                "rho": pa.array(dense[lidx, bidx]),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby(["lang", "bucket"], sort=False)["rho"].max().reset_index()
+        d["bucket"] = d["bucket"].astype("int64")
+        d["rho"] = d["rho"].astype("int64")
+        return d
+
+    partials = docs.map_batches(partial, batch_format="pyarrow")
+    return _grouped(partials, ["lang"], merge)
+
+
+SQL_HLL_DISTINCT = f"""
+WITH pairs AS (
+  SELECT DISTINCT coalesce(lang, '') AS lang, tok
+  FROM (SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents)
+), h AS (
+  SELECT lang, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv FROM pairs
+), mw AS (
+  SELECT lang, hv % {SK.HLL_M} AS bucket, min(hv // {SK.HLL_M}) AS w
+  FROM h GROUP BY 1, 2
+)
+SELECT lang, bucket,
+       (CASE WHEN w = 0 THEN 51 ELSE 51 - length(bin(w)) END)::BIGINT AS rho
+FROM mw
+"""
+
+
+_CM_K = 20
+
+
+def q_countmin_heavy(sf_dir: str) -> rd.Dataset:
+    """Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005;
+    functions/sketches.py): fit a d=4 x w=2048 counter sketch over token
+    occurrences, then report the top-20 tokens with BOTH the exact count
+    and the sketch's point estimate — the oracle twin rebuilds the
+    sketch counters in SQL from the same md5 row hashes, so the
+    (never-underestimating) estimates are value-hash-exact integers.
+    Scale shape: the sketch merges by elementwise SUM — each batch emits
+    <= d*w partial counter rows regardless of input size; the candidate
+    pass reuses the vocab_topk combiner (per-batch token sums, keyed
+    shuffle of partials, per-partition top-k, tiny final merge).  The
+    two passes are fusable into one but kept split for clarity, matching
+    the dsir_weights fit/score shape."""
+    docs = _t(sf_dir, "documents", ["text"])
+
+    def sk_partial(b: pa.Table) -> pa.Table:
+        _, codes, _, vocab = _flat_token_codes(pc.fill_null(b["text"], ""))
+        if not len(codes):
+            return pa.table(
+                {
+                    "r": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        bk = SK.cm_buckets(vocab.to_pylist())
+        rs, bs, cs = [], [], []
+        for r in range(SK.CM_D):
+            s = np.bincount(bk[r], weights=cnt, minlength=SK.CM_W).astype(np.int64)
+            nz = np.nonzero(s)[0]
+            rs.append(np.full(len(nz), r, np.int64))
+            bs.append(nz.astype(np.int64))
+            cs.append(s[nz])
+        return pa.table(
+            {
+                "r": pa.array(np.concatenate(rs)),
+                "bucket": pa.array(np.concatenate(bs)),
+                "cnt": pa.array(np.concatenate(cs)),
+            }
+        )
+
+    fit = pa.concat_tables(
+        ray.get(docs.map_batches(sk_partial, batch_format="pyarrow").to_arrow_refs())
+    )
+    sketch = np.zeros((SK.CM_D, SK.CM_W), dtype=np.int64)
+    if fit.num_rows:
+        flat = fit["r"].to_numpy() * SK.CM_W + fit["bucket"].to_numpy()
+        sketch = (
+            np.bincount(flat, weights=fit["cnt"].to_numpy(), minlength=SK.CM_D * SK.CM_W)
+            .astype(np.int64)
+            .reshape(SK.CM_D, SK.CM_W)
+        )
+
+    def tok_partial(b: pa.Table) -> pa.Table:
+        _, codes, _, vocab = _flat_token_codes(pc.fill_null(b["text"], ""))
+        if not len(codes):
+            return pa.table(
+                {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        return pa.table({"token": vocab, "cnt": pa.array(cnt)})
+
+    def part_top(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby("token", sort=False)["cnt"].sum().reset_index()
+        d["cnt"] = d["cnt"].astype("int64")
+        return d.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).head(_CM_K)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            df.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+            .head(_CM_K)
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame(
+            {
+                "token": d["token"],
+                "true_count": d["cnt"].astype("int64"),
+                "cm_estimate": SK.cm_estimate(sketch, d["token"].tolist()),
+            }
+        )
+
+    tops = _grouped(docs.map_batches(tok_partial, batch_format="pyarrow"), ["token"], part_top)
+    return tops.repartition(1).map_batches(final, batch_format="pandas", batch_size=None)
+
+
+SQL_COUNTMIN_HEAVY = f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+), cnt AS (
+  SELECT tok, count(*)::BIGINT AS c FROM toks GROUP BY 1
+), sk AS (
+  SELECT r,
+         CAST(('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 8)) AS BIGINT)
+           % {SK.CM_W} AS bucket,
+         sum(c)::BIGINT AS cc
+  FROM cnt CROSS JOIN range({SK.CM_D}) t(r) GROUP BY 1, 2
+), top AS (
+  SELECT tok, c FROM cnt ORDER BY c DESC, tok ASC LIMIT {_CM_K}
+), probe AS (
+  SELECT top.tok AS token, top.c AS true_count, t.r AS r,
+         CAST(('0x' || substr(md5(t.r::VARCHAR || ':' || top.tok), 1, 8)) AS BIGINT)
+           % {SK.CM_W} AS bucket
+  FROM top CROSS JOIN range({SK.CM_D}) t(r)
+)
+SELECT token, true_count, min(cc)::BIGINT AS cm_estimate
+FROM probe JOIN sk ON sk.r = probe.r AND sk.bucket = probe.bucket
+GROUP BY 1, 2
+"""
+
+
+def q_url_dedup(sf_dir: str) -> rd.Dataset:
+    """URL-level dedup, the first pass over any web crawl: canonicalize
+    (functions/urls.py: drop fragment, lowercase scheme+host, strip
+    default ports and www., collapse // and trailing slash, drop
+    utm_*/fbclid/gclid/msclkid tracking params, sort the rest) and keep
+    the lowest doc_id per canonical URL with the duplicate count.  Raw
+    URLs are synthesized deterministically from doc_id (two variants per
+    doc pair that must collide after canonicalization — same recipe in
+    the SQL twin, which re-applies the identical RE2-compatible
+    expression chain, so the canonicalizer itself is what the oracle
+    checks).  Scale shape: stateless vectorized canonicalize, ONE keyed
+    shuffle on url_canon, per-partition vectorized min/count."""
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def synth_canon(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = did // 2
+        k = base % 97
+        even = did % 2 == 0
+        urls = [
+            (
+                f"HTTP://WWW.Site-{kk}.COM:80/docs//{bb}/?utm_source=feed&b=2&a=1#top"
+                if e
+                else f"http://site-{kk}.com/docs/{bb}?a=1&b=2"
+            )
+            for kk, bb, e in zip(k.tolist(), base.tolist(), even.tolist())
+        ]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "url_canon": canonical_url_batch(pa.array(urls, pa.string())),
+            }
+        )
+
+    def dedup(df: pd.DataFrame) -> pd.DataFrame:
+        d = (
+            df.groupby("url_canon", sort=False)
+            .agg(doc_id=("doc_id", "min"), dup_count=("doc_id", "size"))
+            .reset_index()
+        )
+        d["dup_count"] = d["dup_count"].astype("int64")
+        return d[["doc_id", "url_canon", "dup_count"]]
+
+    synth = docs.map_batches(synth_canon, batch_format="pyarrow")
+    return _grouped(synth, ["url_canon"], dedup)
+
+
+SQL_URL_DEDUP = r"""
+WITH raw AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 0 THEN
+      'HTTP://WWW.Site-' || ((doc_id // 2) % 97) || '.COM:80/docs//'
+        || (doc_id // 2) || '/?utm_source=feed&b=2&a=1#top'
+    ELSE
+      'http://site-' || ((doc_id // 2) % 97) || '.com/docs/'
+        || (doc_id // 2) || '?a=1&b=2'
+    END AS url
+  FROM documents
+), s1 AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw
+), sp AS (
+  SELECT doc_id,
+         lower(regexp_extract(u, '^([^:/?#]+://[^/?#]*)', 1)) AS head,
+         substr(u, length(regexp_extract(u, '^([^:/?#]+://[^/?#]*)', 1)) + 1) AS tail
+  FROM s1
+), hp AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(head,
+             '^http://([^/?#]*):80$', 'http://\1'),
+             '^https://([^/?#]*):443$', 'https://\1'),
+             '^(https?://)www\.', '\1') AS head,
+         tail
+  FROM sp
+), pq AS (
+  SELECT doc_id, head,
+         regexp_replace(regexp_replace(regexp_extract(tail, '^[^?]*'),
+             '/{2,}', '/', 'g'), '(.)/$', '\1') AS path,
+         CASE WHEN contains(tail, '?')
+              THEN regexp_replace(tail, '^[^?]*\?', '') ELSE '' END AS q
+  FROM hp
+), qc AS (
+  SELECT doc_id, head, path,
+         array_to_string(list_sort(list_filter(string_split(q, '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+                 '^(utm_[^=]*|fbclid|gclid|msclkid)(=.*)?$'))), '&') AS qs
+  FROM pq
+), canon AS (
+  SELECT doc_id,
+         head || path || CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url_canon
+  FROM qc
+)
+SELECT min(doc_id)::BIGINT AS doc_id, url_canon, count(*)::BIGINT AS dup_count
+FROM canon GROUP BY url_canon
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4296,6 +4579,9 @@ QUERIES = {
     "rolling_window": q_rolling_window,
     "range_join_clicks": q_range_join_clicks,
     "dsir_weights": q_dsir_weights,
+    "hll_distinct": q_hll_distinct,
+    "countmin_heavy": q_countmin_heavy,
+    "url_dedup": q_url_dedup,
 }
 
 ORACLE_SQL = {
@@ -4361,4 +4647,7 @@ ORACLE_SQL = {
     "rolling_window": SQL_ROLLING_WINDOW,
     "range_join_clicks": SQL_RANGE_JOIN_CLICKS,
     "dsir_weights": SQL_DSIR_WEIGHTS,
+    "hll_distinct": SQL_HLL_DISTINCT,
+    "countmin_heavy": SQL_COUNTMIN_HEAVY,
+    "url_dedup": SQL_URL_DEDUP,
 }
