@@ -46,13 +46,19 @@ def _sort_join_params(query: pa.Array) -> pa.Array:
         pc.invert(pc.match_substring_regex(flat, _TRACKING_RE)),
         pc.not_equal(flat, ""),
     ).to_numpy(zero_copy_only=False)
+    kept_rows = rows[keep]
+    # one C mergesort orders every row's surviving params; the re-join is
+    # Arrow's vectorized binary_join over a rebuilt ListArray (no
+    # per-row Python)
     df = pd.DataFrame(
-        {"r": rows[keep], "v": flat.to_pandas().to_numpy()[keep]}
+        {"r": kept_rows, "v": flat.to_pandas().to_numpy()[keep]}
     ).sort_values(["r", "v"], kind="mergesort")
-    joined = df.groupby("r", sort=True)["v"].agg("&".join)
-    out = np.full(len(parts), "", dtype=object)
-    out[joined.index.to_numpy()] = joined.to_numpy()
-    return pa.array(out, pa.string())
+    off = np.zeros(len(parts) + 1, dtype=np.int32)
+    np.cumsum(np.bincount(kept_rows, minlength=len(parts)), out=off[1:])
+    la = pa.ListArray.from_arrays(
+        pa.array(off), pa.array(df["v"].to_numpy(), pa.string())
+    )
+    return pc.binary_join(la, "&")
 
 
 def canonical_url_batch(urls: pa.Array) -> pa.Array:
@@ -80,4 +86,7 @@ def canonical_url_batch(urls: pa.Array) -> pa.Array:
     qmark = pc.if_else(
         pc.and_(has_q, pc.not_equal(query, "")), pa.scalar("?"), pa.scalar("")
     )
-    return pc.binary_join_element_wise(head, path, qmark, query, "")
+    canon = pc.binary_join_element_wise(head, path, qmark, query, "")
+    # a string without :// has no authority to normalize — pass it through
+    # unchanged rather than mis-splitting it
+    return pc.if_else(pc.match_substring(u, "://"), canon, u)

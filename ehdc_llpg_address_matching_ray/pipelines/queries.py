@@ -50,6 +50,16 @@ def _grouped(ds: rd.Dataset, keys: list[str], fn, num_partitions: int = 8) -> rd
     )
 
 
+def _gather_fit(ds: rd.Dataset) -> pa.Table:
+    """Pull a (tiny, pre-merged) fit Dataset to the driver as one Arrow
+    table.  Empty partitions surface as zero-column blocks that break
+    plain pa.concat_tables, so they are dropped first."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        raise ValueError("fit produced no rows")
+    return pa.concat_tables(tables)
+
+
 def _sql_quote(pattern: str) -> str:
     return pattern.replace("'", "''")
 
@@ -3625,23 +3635,26 @@ def q_line_dedup(sf_dir: str) -> rd.Dataset:
         ids = b["doc_id"].to_numpy(zero_copy_only=False)
         frames = []
         if len(doc):
-            toks = np.asarray(vocab.to_pylist(), dtype=object)[codes]
             n_toks = np.bincount(doc, minlength=b.num_rows)
             starts = np.r_[0, np.cumsum(n_toks)[:-1]]
             line_no = (np.arange(len(doc)) - starts[doc]) // 8
-            g = (
-                pd.DataFrame({"r": doc, "ln": line_no, "tok": toks})
-                .groupby(["r", "ln"], sort=True)["tok"]
-                .agg(" ".join)
-                .reset_index()
+            # (doc, line_no) groups are contiguous runs in row order, so
+            # no sort is needed and the 8-token join is Arrow's
+            # vectorized binary_join over run slices (no per-line Python)
+            chg = np.r_[True, (doc[1:] != doc[:-1]) | (line_no[1:] != line_no[:-1])]
+            run = np.nonzero(chg)[0]
+            off = np.r_[run, len(doc)].astype(np.int32)
+            lines = pc.binary_join(
+                pa.ListArray.from_arrays(pa.array(off), vocab.take(pa.array(codes))),
+                " ",
             )
-            r = g["r"].to_numpy()
+            r = doc[run]
             frames.append(
                 pd.DataFrame(
                     {
                         "doc_id": ids[r],
-                        "line_no": g["ln"].to_numpy() + (ids[r] % 2 == 0).astype(np.int64),
-                        "line": g["tok"].to_numpy(),
+                        "line_no": line_no[run] + (ids[r] % 2 == 0).astype(np.int64),
+                        "line": lines.to_pandas().to_numpy(),
                     }
                 )
             )
@@ -4179,8 +4192,18 @@ def q_dsir_weights(sf_dir: str) -> rd.Dataset:
             {"b": pa.array(np.arange(_DSIR_B)), "raw": pa.array(raw), "tgt": pa.array(tgt)}
         )
 
-    fit = pa.concat_tables(
-        ray.get(docs.map_batches(partial, batch_format="pyarrow").to_arrow_refs())
+    def _merge_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby("b", sort=False)[["raw", "tgt"]].sum().reset_index()
+        return d.astype({"b": "int64", "raw": "int64", "tgt": "int64"})
+
+    # distributed pre-merge: the driver sees at most B=1024 bucket rows
+    # regardless of how many blocks the corpus has
+    fit = _gather_fit(
+        _grouped(
+            docs.map_batches(partial, batch_format="pyarrow"),
+            ["b"],
+            _merge_buckets,
+        )
     )
     bs = fit["b"].to_numpy()
     raw = np.bincount(bs, weights=fit["raw"].to_numpy(), minlength=_DSIR_B)
@@ -4342,8 +4365,18 @@ def q_countmin_heavy(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    fit = pa.concat_tables(
-        ray.get(docs.map_batches(sk_partial, batch_format="pyarrow").to_arrow_refs())
+    def _merge_counters(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby(["r", "bucket"], sort=False)["cnt"].sum().reset_index()
+        return d.astype({"r": "int64", "bucket": "int64", "cnt": "int64"})
+
+    # distributed pre-merge: the driver sees at most d*w = 8192 counter
+    # rows no matter how many blocks the corpus has
+    fit = _gather_fit(
+        _grouped(
+            docs.map_batches(sk_partial, batch_format="pyarrow"),
+            ["r", "bucket"],
+            _merge_counters,
+        )
     )
     sketch = np.zeros((SK.CM_D, SK.CM_W), dtype=np.int64)
     if fit.num_rows:
@@ -4509,6 +4542,190 @@ FROM canon GROUP BY url_canon
 """
 
 
+def q_weighted_sample(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """Efraimidis-Spirakis weighted sampling without replacement (Inf.
+    Process. Lett. 2006): rank docs by u^(1/w) — equivalently ln(u)/w —
+    with u a deterministic md5-derived uniform in (0,1) and w =
+    max(n_chars, 1), keep the global top-k.  The standard way to sample
+    training docs proportional to a quality weight, reproducible across
+    engines, runs and cluster sizes (no RNG state).  Scale shape:
+    stateless key computation, per-block top-k combiner, one tiny final
+    merge — never a global sort."""
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def key(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = SK.hash60([str(i) for i in did.tolist()])
+        u = (h.astype(np.float64) + 1.0) / float((1 << 60) + 1)
+        w = np.maximum(
+            b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64), 1.0
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "weight": pa.array(w.astype(np.int64)),
+                "skey": pa.array(np.log(u) / w),
+            }
+        )
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["skey", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = topk(df).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"],
+                "weight": d["weight"].astype("int64"),
+                "sample_key": d["skey"].round(6),
+            }
+        )
+
+    keyed = docs.map_batches(key, batch_format="pyarrow")
+    return keyed.map_batches(topk, batch_format="pandas").repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
+SQL_WEIGHTED_SAMPLE = """
+WITH kdoc AS (
+  SELECT doc_id, greatest(n_chars, 1)::BIGINT AS weight,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1)
+           / 1152921504606846977.0 AS u
+  FROM documents
+)
+SELECT doc_id, weight, round(ln(u) / weight, 6) AS sample_key
+FROM kdoc
+ORDER BY ln(u) / weight DESC, doc_id ASC
+LIMIT 100
+"""
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TERMS = ("hash", "join", "merge", "sort")
+
+
+def q_bm25_topk(sf_dir: str, k: int = 15) -> rd.Dataset:
+    """BM25 term-weighted retrieval (Robertson & Zaragoza 2009, the
+    Lucene idf variant ln(1 + (N - df + .5)/(df + .5))) of the top-k
+    docs for a fixed 4-term query — the lexical-search complement to
+    the ANN family.  Scale shape: fit pass emits a constant-size
+    (key, val) partial per batch (corpus totals + per-term df), merged
+    on the driver; scoring is a stateless vectorized map with the tiny
+    idf table closed over; per-block top-k combiner + one final merge.
+    All fit statistics are exact integers so the float formula tree is
+    bit-identical to the SQL twin's."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fit_partial(b: pa.Table) -> pa.Table:
+        row, codes, _, vocab = _flat_token_codes(pc.fill_null(b["text"], ""))
+        dl = np.bincount(row, minlength=b.num_rows).astype(np.int64)
+        keys = ["__n_docs__", "__n_dl__", "__sum_dl__"]
+        vals = [b.num_rows, int((dl > 0).sum()), int(dl.sum())]
+        if len(row):
+            vocab_np = np.asarray(vocab.to_pylist(), dtype=object)
+            for t in _BM25_TERMS:
+                c = np.nonzero(vocab_np == t)[0]
+                if len(c):
+                    keys.append(t)
+                    vals.append(int(len(np.unique(row[codes == c[0]]))))
+        return pa.table(
+            {"key": pa.array(keys, pa.string()), "val": pa.array(vals, pa.int64())}
+        )
+
+    def _merge_fit(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("key", sort=False)["val"].sum().reset_index()
+
+    # distributed pre-merge: each key lands whole in one partition, so
+    # the driver sees at most |query| + 3 rows regardless of block count
+    fit = (
+        _gather_fit(
+            _grouped(
+                docs.map_batches(fit_partial, batch_format="pyarrow"),
+                ["key"],
+                _merge_fit,
+            )
+        )
+        .to_pandas()
+        .set_index("key")["val"]
+    )
+    n_docs = float(fit["__n_docs__"])
+    avgdl = float(fit["__sum_dl__"]) / float(fit["__n_dl__"])
+    idf = {
+        t: np.log(1.0 + (n_docs - float(fit[t]) + 0.5) / (float(fit[t]) + 0.5))
+        for t in _BM25_TERMS
+        if t in fit.index
+    }
+
+    def score(b: pa.Table) -> pa.Table:
+        row, codes, _, vocab = _flat_token_codes(pc.fill_null(b["text"], ""))
+        s = np.zeros(b.num_rows, dtype=np.float64)
+        if len(row):
+            dl = np.bincount(row, minlength=b.num_rows).astype(np.float64)
+            vocab_np = np.asarray(vocab.to_pylist(), dtype=object)
+            for t in _BM25_TERMS:
+                if t not in idf:
+                    continue
+                c = np.nonzero(vocab_np == t)[0]
+                if not len(c):
+                    continue
+                tf = np.bincount(row[codes == c[0]], minlength=b.num_rows).astype(
+                    np.float64
+                )
+                s += (
+                    idf[t]
+                    * tf
+                    * (_BM25_K1 + 1.0)
+                    / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl))
+                )
+        t_out = pa.table(
+            {"doc_id": b["doc_id"], "bm25": pa.array(np.round(s, 6))}
+        )
+        return t_out.filter(pa.array(s > 0))
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["bm25", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    scored = docs.map_batches(score, batch_format="pyarrow")
+    return scored.map_batches(topk, batch_format="pandas").repartition(1).map_batches(
+        lambda df: topk(df).reset_index(drop=True),
+        batch_format="pandas",
+        batch_size=None,
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM dl)::DOUBLE AS avgdl
+), q(term) AS (VALUES ('hash'), ('join'), ('merge'), ('sort')),
+df AS (
+  SELECT tok AS term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM toks JOIN q ON toks.tok = q.term GROUP BY 1
+), tf AS (
+  SELECT doc_id, tok AS term, count(*)::DOUBLE AS tf
+  FROM toks JOIN q ON toks.tok = q.term GROUP BY 1, 2
+)
+SELECT doc_id, round(sum(
+    ln(1 + (n - df + 0.5) / (df + 0.5)) *
+    tf * ({_BM25_K1} + 1) / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl.dl / avgdl))
+  ), 6) AS bm25
+FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 15
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4582,6 +4799,8 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "countmin_heavy": q_countmin_heavy,
     "url_dedup": q_url_dedup,
+    "weighted_sample": q_weighted_sample,
+    "bm25_topk": q_bm25_topk,
 }
 
 ORACLE_SQL = {
@@ -4650,4 +4869,6 @@ ORACLE_SQL = {
     "hll_distinct": SQL_HLL_DISTINCT,
     "countmin_heavy": SQL_COUNTMIN_HEAVY,
     "url_dedup": SQL_URL_DEDUP,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "bm25_topk": SQL_BM25_TOPK,
 }

@@ -12,6 +12,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from ehdc_llpg_address_matching_ray.functions import sketches as SK
 from ehdc_llpg_address_matching_ray.functions.urls import canonical_url_batch
@@ -132,6 +134,48 @@ class TestCanonicalUrl:
 
     def test_null_and_empty(self):
         assert canonical_url_batch(pa.array([None, ""], pa.string())).to_pylist() == ["", ""]
+
+    def test_schemeless_passthrough(self):
+        raw = pa.array(["example.com/x?b=1", "not a url"], pa.string())
+        assert canonical_url_batch(raw).to_pylist() == raw.to_pylist()
+
+    @staticmethod
+    def _scalar_canon(u: str) -> str:
+        """Independent scalar reference (plain re) for the property test."""
+        import re
+
+        if "://" not in u:
+            return u
+        u = u.split("#", 1)[0]
+        m = re.match(r"^([^:/?#]+://[^/?#]*)(.*)$", u)
+        head, rest = m.group(1).lower(), m.group(2)
+        head = re.sub(r"^http://([^/?#]*):80$", r"http://\1", head)
+        head = re.sub(r"^https://([^/?#]*):443$", r"https://\1", head)
+        head = re.sub(r"^(https?://)www\.", r"\1", head)
+        path, _, q = rest.partition("?")
+        path = re.sub("/{2,}", "/", path)
+        path = re.sub("(.)/$", r"\1", path)
+        params = sorted(
+            p
+            for p in q.split("&")
+            if p and not re.match(r"^(utm_[^=]*|fbclid|gclid|msclkid)(=.*)?$", p)
+        )
+        return head + path + ("?" + "&".join(params) if params else "")
+
+    @given(
+        st.from_regex(
+            r"(HTTPS?|https?)://(WWW\.|www\.)?[a-zA-Z0-9.\-]{1,16}"
+            r"(:[0-9]{1,4})?(/[a-zA-Z0-9/._\-]{0,24})?"
+            r"(\?[a-zA-Z0-9=&_]{0,24})?(#[a-zA-Z0-9]{0,8})?",
+            fullmatch=True,
+        )
+    )
+    @settings(max_examples=300, deadline=None)
+    def test_matches_scalar_reference_and_idempotent(self, url):
+        got = canonical_url_batch(pa.array([url], pa.string())).to_pylist()[0]
+        assert got == self._scalar_canon(url)
+        again = canonical_url_batch(pa.array([got], pa.string())).to_pylist()[0]
+        assert again == got
 
 
 def test_url_dedup_pairs_collapse(ray_session, sf_unit_dir):
