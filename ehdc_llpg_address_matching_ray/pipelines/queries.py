@@ -4726,6 +4726,469 @@ LIMIT 15
 """
 
 
+_PR_DAMP = 0.85
+
+
+def _doc_count(sf_dir: str) -> int:
+    """Row count from parquet footer metadata — no data read, no Ray pass."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+
+def _synth_edges(b: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Deterministic link-graph edges from doc_id: node u emits
+    (u % 3) + 1 raw links to (u*37 + j*j*101 + 13) % n, self-loops
+    bumped to the next node, then DISTINCT per source.  Each source's
+    edges are generated whole inside the batch that carries its doc
+    row, so per-batch dedup IS global dedup and out-degree is
+    batch-local.  Returns (src, dst, out_deg_of_src_per_edge)."""
+    src = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    reps = src % 3 + 1
+    s = np.repeat(src, reps)
+    total = int(reps.sum())
+    j = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(reps) - reps, reps)
+    d0 = (s * 37 + j * j * 101 + 13) % n
+    dst = np.where(d0 == s, (d0 + 1) % n, d0)
+    assert n < 2**31, "composite edge key would overflow int64; widen to 128-bit"
+    key = np.unique(s * n + dst)
+    es, ed = key // n, key % n
+    # out-degree per edge: run lengths over the (sorted) src runs
+    chg = np.r_[True, es[1:] != es[:-1]]
+    run = np.nonzero(chg)[0]
+    deg = np.diff(np.r_[run, len(es)])
+    return es, ed, np.repeat(deg, deg)
+
+
+# Shared SQL twin of _synth_edges (DISTINCT per (src,dst), self-loop bump).
+_SQL_EDGES = """
+n AS (SELECT count(*)::BIGINT AS c FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*37 + t.j*t.j*101 + 13) % c AS d0, c
+  FROM documents, n, (SELECT unnest([0,1,2]) AS j) t
+  WHERE t.j <= doc_id % 3
+),
+edges AS (
+  SELECT DISTINCT src, CASE WHEN d0 = src THEN (d0+1) % c ELSE d0 END AS dst
+  FROM e0
+),
+deg AS (SELECT src, count(*)::BIGINT AS deg FROM edges GROUP BY src)
+"""
+
+
+def q_link_degree(sf_dir: str) -> rd.Dataset:
+    """Link-graph degree table over the deterministic synthetic edge
+    list: (node, out_deg, in_deg) for EVERY document, zeros included —
+    the first report over any crawl's link graph.  Scale shape:
+    out-degree is batch-local (each source's edges are generated whole
+    in its batch), so the whole query is ONE keyed exchange: per-batch
+    partial rows (node, out, in) — one out row per source, bincounted
+    in rows per batch for destinations, a zero marker per doc — summed
+    per node in their single partition."""
+    n = _doc_count(sf_dir)
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        es, ed, deg = _synth_edges(b, n)
+        chg = np.r_[True, es[1:] != es[:-1]]
+        run = np.nonzero(chg)[0]
+        # in-degree partial: count each batch's dst hits once per node
+        ud, cd = np.unique(ed, return_counts=True)
+        node = np.concatenate(
+            [es[run], ud, b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)]
+        )
+        out = np.concatenate(
+            [deg[run], np.zeros(len(ud), np.int64), np.zeros(b.num_rows, np.int64)]
+        )
+        inn = np.concatenate(
+            [np.zeros(len(run), np.int64), cd.astype(np.int64), np.zeros(b.num_rows, np.int64)]
+        )
+        return pa.table(
+            {"node": pa.array(node), "out": pa.array(out), "inn": pa.array(inn)}
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby("node", sort=False)[["out", "inn"]].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "node": d["node"].astype("int64"),
+                "out_deg": d["out"].astype("int64"),
+                "in_deg": d["inn"].astype("int64"),
+            }
+        )
+
+    return _grouped(docs.map_batches(partials, batch_format="pyarrow"), ["node"], merge)
+
+
+SQL_LINK_DEGREE = f"""
+WITH {_SQL_EDGES}
+, ind AS (SELECT dst, count(*)::BIGINT AS in_deg FROM edges GROUP BY dst)
+SELECT d.doc_id AS node,
+       coalesce(deg.deg, 0)::BIGINT AS out_deg,
+       coalesce(ind.in_deg, 0)::BIGINT AS in_deg
+FROM documents d
+LEFT JOIN deg ON deg.src = d.doc_id
+LEFT JOIN ind ON ind.dst = d.doc_id
+"""
+
+
+def q_pagerank(sf_dir: str) -> rd.Dataset:
+    """Two power iterations of PageRank (damping 0.85, uniform start,
+    no dangling nodes — every source emits >= 1 edge by construction)
+    over the deterministic synthetic link graph; output is N * r2
+    (scaled so values are O(1) and survive 6-dp rounding at any corpus
+    size).  Scale shape: iteration 1 needs NO join (uniform ranks make
+    the contribution (1/N)/deg(src), batch-local), so the full query is
+    three keyed exchanges — r1 aggregation on dst, the edges-with-r1
+    join on src, r2 aggregation on dst (node-universe zero markers
+    unioned in so the aggregation exchange doubles as the final
+    left-join).  Ranks ship as narrow (int64, float64) rows only."""
+    n = _doc_count(sf_dir)
+    docs = _t(sf_dir, "documents", ["doc_id"])
+    base = 0.15 / n
+
+    def contrib1(b: pa.Table) -> pa.Table:
+        es, ed, deg = _synth_edges(b, n)
+        # per-batch partial: sum contributions by dst before the wire
+        ud, inv = np.unique(ed, return_inverse=True)
+        c = np.bincount(inv, weights=(1.0 / n) / deg)
+        node = np.concatenate(
+            [ud, b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)]
+        )
+        contrib = np.concatenate([c, np.zeros(b.num_rows)])
+        return pa.table({"node": pa.array(node), "c": pa.array(contrib)})
+
+    def rank_merge(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby("node", sort=False)["c"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "node": d["node"].astype("int64"),
+                "r": base + _PR_DAMP * d["c"].to_numpy(),
+            }
+        )
+
+    r1 = _grouped(docs.map_batches(contrib1, batch_format="pyarrow"), ["node"], rank_merge)
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        es, ed, deg = _synth_edges(b, n)
+        return pa.table(
+            {
+                "key": pa.array(es),
+                "dst": pa.array(ed),
+                "deg": pa.array(deg),
+                "r": pa.array(np.zeros(len(es))),
+                "is_rank": pa.array(np.zeros(len(es), np.bool_)),
+            }
+        )
+
+    def rank_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["node"],
+                "dst": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "deg": pa.array(np.zeros(b.num_rows, np.int64)),
+                "r": b["r"],
+                "is_rank": pa.array(np.ones(b.num_rows, np.bool_)),
+            }
+        )
+
+    def contrib2(df: pd.DataFrame) -> pd.DataFrame:
+        ranks = df[df["is_rank"]]
+        edges = df[~df["is_rank"]]
+        if not len(edges):
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"), "c": pd.Series([], dtype="float64")}
+            )
+        # sources with no in-links carry the teleport-only rank
+        r = (
+            edges[["key"]]
+            .merge(ranks[["key", "r"]], on="key", how="left")["r"]
+            .fillna(base)
+            .to_numpy()
+        )
+        c = _PR_DAMP * r / edges["deg"].to_numpy()
+        d = pd.DataFrame({"node": edges["dst"].to_numpy(), "c": c})
+        return d.groupby("node", sort=False)["c"].sum().reset_index()
+
+    joined = _grouped(
+        docs.map_batches(edge_rows, batch_format="pyarrow").union(
+            r1.map_batches(rank_rows, batch_format="pyarrow")
+        ),
+        ["key"],
+        contrib2,
+    )
+
+    def markers(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["doc_id"], "c": pa.array(np.zeros(b.num_rows))})
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby("node", sort=False)["c"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "node": d["node"].astype("int64"),
+                "pr_scaled": np.round(n * (base + d["c"].to_numpy()), 6),
+            }
+        )
+
+    return _grouped(
+        joined.union(docs.map_batches(markers, batch_format="pyarrow")),
+        ["node"],
+        final,
+    )
+
+
+SQL_PAGERANK = f"""
+WITH {_SQL_EDGES}
+, r1 AS (
+  SELECT d.doc_id AS node,
+         0.15/(SELECT c FROM n) + {_PR_DAMP} * coalesce(s.x, 0) AS r
+  FROM documents d
+  LEFT JOIN (
+    SELECT e.dst, sum((1.0/(SELECT c FROM n)) / deg.deg) AS x
+    FROM edges e JOIN deg ON deg.src = e.src GROUP BY e.dst
+  ) s ON s.dst = d.doc_id
+)
+SELECT d.doc_id AS node,
+       round((SELECT c FROM n) *
+             (0.15/(SELECT c FROM n) + {_PR_DAMP} * coalesce(s.x, 0)), 6) AS pr_scaled
+FROM documents d
+LEFT JOIN (
+  SELECT e.dst, sum(r1.r / deg.deg) AS x
+  FROM edges e JOIN deg ON deg.src = e.src JOIN r1 ON r1.node = e.src
+  GROUP BY e.dst
+) s ON s.dst = d.doc_id
+"""
+
+
+def q_domain_stats(sf_dir: str) -> rd.Dataset:
+    """Per-registrable-domain crawl report — doc count, total chars,
+    distinct languages — the aggregation behind C4-style per-domain
+    filtering and quota sampling.  Raw URLs are synthesized
+    deterministically from doc_id (every third doc on a news. subdomain
+    so the registrable-domain extraction — last two host labels — is
+    doing real work after canonicalization strips www.).  Scale shape:
+    stateless canonicalize + extract, per-batch partial aggregation
+    (distinct langs as a per-batch (domain, lang) dedup), ONE keyed
+    exchange on domain."""
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars", "lang"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = did % 97
+        sub = np.where(did % 3 == 0, "news.", "WWW.")
+        urls = [
+            f"http://{s}site-{kk}.com/p/{dd}"
+            for s, kk, dd in zip(sub.tolist(), k.tolist(), did.tolist())
+        ]
+        canon = canonical_url_batch(pa.array(urls, pa.string()))
+        host = pc.replace_substring_regex(canon, r"^[^:]+://([^/:?]+).*$", r"\1")
+        domain = pc.replace_substring_regex(host, r"^.*?([^.]+\.[^.]+)$", r"\1")
+        return pa.table(
+            {"domain": domain, "n_chars": b["n_chars"], "lang": b["lang"]}
+        )
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby("domain", sort=False).agg(
+            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+        )
+        langs = (
+            df[["domain", "lang"]]
+            .drop_duplicates()
+            .set_index("domain")["lang"]
+        )
+        return d.join(langs, how="left").reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby("domain", sort=False).agg(
+            n_docs=("n_docs", "sum"),
+            total_chars=("total_chars", "sum"),
+            n_langs=("lang", "nunique"),
+        )
+        return d.reset_index().astype(
+            {"n_docs": "int64", "total_chars": "int64", "n_langs": "int64"}
+        )
+
+    # per-batch partial keeps one row per (domain, lang) on the wire;
+    # the exchange merge re-sums counts and counts distinct langs
+    part = docs.map_batches(synth, batch_format="pyarrow").map_batches(
+        partials, batch_format="pandas"
+    )
+    return _grouped(part, ["domain"], merge)
+
+
+SQL_DOMAIN_STATS = r"""
+WITH raw AS (
+  SELECT doc_id, n_chars, lang,
+    'http://' || CASE WHEN doc_id % 3 = 0 THEN 'news.' ELSE 'www.' END
+      || 'site-' || (doc_id % 97) || '.com/p/' || doc_id AS url
+  FROM documents
+), dom AS (
+  SELECT regexp_extract(
+           regexp_extract(
+             regexp_replace(url, '^(https?://)www\.', '\1'),
+             '^[^:]+://([^/:?]+)', 1),
+           '([^.]+\.[^.]+)$', 1) AS domain,
+         n_chars, lang
+  FROM raw
+)
+SELECT domain, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       count(DISTINCT lang)::BIGINT AS n_langs
+FROM dom GROUP BY domain
+"""
+
+
+_PACK_CAP = 128
+_PACK_SHARDS = 32
+
+
+def q_sequence_pack(sf_dir: str) -> rd.Dataset:
+    """Training-sequence packing: concatenate documents in doc_id order
+    within each of 32 hash shards and chunk the token stream into
+    sequences of 128 tokens — each doc reports the sequence its FIRST
+    token lands in (concat-then-chunk semantics; a doc may straddle a
+    boundary).  The per-shard running total is the packing reality at
+    100 TB: shards pack independently and in parallel, no global order.
+    Scale shape: stateless token count, ONE keyed exchange on shard,
+    per-partition mergesort + cumsum — no per-row loop."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def count_tokens(b: pa.Table) -> pa.Table:
+        row, _, _, _ = _flat_token_codes(pc.fill_null(b["text"], ""))
+        n_tok = np.bincount(row, minlength=b.num_rows).astype(np.int64)
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "shard": pa.array(did % _PACK_SHARDS),
+                "n_tokens": pa.array(n_tok),
+            }
+        )
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "shard": pd.Series([], dtype="int64"),
+                    "n_tokens": pd.Series([], dtype="int64"),
+                    "seq_id": pd.Series([], dtype="int64"),
+                }
+            )
+        d = df.sort_values(["shard", "doc_id"], kind="mergesort").reset_index(drop=True)
+        tok = d["n_tokens"].to_numpy()
+        cum = np.cumsum(tok) - tok  # exclusive prefix sum
+        # restart the stream at each shard boundary
+        sh = d["shard"].to_numpy()
+        chg = np.r_[True, sh[1:] != sh[:-1]]
+        base = np.maximum.accumulate(np.where(chg, cum, 0))
+        d["seq_id"] = (cum - base) // _PACK_CAP
+        return d
+
+    return _grouped(docs.map_batches(count_tokens, batch_format="pyarrow"), ["shard"], pack)
+
+
+SQL_SEQUENCE_PACK = f"""
+WITH tok AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens
+  FROM documents
+)
+SELECT doc_id, shard, n_tokens,
+       (coalesce(sum(n_tokens) OVER (
+          PARTITION BY shard ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        // {_PACK_CAP})::BIGINT AS seq_id
+FROM tok
+"""
+
+
+_KMEANS_K = 8
+
+
+def q_kmeans_iter(sf_dir: str) -> rd.Dataset:
+    """One deterministic Lloyd iteration of k-means over the embedding
+    table (the clustering step behind domain-discovery / data-mixing
+    curation, e.g. SemDeDup's preprocessing): centroids are the first K
+    vectors, assignment is Euclidean argmin (ties to the smallest
+    centroid id), output is the UPDATED centroid matrix in long form
+    (cluster_id, dim, centroid, n_cluster).  Scale shape: centroids
+    broadcast once via ray.put, per-batch assignment is one matmul, and
+    each batch emits a constant-size (K x D sums + K counts) partial —
+    the driver merge sees K*D rows per block, never the vectors."""
+    import pyarrow.parquet as pq
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", _KMEANS_K)],
+    ).sort_by("vec_id")
+    C = np.array(head["embedding"].to_pylist(), dtype=np.float64)
+    cids = head["vec_id"].to_numpy().astype(np.int64)
+    state_ref = ray.put((C, cids))
+
+    from ..rayutil import ref_token, worker_cached
+
+    _tok = ref_token(state_ref)
+    embs = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        C_l, cids_l = worker_cached("kmeans_centroids", _tok, lambda: ray.get(state_ref))
+        X = np.array(b["embedding"].to_pylist(), dtype=np.float64)
+        # argmin ||x-c||^2 = argmin (||c||^2 - 2 x.c); first min over
+        # id-sorted centroids -> ties to the smallest centroid id
+        d2 = (C_l * C_l).sum(axis=1)[None, :] - 2.0 * (X @ C_l.T)
+        a = np.argmin(d2, axis=1)
+        k, dim = C_l.shape
+        sums = np.zeros((k, dim))
+        np.add.at(sums, a, X)
+        n = np.bincount(a, minlength=k).astype(np.int64)
+        return pa.table(
+            {
+                "cluster_id": pa.array(np.repeat(cids_l, dim)),
+                "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), k)),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(n, dim)),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby(["cluster_id", "dim"], sort=False)[["s", "n"]].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "cluster_id": d["cluster_id"].astype("int64"),
+                "dim": d["dim"].astype("int64"),
+                "centroid": np.round(
+                    d["s"].to_numpy() / np.maximum(d["n"].to_numpy(), 1), 6
+                ),
+                "n_cluster": d["n"].astype("int64"),
+            }
+        )
+
+    return _grouped(
+        embs.map_batches(partial, batch_format="pyarrow"), ["cluster_id", "dim"], merge
+    )
+
+
+SQL_KMEANS_ITER = f"""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+           WHERE vec_id < {_KMEANS_K}),
+assigned AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cid FROM c
+          ORDER BY list_distance(c.ce, e.embedding) ASC, c.cid
+          LIMIT 1) AS cluster_id
+  FROM embeddings e
+), flat AS (
+  SELECT cluster_id, unnest(embedding)::DOUBLE AS v,
+         unnest(range(1, len(embedding) + 1)) AS dim
+  FROM assigned
+)
+SELECT cluster_id, dim, round(avg(v), 6) AS centroid,
+       count(*)::BIGINT AS n_cluster
+FROM flat GROUP BY cluster_id, dim
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4801,6 +5264,11 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "weighted_sample": q_weighted_sample,
     "bm25_topk": q_bm25_topk,
+    "link_degree": q_link_degree,
+    "pagerank": q_pagerank,
+    "domain_stats": q_domain_stats,
+    "sequence_pack": q_sequence_pack,
+    "kmeans_iter": q_kmeans_iter,
 }
 
 ORACLE_SQL = {
@@ -4871,4 +5339,9 @@ ORACLE_SQL = {
     "url_dedup": SQL_URL_DEDUP,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "bm25_topk": SQL_BM25_TOPK,
+    "link_degree": SQL_LINK_DEGREE,
+    "pagerank": SQL_PAGERANK,
+    "domain_stats": SQL_DOMAIN_STATS,
+    "sequence_pack": SQL_SEQUENCE_PACK,
+    "kmeans_iter": SQL_KMEANS_ITER,
 }

@@ -1,0 +1,91 @@
+"""Link-graph, packing and clustering operators vs their DuckDB oracles
+at sf0.001 — degree table, two-iteration PageRank, per-domain crawl
+stats, training-sequence packing, one k-means Lloyd iteration — plus
+semantic invariants (rank mass conservation, degree symmetry, per-shard
+packing monotonicity, cluster-size completeness)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from ehdc_llpg_address_matching_ray.pipelines.queries import (
+    _PACK_CAP,
+    ORACLE_SQL,
+    QUERIES,
+)
+
+GRAPH_PACK = ["link_degree", "pagerank", "domain_stats", "sequence_pack", "kmeans_iter"]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    return con.execute(sql).df()
+
+
+@pytest.mark.parametrize("name", GRAPH_PACK)
+def test_query_matches_oracle(name, ray_session, sf_unit_dir):
+    ray_df = _canon(QUERIES[name](sf_unit_dir).to_pandas())
+    sql_df = _canon(_oracle(sf_unit_dir, ORACLE_SQL[name]))
+    assert len(ray_df) == len(sql_df) > 0, name
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False)
+
+
+def test_degree_symmetry_and_pagerank_mass(ray_session, sf_unit_dir):
+    deg = QUERIES["link_degree"](sf_unit_dir).to_pandas()
+    # every emitted edge has exactly one source and one destination
+    assert deg["out_deg"].sum() == deg["in_deg"].sum() > 0
+    assert (deg["out_deg"] >= 1).all()  # no dangling nodes by construction
+    pr = QUERIES["pagerank"](sf_unit_dir).to_pandas()
+    assert len(pr) == len(deg)
+    # scaled ranks average ~1.0 (total mass is conserved up to damping leaks)
+    assert abs(pr["pr_scaled"].mean() - 1.0) < 1e-3
+    assert (pr["pr_scaled"] > 0).all()
+
+
+def test_sequence_pack_monotone_per_shard(ray_session, sf_unit_dir):
+    d = (
+        QUERIES["sequence_pack"](sf_unit_dir)
+        .to_pandas()
+        .sort_values(["shard", "doc_id"])
+    )
+    for _, g in d.groupby("shard"):
+        seq = g["seq_id"].to_numpy()
+        assert (np.diff(seq) >= 0).all()  # never goes backwards
+        # first doc of each shard starts in sequence 0
+        assert seq[0] == 0
+    # a full sequence holds at most CAP tokens' worth of doc starts
+    tot = d.groupby(["shard", "seq_id"])["n_tokens"].sum()
+    # concat-then-chunk: all but a straddling tail fit the cap window
+    assert (tot.groupby("shard").head(-1) >= 1).all()
+    assert d["n_tokens"].min() >= 1
+
+
+def test_kmeans_cluster_sizes_cover_corpus(ray_session, sf_unit_dir):
+    km = QUERIES["kmeans_iter"](sf_unit_dir).to_pandas()
+    sizes = km.groupby("cluster_id")["n_cluster"].first()
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(
+        os.path.join(sf_unit_dir, "embeddings.parquet")
+    ).num_rows
+    assert sizes.sum() == n
+    # every cluster reports every dimension exactly once
+    assert (km.groupby("cluster_id")["dim"].count() == km["dim"].max()).all()
