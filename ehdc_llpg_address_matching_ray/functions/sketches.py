@@ -91,3 +91,47 @@ def cm_estimate(sketch: np.ndarray, tokens: list[str]) -> np.ndarray:
         return np.array([], dtype=np.int64)
     b = cm_buckets(tokens)
     return np.min(sketch[np.arange(CM_D)[:, None], b], axis=0).astype(np.int64)
+
+
+BLOOM_D = 3
+BLOOM_M = 1 << 11  # bits — deliberately tight so the false-positive
+#   path is exercised at test scale; size m ~ 10n/ln2 in production
+BLOOM_WORD = 32  # bits per word (int64 values stay < 2^32: SQL-safe)
+BLOOM_WORDS = BLOOM_M // BLOOM_WORD
+
+
+def bloom_positions(keys: list[str]) -> np.ndarray:
+    """(d, n) bit-position matrix: row r uses md5(f"b{r}:{key}") % M so
+    each hash function is independent and SQL-reconstructible (same
+    15-hex-digit prefix trick as hash60)."""
+    out = np.empty((BLOOM_D, len(keys)), dtype=np.int64)
+    for r in range(BLOOM_D):
+        out[r] = (
+            np.array(
+                [int(h[:15], 16) for h in TS.md5_hex([f"b{r}:{k}" for k in keys])],
+                dtype=np.int64,
+            )
+            % BLOOM_M
+        )
+    return out
+
+
+def bloom_partial(keys: list[str]) -> np.ndarray:
+    """One batch's bitmap contribution: a dense (BLOOM_WORDS,) int64
+    word vector (32 used bits per word).  Merge partials with
+    np.bitwise_or — the sketch is order-insensitive and mergeable."""
+    words = np.zeros(BLOOM_WORDS, dtype=np.int64)
+    if len(keys):
+        pos = bloom_positions(keys).ravel()
+        np.bitwise_or.at(words, pos // BLOOM_WORD, np.int64(1) << (pos % BLOOM_WORD))
+    return words
+
+
+def bloom_probe(words: np.ndarray, keys: list[str]) -> np.ndarray:
+    """Membership test per key against a merged word vector: True iff
+    all d bits are set.  No false negatives by construction."""
+    if not len(keys):
+        return np.array([], dtype=bool)
+    pos = bloom_positions(keys)
+    hit = (words[pos // BLOOM_WORD] >> (pos % BLOOM_WORD)) & 1
+    return hit.all(axis=0)

@@ -5189,6 +5189,165 @@ FROM flat GROUP BY cluster_id, dim
 """
 
 
+_BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_words_ds(sf_dir: str) -> rd.Dataset:
+    """Merged Bloom-filter word table over one market segment's customer
+    keys: per-batch dense bitmap partial -> nonzero (word_idx, word)
+    rows -> ONE keyed exchange merging by bitwise OR (the sketch is
+    mergeable and order-insensitive)."""
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b["c_mktsegment"], _BLOOM_SEGMENT)
+        keys = [str(k) for k in b.filter(keep)["c_custkey"].to_pylist()]
+        words = SK.bloom_partial(keys)
+        nz = np.nonzero(words)[0]
+        return pa.table(
+            {"word_idx": pa.array(nz.astype(np.int64)), "word": pa.array(words[nz])}
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = np.zeros(SK.BLOOM_WORDS, dtype=np.int64)
+        np.bitwise_or.at(out, df["word_idx"].to_numpy(), df["word"].to_numpy())
+        nz = np.nonzero(out)[0]
+        return pd.DataFrame({"word_idx": nz.astype(np.int64), "word": out[nz]})
+
+    return _grouped(cust.map_batches(partial, batch_format="pyarrow"), ["word_idx"], merge)
+
+
+def q_bloom_filter(sf_dir: str) -> rd.Dataset:
+    """The Bloom filter itself (m = 2^11 bits as 64 32-bit words in
+    int64, d = 3 md5-derived hash functions) built over the BUILDING
+    segment's customer keys — the broadcast-side artifact of a bloom
+    join.  Value-hash oracle: the SQL twin rebuilds every bit with the
+    same md5 prefix trick and bit_or."""
+    return _bloom_words_ds(sf_dir)
+
+
+SQL_BLOOM_FILTER = f"""
+WITH keys AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+), pos AS (
+  SELECT CAST(('0x' || substr(md5('b' || t.r::VARCHAR || ':' || c_custkey::VARCHAR),
+               1, 15)) AS BIGINT) % {SK.BLOOM_M} AS p
+  FROM keys CROSS JOIN range({SK.BLOOM_D}) t(r)
+)
+SELECT (p // {SK.BLOOM_WORD})::BIGINT AS word_idx,
+       bit_or(1::BIGINT << (p % {SK.BLOOM_WORD}))::BIGINT AS word
+FROM pos GROUP BY 1
+"""
+
+
+def q_bloom_join(sf_dir: str) -> rd.Dataset:
+    """Bloom-join pruning — THE broadcast trick that saves an all-to-all
+    shuffle at 100 TB: build the segment filter once (32 KB), broadcast
+    it, probe the big side statelessly, and only the survivors pay the
+    exact semi-join exchange (non-survivors are guaranteed non-matches:
+    a Bloom filter has no false negatives).  Output per order:
+    (o_orderkey, bloom_pass, true_match); the gap between the two
+    booleans is the filter's false-positive set, which the oracle
+    reproduces bit-for-bit."""
+    words_tbl = _gather_fit(_bloom_words_ds(sf_dir))
+    words = np.zeros(SK.BLOOM_WORDS, dtype=np.int64)
+    words[words_tbl["word_idx"].to_numpy()] = words_tbl["word"].to_numpy()
+    ref = ray.put(words)
+
+    from ..rayutil import ref_token, worker_cached
+
+    _tok = ref_token(ref)
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def probe(b: pa.Table) -> pa.Table:
+        w = worker_cached("bloom_words", _tok, lambda: ray.get(ref))
+        keys = [str(k) for k in b["o_custkey"].to_pylist()]
+        return b.append_column("bloom_pass", pa.array(SK.bloom_probe(w, keys)))
+
+    probed = orders.map_batches(probe, batch_format="pyarrow")
+    surv = probed.map_batches(
+        lambda b: b.filter(b["bloom_pass"]), batch_format="pyarrow"
+    )
+    def reject_rows(b: pa.Table) -> pa.Table:
+        r = b.filter(pc.invert(b["bloom_pass"]))
+        falses = pa.array(np.zeros(r.num_rows, np.bool_))
+        return pa.table(
+            {"o_orderkey": r["o_orderkey"], "bloom_pass": falses, "true_match": falses}
+        )
+
+    rejected = probed.map_batches(reject_rows, batch_format="pyarrow")
+
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def cust_rows(b: pa.Table) -> pa.Table:
+        k = b.filter(pc.equal(b["c_mktsegment"], _BLOOM_SEGMENT))["c_custkey"]
+        return pa.table(
+            {
+                "key": k,
+                "o_orderkey": pa.array(np.full(len(k), -1, np.int64)),
+                "is_cust": pa.array(np.ones(len(k), np.bool_)),
+            }
+        )
+
+    def surv_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["o_custkey"],
+                "o_orderkey": b["o_orderkey"],
+                "is_cust": pa.array(np.zeros(b.num_rows, np.bool_)),
+            }
+        )
+
+    def semi(df: pd.DataFrame) -> pd.DataFrame:
+        o = df[~df["is_cust"]]
+        have = df.loc[df["is_cust"], "key"].to_numpy()
+        return pd.DataFrame(
+            {
+                "o_orderkey": o["o_orderkey"].to_numpy(),
+                "bloom_pass": np.ones(len(o), np.bool_),
+                "true_match": np.isin(o["key"].to_numpy(), have),
+            }
+        )
+
+    joined = _grouped(
+        surv.map_batches(surv_rows, batch_format="pyarrow").union(
+            cust.map_batches(cust_rows, batch_format="pyarrow")
+        ),
+        ["key"],
+        semi,
+    )
+    return joined.union(rejected)
+
+
+SQL_BLOOM_JOIN = f"""
+WITH keys AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+), pos AS (
+  SELECT CAST(('0x' || substr(md5('b' || t.r::VARCHAR || ':' || c_custkey::VARCHAR),
+               1, 15)) AS BIGINT) % {SK.BLOOM_M} AS p
+  FROM keys CROSS JOIN range({SK.BLOOM_D}) t(r)
+), words AS (
+  SELECT p // {SK.BLOOM_WORD} AS word_idx,
+         bit_or(1::BIGINT << (p % {SK.BLOOM_WORD})) AS word
+  FROM pos GROUP BY 1
+), probe AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(('0x' || substr(md5('b' || t.r::VARCHAR || ':' || o_custkey::VARCHAR),
+               1, 15)) AS BIGINT) % {SK.BLOOM_M} AS p
+  FROM orders CROSS JOIN range({SK.BLOOM_D}) t(r)
+), hits AS (
+  SELECT o_orderkey,
+         count(*) FILTER (WHERE ((w.word >> (p % {SK.BLOOM_WORD})) & 1) = 1) AS nb
+  FROM probe LEFT JOIN words w ON w.word_idx = p // {SK.BLOOM_WORD}
+  GROUP BY 1
+)
+SELECT o.o_orderkey,
+       (h.nb = {SK.BLOOM_D}) AS bloom_pass,
+       EXISTS (SELECT 1 FROM keys k WHERE k.c_custkey = o.o_custkey) AS true_match
+FROM orders o JOIN hits h USING (o_orderkey)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5269,6 +5428,8 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "sequence_pack": q_sequence_pack,
     "kmeans_iter": q_kmeans_iter,
+    "bloom_filter": q_bloom_filter,
+    "bloom_join": q_bloom_join,
 }
 
 ORACLE_SQL = {
@@ -5344,4 +5505,6 @@ ORACLE_SQL = {
     "domain_stats": SQL_DOMAIN_STATS,
     "sequence_pack": SQL_SEQUENCE_PACK,
     "kmeans_iter": SQL_KMEANS_ITER,
+    "bloom_filter": SQL_BLOOM_FILTER,
+    "bloom_join": SQL_BLOOM_JOIN,
 }

@@ -200,3 +200,51 @@ def test_hll_estimate_close_to_exact(ray_session, sf_unit_dir):
         g = regs[regs["lang"] == lang]
         est = SK.hll_estimate(g["bucket"].to_numpy(), g["rho"].to_numpy())
         assert abs(est - n) / n < 0.13, (lang, est, n)
+
+
+class TestBloom:
+    def test_partial_merge_probe(self):
+        w1 = SK.bloom_partial(["10", "20"])
+        w2 = SK.bloom_partial(["30"])
+        merged = np.bitwise_or(w1, w2)
+        assert SK.bloom_probe(merged, ["10", "20", "30"]).all()
+        # merge order never matters
+        assert (np.bitwise_or(w2, w1) == merged).all()
+        assert len(merged) == SK.BLOOM_WORDS
+        assert (merged >> 32 == 0).all()  # 32-bit words stay SQL-safe
+
+    def test_no_false_negatives_ever(self):
+        keys = [str(i) for i in range(500)]
+        w = SK.bloom_partial(keys)
+        assert SK.bloom_probe(w, keys).all()
+
+    def test_empty(self):
+        assert (SK.bloom_partial([]) == 0).all()
+        assert SK.bloom_probe(np.zeros(SK.BLOOM_WORDS, np.int64), []).size == 0
+
+
+BLOOM_QUERIES = ["bloom_filter", "bloom_join"]
+
+
+@pytest.mark.parametrize("name", BLOOM_QUERIES)
+def test_bloom_query_matches_oracle(name, ray_session, sf_unit_dir):
+    import duckdb as _dd
+
+    con = _dd.connect()
+    for t in ("customer", "orders"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
+            f"'{os.path.join(sf_unit_dir, t + '.parquet')}')"
+        )
+    ray_df = _canon(QUERIES[name](sf_unit_dir).to_pandas())
+    sql_df = _canon(con.execute(ORACLE_SQL[name]).df())
+    assert len(ray_df) == len(sql_df) > 0, name
+    pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False)
+
+
+def test_bloom_join_semantics(ray_session, sf_unit_dir):
+    bj = QUERIES["bloom_join"](sf_unit_dir).to_pandas()
+    # no false negatives: every true match passed the filter
+    assert not (bj["true_match"] & ~bj["bloom_pass"]).any()
+    # the filter prunes most of the big side before the semi-join
+    assert bj["bloom_pass"].sum() < len(bj)
