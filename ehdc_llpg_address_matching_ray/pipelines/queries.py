@@ -4988,15 +4988,11 @@ def q_domain_stats(sf_dir: str) -> rd.Dataset:
         )
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.groupby("domain", sort=False).agg(
-            n_docs=("n_chars", "size"), total_chars=("n_chars", "sum")
+        return (
+            df.groupby(["domain", "lang"], sort=False)
+            .agg(n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+            .reset_index()
         )
-        langs = (
-            df[["domain", "lang"]]
-            .drop_duplicates()
-            .set_index("domain")["lang"]
-        )
-        return d.join(langs, how="left").reset_index()
 
     def merge(df: pd.DataFrame) -> pd.DataFrame:
         d = df.groupby("domain", sort=False).agg(
