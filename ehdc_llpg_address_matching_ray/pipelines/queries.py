@@ -5185,6 +5185,96 @@ FROM flat GROUP BY cluster_id, dim
 """
 
 
+_Q5_REGION = "ASIA"
+
+
+def q_local_supplier_volume(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q5 shape — revenue per nation in one region where the
+    CUSTOMER and the SUPPLIER share the nation (the classic
+    six-table star join).  Scale shape: region x nation (5 x 25 rows,
+    genuinely fixed) fold to ONE broadcast nationkey -> name dict;
+    supplier and customer SCALE with sf so both are hash-JOINED
+    (lineitem⋈supplier on suppkey, orders⋈customer on custkey, then
+    lineitem⋈orders on orderkey); the co-nation filter and revenue
+    partial-aggregate run per block before a ~25-row final groupby."""
+    region = {
+        int(k): str(v)
+        for k, v in zip(pq_col(sf_dir, "region", "r_regionkey"), pq_col(sf_dir, "region", "r_name"))
+    }
+    keep_rk = {k for k, v in region.items() if v == _Q5_REGION}
+    nation = {
+        int(k): str(v)
+        for k, v, rk in zip(
+            pq_col(sf_dir, "nation", "n_nationkey"),
+            pq_col(sf_dir, "nation", "n_name"),
+            pq_col(sf_dir, "nation", "n_regionkey"),
+        )
+        if int(rk) in keep_rk
+    }
+    nation_ref = ray.put(nation)
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda b: pa.table({"l_suppkey": b["s_suppkey"], "s_nationkey": b["s_nationkey"]}),
+        batch_format="pyarrow",
+    )
+    li_s = engine_join(li, supp, ("l_suppkey",), how="inner", num_partitions=8)
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda b: pa.table({"o_custkey": b["c_custkey"], "c_nationkey": b["c_nationkey"]}),
+        batch_format="pyarrow",
+    )
+    o_n = engine_join(orders, cust, ("o_custkey",), how="inner", num_partitions=8).map_batches(
+        lambda b: pa.table({"l_orderkey": b["o_orderkey"], "c_nationkey": b["c_nationkey"]}),
+        batch_format="pyarrow",
+    )
+    joined = engine_join(li_s, o_n, ("l_orderkey",), how="inner", num_partitions=8)
+
+    from ..rayutil import ref_token, worker_cached
+
+    _tok = ref_token(nation_ref)
+
+    def partial_agg(b: pa.Table) -> pa.Table:
+        nat = worker_cached("q5_nation_lut", _tok, lambda: ray.get(nation_ref))
+        same = pc.equal(b["s_nationkey"], b["c_nationkey"])
+        b = b.filter(same)
+        nk = b["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        in_region = np.isin(nk, np.fromiter(nat.keys(), np.int64, len(nat)))
+        b, nk = b.filter(pa.array(in_region)), nk[in_region]
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        t = pa.table({"nk": pa.array(nk), "rev": rev})
+        g = t.group_by("nk").aggregate([("rev", "sum")])
+        return pa.table(
+            {
+                "n_name": pa.array([nat[int(k)] for k in g["nk"].to_pylist()], pa.string()),
+                "rev": g["rev_sum"],
+            }
+        )
+
+    partial = joined.map_batches(partial_agg, batch_format="pyarrow")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("n_name", sort=False, as_index=False).agg(revenue=("rev", "sum"))
+        g["revenue"] = g["revenue"].round(2)
+        return g
+
+    return _grouped(partial, ["n_name"], final)
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = f"""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN region ON r_regionkey = n_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = '{_Q5_REGION}'
+GROUP BY n_name
+"""
+
+
 _BLOOM_SEGMENT = "BUILDING"
 
 
@@ -5426,6 +5516,7 @@ QUERIES = {
     "kmeans_iter": q_kmeans_iter,
     "bloom_filter": q_bloom_filter,
     "bloom_join": q_bloom_join,
+    "local_supplier_volume": q_local_supplier_volume,
 }
 
 ORACLE_SQL = {
@@ -5503,4 +5594,5 @@ ORACLE_SQL = {
     "kmeans_iter": SQL_KMEANS_ITER,
     "bloom_filter": SQL_BLOOM_FILTER,
     "bloom_join": SQL_BLOOM_JOIN,
+    "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
 }

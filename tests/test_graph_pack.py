@@ -19,7 +19,14 @@ from ehdc_llpg_address_matching_ray.pipelines.queries import (
     QUERIES,
 )
 
-GRAPH_PACK = ["link_degree", "pagerank", "domain_stats", "sequence_pack", "kmeans_iter"]
+GRAPH_PACK = [
+    "link_degree",
+    "pagerank",
+    "domain_stats",
+    "sequence_pack",
+    "kmeans_iter",
+    "local_supplier_volume",
+]
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -32,7 +39,16 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("documents", "embeddings"):
+    for t in (
+        "documents",
+        "embeddings",
+        "region",
+        "nation",
+        "supplier",
+        "customer",
+        "orders",
+        "lineitem",
+    ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
             f"'{os.path.join(sf_dir, t + '.parquet')}')"
