@@ -5185,6 +5185,209 @@ FROM flat GROUP BY cluster_id, dim
 """
 
 
+_PMI_MINC = 20
+
+
+def q_pmi_bigrams(sf_dir: str) -> rd.Dataset:
+    """PMI collocation extraction (Church & Hanks 1990): every adjacent
+    token bigram with count >= 20, scored pmi = ln(p(ab)/(p(a)p(b)))
+    over corpus-wide counts.  Scale shape: per-batch partial counts
+    (unigram rows tagged w2='', bigram rows (w1,w2)) share ONE keyed
+    exchange on w1 — all (w1,*) rows co-locate, so the bigram merge,
+    min-count filter and p(w1) attach happen in the same partition
+    visit; a SECOND exchange on w2 attaches p(w2); corpus totals come
+    from a constant-size-per-batch fit.  No vocabulary ever gathers to
+    the driver — unigram tables shuffle-join like any other keyed data."""
+    docs = _t(sf_dir, "documents", ["text"])
+
+    def partials(b: pa.Table) -> pa.Table:
+        row, codes, _, vocab = _flat_token_codes(pc.fill_null(b["text"], ""))
+        toks = np.asarray(vocab.to_pylist(), dtype=object)[codes]
+        uw, uc = np.unique(toks, return_counts=True)
+        w1s, w2s, cnts = [uw], [np.full(len(uw), "", dtype=object)], [uc]
+        if len(row) > 1:
+            adj = row[1:] == row[:-1]
+            a, bt = toks[:-1][adj], toks[1:][adj]
+            if len(a):
+                # tokens are \S+ so a space can never appear inside one
+                pair = np.char.add(np.char.add(a.astype(str), " "), bt.astype(str))
+                up, pc_ = np.unique(pair, return_counts=True)
+                parts = np.char.partition(up, " ")
+                w1s.append(parts[:, 0].astype(object))
+                w2s.append(parts[:, 2].astype(object))
+                cnts.append(pc_)
+        return pa.table(
+            {
+                "w1": pa.array(np.concatenate(w1s), pa.string()),
+                "w2": pa.array(np.concatenate(w2s), pa.string()),
+                "cnt": pa.array(np.concatenate(cnts).astype(np.int64)),
+            }
+        )
+
+    part = docs.map_batches(partials, batch_format="pyarrow")
+
+    def totals(b: pa.Table) -> pa.Table:
+        row, _, _, _ = _flat_token_codes(pc.fill_null(b["text"], ""))
+        n_tok = len(row)
+        n_pairs = int((row[1:] == row[:-1]).sum()) if n_tok > 1 else 0
+        return pa.table(
+            {"k": pa.array(["t", "p"]), "v": pa.array([n_tok, n_pairs], pa.int64())}
+        )
+
+    tot = (
+        _gather_fit(docs.map_batches(totals, batch_format="pyarrow"))
+        .to_pandas()
+        .groupby("k")["v"]
+        .sum()
+    )
+    n_tok, n_pairs = float(tot["t"]), float(tot["p"])
+
+    def merge1(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["w1", "w2"], sort=False)["cnt"].sum().reset_index()
+        uni = g[g["w2"] == ""].set_index("w1")["cnt"]
+        big = g[(g["w2"] != "") & (g["cnt"] >= _PMI_MINC)]
+        out = big.assign(c_a=big["w1"].map(uni).astype("int64"))
+        # re-emit this partition's unigram rows so the second exchange
+        # can attach p(w2) without any driver-side vocabulary
+        uni_rows = pd.DataFrame(
+            {"w1": "", "w2": uni.index, "cnt": uni.to_numpy(), "c_a": -1}
+        )
+        return pd.concat([out, uni_rows], ignore_index=True)
+
+    stage1 = _grouped(part, ["w1"], merge1)
+
+    def merge2(df: pd.DataFrame) -> pd.DataFrame:
+        uni = df[df["w1"] == ""].groupby("w2")["cnt"].sum()
+        surv = df[df["w1"] != ""]
+        if not len(surv):
+            return pd.DataFrame(
+                {
+                    "w1": pd.Series([], dtype="object"),
+                    "w2": pd.Series([], dtype="object"),
+                    "pair_count": pd.Series([], dtype="int64"),
+                    "pmi": pd.Series([], dtype="float64"),
+                }
+            )
+        c_b = surv["w2"].map(uni).to_numpy(dtype=np.float64)
+        pmi = (
+            np.log(surv["cnt"].to_numpy() / n_pairs)
+            - np.log(surv["c_a"].to_numpy() / n_tok)
+            - np.log(c_b / n_tok)
+        )
+        return pd.DataFrame(
+            {
+                "w1": surv["w1"].to_numpy(),
+                "w2": surv["w2"].to_numpy(),
+                "pair_count": surv["cnt"].astype("int64").to_numpy(),
+                "pmi": np.round(pmi, 6),
+            }
+        )
+
+    return _grouped(stage1, ["w2"], merge2)
+
+
+SQL_PMI_BIGRAMS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS ts FROM documents
+), uni AS (
+  SELECT t.tok AS w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(ts) AS tok FROM toks) t GROUP BY 1
+), pairs AS (
+  SELECT ts[i] AS w1, ts[i+1] AS w2
+  FROM toks, unnest(range(1, len(ts))) u(i)
+), big AS (
+  SELECT w1, w2, count(*)::BIGINT AS pair_count FROM pairs GROUP BY 1, 2
+), tot AS (
+  SELECT (SELECT sum(c) FROM uni)::DOUBLE AS n_tok,
+         (SELECT count(*) FROM pairs)::DOUBLE AS n_pairs
+)
+SELECT b.w1, b.w2, b.pair_count,
+       round(ln(b.pair_count / n_pairs) - ln(ua.c / n_tok) - ln(ub.c / n_tok),
+             6) AS pmi
+FROM big b JOIN uni ua ON ua.w = b.w1 JOIN uni ub ON ub.w = b.w2, tot
+WHERE b.pair_count >= {_PMI_MINC}
+"""
+
+
+def q_funnel(sf_dir: str) -> rd.Dataset:
+    """Windowed ordered-sequence funnel (view -> click-within-2-days ->
+    purchase-within-2-days): per user, the deepest stage reached where
+    each step must happen strictly after the previous step's earliest
+    occurrence AND inside its conversion window — the standard
+    product-analytics sequence-match that needs per-key ordered state,
+    not plain aggregation.  Scale shape: event_type pre-filtered at the
+    read, ONE keyed exchange on user_id, then three vectorized
+    per-partition passes (per-user min, window-gated min, again) — no
+    per-user Python loop, rows never leave their partition."""
+    ev = _t(sf_dir, "events", ["ts", "user_id", "event_type"])
+    wanted = pa.array(["view", "click", "purchase"])
+    ev = ev.map_batches(
+        lambda b: b.filter(pc.is_in(b["event_type"], value_set=wanted)),
+        batch_format="pyarrow",
+    )
+
+    def stages(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "funnel_stage": pd.Series([], dtype="int64"),
+                }
+            )
+        users = np.sort(df["user_id"].unique())
+        out = pd.DataFrame({"user_id": users}).set_index("user_id")
+        win = pd.Timedelta(days=2)
+        t1 = df[df["event_type"] == "view"].groupby("user_id")["ts"].min()
+        c = df[df["event_type"] == "click"].copy()
+        c["t1"] = c["user_id"].map(t1)
+        t2 = (
+            c[(c["ts"] > c["t1"]) & (c["ts"] <= c["t1"] + win)]
+            .groupby("user_id")["ts"]
+            .min()
+        )
+        p = df[df["event_type"] == "purchase"].copy()
+        p["t2"] = p["user_id"].map(t2)
+        t3 = (
+            p[(p["ts"] > p["t2"]) & (p["ts"] <= p["t2"] + win)]
+            .groupby("user_id")["ts"]
+            .min()
+        )
+        stage = (
+            out.index.isin(t1.index).astype(np.int64)
+            + out.index.isin(t2.index).astype(np.int64)
+            + out.index.isin(t3.index).astype(np.int64)
+        )
+        return pd.DataFrame({"user_id": users, "funnel_stage": stage})
+
+    return _grouped(ev, ["user_id"], stages)
+
+
+SQL_FUNNEL = """
+WITH f AS (
+  SELECT * FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), v AS (
+  SELECT user_id, min(ts) AS t1 FROM f WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT f.user_id, min(f.ts) AS t2
+  FROM f JOIN v USING (user_id)
+  WHERE f.event_type = 'click' AND f.ts > v.t1
+    AND f.ts <= v.t1 + INTERVAL 2 DAY GROUP BY 1
+), p AS (
+  SELECT f.user_id, min(f.ts) AS t3
+  FROM f JOIN c USING (user_id)
+  WHERE f.event_type = 'purchase' AND f.ts > c.t2
+    AND f.ts <= c.t2 + INTERVAL 2 DAY GROUP BY 1
+)
+SELECT u.user_id,
+       ((v.user_id IS NOT NULL)::INT + (c.user_id IS NOT NULL)::INT
+        + (p.user_id IS NOT NULL)::INT)::BIGINT AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM f) u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+"""
+
+
 _Q5_REGION = "ASIA"
 
 
@@ -5517,6 +5720,8 @@ QUERIES = {
     "bloom_filter": q_bloom_filter,
     "bloom_join": q_bloom_join,
     "local_supplier_volume": q_local_supplier_volume,
+    "pmi_bigrams": q_pmi_bigrams,
+    "funnel": q_funnel,
 }
 
 ORACLE_SQL = {
@@ -5595,4 +5800,6 @@ ORACLE_SQL = {
     "bloom_filter": SQL_BLOOM_FILTER,
     "bloom_join": SQL_BLOOM_JOIN,
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
+    "pmi_bigrams": SQL_PMI_BIGRAMS,
+    "funnel": SQL_FUNNEL,
 }

@@ -26,6 +26,8 @@ GRAPH_PACK = [
     "sequence_pack",
     "kmeans_iter",
     "local_supplier_volume",
+    "pmi_bigrams",
+    "funnel",
 ]
 
 
@@ -48,6 +50,7 @@ def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
         "customer",
         "orders",
         "lineitem",
+        "events",
     ):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
@@ -105,3 +108,19 @@ def test_kmeans_cluster_sizes_cover_corpus(ray_session, sf_unit_dir):
     assert sizes.sum() == n
     # every cluster reports every dimension exactly once
     assert (km.groupby("cluster_id")["dim"].count() == km["dim"].max()).all()
+
+
+def test_pmi_semantics(ray_session, sf_unit_dir):
+    d = QUERIES["pmi_bigrams"](sf_unit_dir).to_pandas()
+    from ehdc_llpg_address_matching_ray.pipelines.queries import _PMI_MINC
+
+    assert (d["pair_count"] >= _PMI_MINC).all()
+    # collocations exist above AND below independence (pmi spans zero)
+    assert d["pmi"].max() > 0 > d["pmi"].min()
+
+
+def test_funnel_stages_monotone(ray_session, sf_unit_dir):
+    d = QUERIES["funnel"](sf_unit_dir).to_pandas()
+    assert set(d["funnel_stage"].unique()) <= {0, 1, 2, 3}
+    # the 2-day windows must actually discriminate on this corpus
+    assert d["funnel_stage"].nunique() >= 2
