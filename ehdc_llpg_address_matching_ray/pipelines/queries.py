@@ -5185,6 +5185,94 @@ FROM flat GROUP BY cluster_id, dim
 """
 
 
+def q_snapshot_diff(sf_dir: str) -> rd.Dataset:
+    """CDC-style snapshot diff — the daily-ingest primitive that decides
+    which records to reprocess: classify every doc_id across two corpus
+    snapshots as unchanged / updated / deleted / added by comparing
+    content hashes.  The 'new' snapshot is synthesized deterministically
+    from the same table (doc_id % 11 == 3 dropped, doc_id % 7 == 2 text
+    revised, a shifted-id tail appended) so the oracle can rebuild it.
+    Scale shape: both snapshots cross ONE keyed exchange on doc_id as
+    narrow (id, md5-hash, side) rows — never the text — then a
+    vectorized per-partition compare."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    n = _doc_count(sf_dir)
+
+    def old_rows(b: pa.Table) -> pa.Table:
+        h = TS.md5_hex(pc.fill_null(b["text"], "").to_pylist())
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "h": pa.array(h, pa.string()),
+                "is_new": pa.array(np.zeros(b.num_rows, np.bool_)),
+            }
+        )
+
+    def new_rows(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = pc.fill_null(b["text"], "")
+        revised = pc.if_else(
+            pa.array(did % 7 == 2), pc.binary_join_element_wise(txt, " v2", ""), txt
+        )
+        keep = did % 11 != 3
+        ids = [did[keep]]
+        hs = [np.asarray(TS.md5_hex(revised.to_pylist()), dtype=object)[keep]]
+        # appended tail: every 13th doc reappears under a shifted id
+        add = did % 13 == 1
+        if add.any():
+            ids.append(did[add] + n)
+            hs.append(np.asarray(TS.md5_hex(txt.to_pylist()), dtype=object)[add])
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(ids)),
+                "h": pa.array(np.concatenate(hs), pa.string()),
+                "is_new": pa.array(np.ones(sum(len(i) for i in ids), np.bool_)),
+            }
+        )
+
+    def diff(df: pd.DataFrame) -> pd.DataFrame:
+        old = df[~df["is_new"]].set_index("doc_id")["h"]
+        new = df[df["is_new"]].set_index("doc_id")["h"]
+        all_ids = old.index.union(new.index)
+        oh = old.reindex(all_ids)
+        nh = new.reindex(all_ids)
+        status = np.where(
+            oh.isna(),
+            "added",
+            np.where(nh.isna(), "deleted", np.where(oh == nh, "unchanged", "updated")),
+        )
+        return pd.DataFrame(
+            {"doc_id": all_ids.to_numpy().astype(np.int64), "status": status}
+        )
+
+    both = docs.map_batches(old_rows, batch_format="pyarrow").union(
+        docs.map_batches(new_rows, batch_format="pyarrow")
+    )
+    return _grouped(both, ["doc_id"], diff)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), new_base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 2 THEN md5(text || ' v2') ELSE md5(text) END AS h
+  FROM documents WHERE doc_id % 11 != 3
+), new_tail AS (
+  SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id, md5(text) AS h
+  FROM documents WHERE doc_id % 13 = 1
+), new AS (
+  SELECT * FROM new_base UNION ALL SELECT * FROM new_tail
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'deleted'
+            WHEN o.h = n.h THEN 'unchanged'
+            ELSE 'updated' END AS status
+FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+"""
+
+
 _PMI_MINC = 20
 
 
@@ -5722,6 +5810,7 @@ QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "pmi_bigrams": q_pmi_bigrams,
     "funnel": q_funnel,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLE_SQL = {
@@ -5802,4 +5891,5 @@ ORACLE_SQL = {
     "local_supplier_volume": SQL_LOCAL_SUPPLIER_VOLUME,
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "funnel": SQL_FUNNEL,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
 }

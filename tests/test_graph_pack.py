@@ -28,6 +28,7 @@ GRAPH_PACK = [
     "local_supplier_volume",
     "pmi_bigrams",
     "funnel",
+    "snapshot_diff",
 ]
 
 
@@ -124,3 +125,11 @@ def test_funnel_stages_monotone(ray_session, sf_unit_dir):
     assert set(d["funnel_stage"].unique()) <= {0, 1, 2, 3}
     # the 2-day windows must actually discriminate on this corpus
     assert d["funnel_stage"].nunique() >= 2
+
+
+def test_snapshot_diff_classes(ray_session, sf_unit_dir):
+    d = QUERIES["snapshot_diff"](sf_unit_dir).to_pandas()
+    counts = d["status"].value_counts()
+    # all four CDC classes occur and partition the id universe
+    assert set(counts.index) == {"unchanged", "updated", "deleted", "added"}
+    assert d["doc_id"].is_unique
