@@ -63,9 +63,9 @@ def _sort_join_params(query: pa.Array) -> pa.Array:
 
 def canonical_url_batch(urls: pa.Array) -> pa.Array:
     """Vectorized canonical form of a URL column (see module docstring)."""
-    u = pc.fill_null(urls, "")
+    orig = pc.fill_null(urls, "")
     # 1. fragment
-    u = pc.replace_substring_regex(u, "#.*$", "")
+    u = pc.replace_substring_regex(orig, "#.*$", "")
     # 2. split head (scheme://authority) from tail; lowercase the head
     head = pc.utf8_lower(
         pc.replace_substring_regex(u, _HEAD_RE + r"(?:[/?#].*)?$", r"\1")
@@ -87,6 +87,6 @@ def canonical_url_batch(urls: pa.Array) -> pa.Array:
         pc.and_(has_q, pc.not_equal(query, "")), pa.scalar("?"), pa.scalar("")
     )
     canon = pc.binary_join_element_wise(head, path, qmark, query, "")
-    # a string without :// has no authority to normalize — pass it through
-    # unchanged rather than mis-splitting it
-    return pc.if_else(pc.match_substring(u, "://"), canon, u)
+    # a string without :// has no authority to normalize — pass the ORIGINAL
+    # through untouched (fragment included) rather than mis-splitting it
+    return pc.if_else(pc.match_substring(orig, "://"), canon, orig)

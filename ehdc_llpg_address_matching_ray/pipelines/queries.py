@@ -4790,6 +4790,14 @@ def q_link_degree(sf_dir: str) -> rd.Dataset:
 
     def partials(b: pa.Table) -> pa.Table:
         es, ed, deg = _synth_edges(b, n)
+        if not len(es):
+            return pa.table(
+                {
+                    "node": b["doc_id"],
+                    "out": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "inn": pa.array(np.zeros(b.num_rows, np.int64)),
+                }
+            )
         chg = np.r_[True, es[1:] != es[:-1]]
         run = np.nonzero(chg)[0]
         # in-degree partial: count each batch's dst hits once per node
@@ -4899,7 +4907,9 @@ def q_pagerank(sf_dir: str) -> rd.Dataset:
             return pd.DataFrame(
                 {"node": pd.Series([], dtype="int64"), "c": pd.Series([], dtype="float64")}
             )
-        # sources with no in-links carry the teleport-only rank
+        # r1 covers the full node universe (contrib1 unions zero markers
+        # per doc), so the left-merge never yields NaN; fillna(base) is a
+        # pure defensive guard against a future marker removal
         r = (
             edges[["key"]]
             .merge(ranks[["key", "r"]], on="key", how="left")["r"]
@@ -5171,7 +5181,7 @@ WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
 assigned AS (
   SELECT e.vec_id, e.embedding,
          (SELECT c.cid FROM c
-          ORDER BY list_distance(c.ce, e.embedding) ASC, c.cid
+          ORDER BY list_distance(c.ce::DOUBLE[], e.embedding::DOUBLE[]) ASC, c.cid
           LIMIT 1) AS cluster_id
   FROM embeddings e
 ), flat AS (
@@ -5211,17 +5221,24 @@ def q_snapshot_diff(sf_dir: str) -> rd.Dataset:
     def new_rows(b: pa.Table) -> pa.Table:
         did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         txt = pc.fill_null(b["text"], "")
-        revised = pc.if_else(
-            pa.array(did % 7 == 2), pc.binary_join_element_wise(txt, " v2", ""), txt
-        )
         keep = did % 11 != 3
-        ids = [did[keep]]
-        hs = [np.asarray(TS.md5_hex(revised.to_pylist()), dtype=object)[keep]]
+        kept_txt = txt.filter(pa.array(keep))
+        kept_did = did[keep]
+        revised = pc.if_else(
+            pa.array(kept_did % 7 == 2),
+            pc.binary_join_element_wise(kept_txt, " v2", ""),
+            kept_txt,
+        )
+        # md5 only over surviving rows — hashing is the dominant cost here
+        ids = [kept_did]
+        hs = [np.asarray(TS.md5_hex(revised.to_pylist()), dtype=object)]
         # appended tail: every 13th doc reappears under a shifted id
         add = did % 13 == 1
         if add.any():
             ids.append(did[add] + n)
-            hs.append(np.asarray(TS.md5_hex(txt.to_pylist()), dtype=object)[add])
+            hs.append(
+                np.asarray(TS.md5_hex(txt.filter(pa.array(add)).to_pylist()), dtype=object)
+            )
         return pa.table(
             {
                 "doc_id": pa.array(np.concatenate(ids)),

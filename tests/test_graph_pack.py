@@ -8,10 +8,11 @@ from __future__ import annotations
 
 import os
 
-import duckdb
 import numpy as np
 import pandas as pd
 import pytest
+
+from oracle_utils import canon_frame, duck_oracle
 
 from ehdc_llpg_address_matching_ray.pipelines.queries import (
     _PACK_CAP,
@@ -32,38 +33,10 @@ GRAPH_PACK = [
 ]
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-
-
-def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for t in (
-        "documents",
-        "embeddings",
-        "region",
-        "nation",
-        "supplier",
-        "customer",
-        "orders",
-        "lineitem",
-        "events",
-    ):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
-            f"'{os.path.join(sf_dir, t + '.parquet')}')"
-        )
-    return con.execute(sql).df()
-
-
 @pytest.mark.parametrize("name", GRAPH_PACK)
 def test_query_matches_oracle(name, ray_session, sf_unit_dir):
-    ray_df = _canon(QUERIES[name](sf_unit_dir).to_pandas())
-    sql_df = _canon(_oracle(sf_unit_dir, ORACLE_SQL[name]))
+    ray_df = canon_frame(QUERIES[name](sf_unit_dir).to_pandas())
+    sql_df = canon_frame(duck_oracle(sf_unit_dir, ORACLE_SQL[name]))
     assert len(ray_df) == len(sql_df) > 0, name
     pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False)
 
@@ -91,10 +64,14 @@ def test_sequence_pack_monotone_per_shard(ray_session, sf_unit_dir):
         assert (np.diff(seq) >= 0).all()  # never goes backwards
         # first doc of each shard starts in sequence 0
         assert seq[0] == 0
-    # a full sequence holds at most CAP tokens' worth of doc starts
+        # every doc's START offset must land inside its sequence window:
+        # recompute exclusive prefix sums and check the cap bound
+        start = np.cumsum(g["n_tokens"].to_numpy()) - g["n_tokens"].to_numpy()
+        assert (start // _PACK_CAP == seq).all()
+    # all docs starting in one (shard, seq) minus its last doc fit the cap
     tot = d.groupby(["shard", "seq_id"])["n_tokens"].sum()
-    # concat-then-chunk: all but a straddling tail fit the cap window
-    assert (tot.groupby("shard").head(-1) >= 1).all()
+    last = d.groupby(["shard", "seq_id"])["n_tokens"].last()
+    assert ((tot - last) < _PACK_CAP).all()
     assert d["n_tokens"].min() >= 1
 
 

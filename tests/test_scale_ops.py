@@ -9,9 +9,10 @@ from __future__ import annotations
 
 import os
 
-import duckdb
 import pandas as pd
 import pytest
+
+from oracle_utils import canon_frame, duck_oracle
 
 from ehdc_llpg_address_matching_ray.pipelines.queries import ORACLE_SQL, QUERIES
 
@@ -24,28 +25,10 @@ OPS = [
 ]
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-
-
-def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    for t in ("documents", "events", "embeddings"):
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
-            f"'{os.path.join(sf_dir, t + '.parquet')}')"
-        )
-    return con.execute(sql).df()
-
-
 @pytest.mark.parametrize("name", OPS)
 def test_query_matches_oracle(name, ray_session, sf_unit_dir):
-    ray_df = _canon(QUERIES[name](sf_unit_dir).to_pandas())
-    sql_df = _canon(_oracle(sf_unit_dir, ORACLE_SQL[name]))
+    ray_df = canon_frame(QUERIES[name](sf_unit_dir).to_pandas())
+    sql_df = canon_frame(duck_oracle(sf_unit_dir, ORACLE_SQL[name]))
     assert len(ray_df) == len(sql_df) > 0, name
     pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False)
 

@@ -12,6 +12,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pytest
+
+from oracle_utils import canon_frame, duck_oracle
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -22,27 +24,10 @@ from ehdc_llpg_address_matching_ray.pipelines.queries import ORACLE_SQL, QUERIES
 SKETCH_QUERIES = ["hll_distinct", "countmin_heavy", "url_dedup"]
 
 
-def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    for c in df.columns:
-        if df[c].dtype.kind == "f":
-            df[c] = df[c].round(6)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
-
-
-def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM read_parquet("
-        f"'{os.path.join(sf_dir, 'documents.parquet')}')"
-    )
-    return con.execute(sql).df()
-
-
 @pytest.mark.parametrize("name", SKETCH_QUERIES)
 def test_query_matches_oracle(name, ray_session, sf_unit_dir):
-    ray_df = _canon(QUERIES[name](sf_unit_dir).to_pandas())
-    sql_df = _canon(_oracle(sf_unit_dir, ORACLE_SQL[name]))
+    ray_df = canon_frame(QUERIES[name](sf_unit_dir).to_pandas())
+    sql_df = canon_frame(duck_oracle(sf_unit_dir, ORACLE_SQL[name]))
     assert len(ray_df) == len(sql_df) > 0, name
     pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False)
 
@@ -164,7 +149,7 @@ class TestCanonicalUrl:
 
     @given(
         st.from_regex(
-            r"(HTTPS?|https?)://(WWW\.|www\.)?[a-zA-Z0-9.\-]{1,16}"
+            r"((HTTPS?|https?)://)?(WWW\.|www\.)?[a-zA-Z0-9.\-]{1,16}"
             r"(:[0-9]{1,4})?(/[a-zA-Z0-9/._\-]{0,24})?"
             r"(\?[a-zA-Z0-9=&_]{0,24})?(#[a-zA-Z0-9]{0,8})?",
             fullmatch=True,
@@ -236,8 +221,8 @@ def test_bloom_query_matches_oracle(name, ray_session, sf_unit_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet("
             f"'{os.path.join(sf_unit_dir, t + '.parquet')}')"
         )
-    ray_df = _canon(QUERIES[name](sf_unit_dir).to_pandas())
-    sql_df = _canon(con.execute(ORACLE_SQL[name]).df())
+    ray_df = canon_frame(QUERIES[name](sf_unit_dir).to_pandas())
+    sql_df = canon_frame(con.execute(ORACLE_SQL[name]).df())
     assert len(ray_df) == len(sql_df) > 0, name
     pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False)
 
