@@ -5195,6 +5195,53 @@ FROM flat GROUP BY cluster_id, dim
 """
 
 
+_PIVOT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def q_pivot_events(sf_dir: str) -> rd.Dataset:
+    """Long-to-wide pivot: one row per user with the SUM of ``value``
+    per event type as columns (the reshape that feeds feature tables
+    and BI extracts).  The type set is fixed and known, so the pivot is
+    just per-batch conditional partial sums — (user, type) rows never
+    hit the wire wider than the type count — merged in ONE keyed
+    exchange on user_id."""
+    ev = _t(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.pivot_table(
+            index="user_id",
+            columns="event_type",
+            values="value",
+            aggfunc="sum",
+            fill_value=0.0,
+        )
+        p = p.reindex(columns=list(_PIVOT_TYPES), fill_value=0.0)
+        p.columns = [f"sum_{c}" for c in p.columns]
+        return p.reset_index()
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("user_id", sort=False).sum().reset_index()
+        for c in g.columns:
+            if c != "user_id":
+                g[c] = g[c].round(6)
+        return g
+
+    return _grouped(
+        ev.map_batches(partial, batch_format="pandas"), ["user_id"], merge
+    )
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'view'), 0), 6)     AS sum_view,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0), 6)    AS sum_click,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 6) AS sum_purchase,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'signup'), 0), 6)   AS sum_signup,
+       round(coalesce(sum(value) FILTER (WHERE event_type = 'error'), 0), 6)    AS sum_error
+FROM events GROUP BY user_id
+"""
+
+
 def q_snapshot_diff(sf_dir: str) -> rd.Dataset:
     """CDC-style snapshot diff — the daily-ingest primitive that decides
     which records to reprocess: classify every doc_id across two corpus
@@ -5828,6 +5875,7 @@ QUERIES = {
     "pmi_bigrams": q_pmi_bigrams,
     "funnel": q_funnel,
     "snapshot_diff": q_snapshot_diff,
+    "pivot_events": q_pivot_events,
 }
 
 ORACLE_SQL = {
@@ -5909,4 +5957,5 @@ ORACLE_SQL = {
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "funnel": SQL_FUNNEL,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "pivot_events": SQL_PIVOT_EVENTS,
 }

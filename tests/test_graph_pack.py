@@ -30,6 +30,7 @@ GRAPH_PACK = [
     "pmi_bigrams",
     "funnel",
     "snapshot_diff",
+    "pivot_events",
 ]
 
 
