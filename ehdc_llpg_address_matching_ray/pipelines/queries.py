@@ -4970,6 +4970,179 @@ LEFT JOIN (
 """
 
 
+def q_bfs_hops(sf_dir: str) -> rd.Dataset:
+    """Multi-source multi-hop traversal: minimum hop distance (<= 2)
+    from a 5-node seed set over the synthetic link graph — the frontier-expansion pattern
+    (dedup crawl depth, influence radius) that complements PageRank's
+    fixed-point iteration.  Scale shape: each hop is ONE keyed exchange
+    joining the current frontier against edges co-partitioned on src,
+    then a min-distance merge per destination; the frontier ships as
+    narrow (node, dist) rows.  Nodes never reached within 2 hops are
+    reported dist = -1 (universe markers fold the final left-join into
+    the last merge, as in q_pagerank)."""
+    n = _doc_count(sf_dir)
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        es, ed, _ = _synth_edges(b, n)
+        return pa.table(
+            {
+                "key": pa.array(es),
+                "dst": pa.array(ed),
+                "dist": pa.array(np.zeros(len(es), np.int64)),
+                "is_frontier": pa.array(np.zeros(len(es), np.bool_)),
+            }
+        )
+
+    edges = docs.map_batches(edge_rows, batch_format="pyarrow")
+
+    def seed(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = did[did < 5]
+        return pa.table(
+            {"node": pa.array(z), "dist": pa.array(np.zeros(len(z), np.int64))}
+        )
+
+    frontier = docs.map_batches(seed, batch_format="pyarrow")
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        f = df[df["is_frontier"]].groupby("key", sort=False)["dist"].min()
+        e = df[~df["is_frontier"]]
+        if not len(e) or not len(f):
+            # carry the frontier through so dist-k nodes stay known
+            keep = df[df["is_frontier"]]
+            return pd.DataFrame(
+                {"node": keep["key"].to_numpy(), "dist": keep["dist"].to_numpy()}
+            )
+        d = e["key"].map(f)
+        hit = d.notna()
+        new = pd.DataFrame(
+            {"node": e.loc[hit, "dst"].to_numpy(), "dist": (d[hit] + 1).to_numpy()}
+        )
+        old = pd.DataFrame({"node": f.index.to_numpy(), "dist": f.to_numpy()})
+        out = pd.concat([new, old], ignore_index=True)
+        return out.groupby("node", sort=False)["dist"].min().reset_index().astype(
+            {"node": "int64", "dist": "int64"}
+        )
+
+    def as_frontier(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["node"],
+                "dst": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "dist": b["dist"],
+                "is_frontier": pa.array(np.ones(b.num_rows, np.bool_)),
+            }
+        )
+
+    reach = frontier
+    for _ in range(2):  # two hop expansions
+        reach = _grouped(
+            edges.union(reach.map_batches(as_frontier, batch_format="pyarrow")),
+            ["key"],
+            expand,
+        )
+
+    def markers(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b["doc_id"],
+                "dist": pa.array(np.full(b.num_rows, np.iinfo(np.int64).max, np.int64)),
+            }
+        )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.groupby("node", sort=False)["dist"].min().reset_index()
+        big = np.iinfo(np.int64).max
+        return pd.DataFrame(
+            {
+                "node": d["node"].astype("int64"),
+                "hops": np.where(d["dist"].to_numpy() == big, -1, d["dist"].to_numpy()),
+            }
+        )
+
+    return _grouped(
+        reach.map_batches(
+            lambda b: pa.table({"node": b["node"], "dist": b["dist"]}),
+            batch_format="pyarrow",
+        ).union(docs.map_batches(markers, batch_format="pyarrow")),
+        ["node"],
+        final,
+    )
+
+
+SQL_BFS_HOPS = f"""
+WITH {_SQL_EDGES}
+, d0 AS (SELECT doc_id AS node, 0::BIGINT AS dist FROM documents WHERE doc_id < 5),
+d1 AS (
+  SELECT e.dst AS node, 1::BIGINT AS dist
+  FROM edges e JOIN d0 ON e.src = d0.node
+),
+d2 AS (
+  SELECT e.dst AS node, 2::BIGINT AS dist
+  FROM edges e JOIN (SELECT DISTINCT node FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1)) f
+    ON e.src = f.node
+),
+reach AS (
+  SELECT node, min(dist) AS dist
+  FROM (SELECT * FROM d0 UNION ALL SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+  GROUP BY node
+)
+SELECT d.doc_id AS node, coalesce(r.dist, -1)::BIGINT AS hops
+FROM documents d LEFT JOIN reach r ON r.node = d.doc_id
+"""
+
+
+def q_corpus_report(sf_dir: str) -> rd.Dataset:
+    """Multi-granularity corpus report in ONE pass — counts and char
+    totals by (lang, source), by lang, by source, and the grand total,
+    i.e. GROUPING SETS / CUBE: the classic MR trick of emitting one
+    partial row per granularity level per batch ('*' = rolled up), so
+    all four levels share a single keyed exchange instead of four
+    scans.  Level cardinality is bounded (langs x sources), so partials
+    stay constant-size per batch."""
+    docs = _t(sf_dir, "documents", ["lang", "source", "n_chars"])
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lang_key, src_key in (
+            ("lang", "source"),
+            ("lang", None),
+            (None, "source"),
+            (None, None),
+        ):
+            g = df.assign(
+                lang=df["lang"] if lang_key else "*",
+                source=df["source"] if src_key else "*",
+            )
+            outs.append(
+                g.groupby(["lang", "source"], sort=False)
+                .agg(n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
+                .reset_index()
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["lang", "source"], sort=False)[["n_docs", "total_chars"]]
+            .sum()
+            .reset_index()
+            .astype({"n_docs": "int64", "total_chars": "int64"})
+        )
+
+    return _grouped(
+        docs.map_batches(partials, batch_format="pandas"), ["lang", "source"], merge
+    )
+
+
+SQL_CORPUS_REPORT = """
+SELECT coalesce(lang, '*') AS lang, coalesce(source, '*') AS source,
+       count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+"""
+
+
 def q_domain_stats(sf_dir: str) -> rd.Dataset:
     """Per-registrable-domain crawl report — doc count, total chars,
     distinct languages — the aggregation behind C4-style per-domain
@@ -5876,6 +6049,8 @@ QUERIES = {
     "funnel": q_funnel,
     "snapshot_diff": q_snapshot_diff,
     "pivot_events": q_pivot_events,
+    "bfs_hops": q_bfs_hops,
+    "corpus_report": q_corpus_report,
 }
 
 ORACLE_SQL = {
@@ -5958,4 +6133,6 @@ ORACLE_SQL = {
     "funnel": SQL_FUNNEL,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "pivot_events": SQL_PIVOT_EVENTS,
+    "bfs_hops": SQL_BFS_HOPS,
+    "corpus_report": SQL_CORPUS_REPORT,
 }

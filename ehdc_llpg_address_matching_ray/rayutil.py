@@ -98,8 +98,17 @@ def _task_pack(key_list: list[str], P: int, *blocks):
     (a map stage emitting thousands of small blocks would otherwise cost
     thousands x P refs and melt driver scheduling — measured 43x
     slowdown on a 100M-row exchange)."""
+    import pandas as pd
     import pyarrow as pa
 
+    # map_batches skips its UDF on empty blocks, so a pandas-block
+    # producer can leak raw DataFrames through a pyarrow-format stage
+    # (observed: empty partitions of a pandas _grouped feeding a union);
+    # normalize here so every exchange tolerates them
+    blocks = tuple(
+        pa.Table.from_pandas(b, preserve_index=False) if isinstance(b, pd.DataFrame) else b
+        for b in blocks
+    )
     live = [b for b in blocks if b.num_rows]
     if not live:
         typed = next((b for b in blocks if b.num_columns), blocks[0])

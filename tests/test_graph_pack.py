@@ -31,6 +31,8 @@ GRAPH_PACK = [
     "funnel",
     "snapshot_diff",
     "pivot_events",
+    "bfs_hops",
+    "corpus_report",
 ]
 
 
@@ -111,3 +113,21 @@ def test_snapshot_diff_classes(ray_session, sf_unit_dir):
     # all four CDC classes occur and partition the id universe
     assert set(counts.index) == {"unchanged", "updated", "deleted", "added"}
     assert d["doc_id"].is_unique
+
+
+def test_bfs_hops_semantics(ray_session, sf_unit_dir):
+    d = QUERIES["bfs_hops"](sf_unit_dir).to_pandas()
+    counts = d["hops"].value_counts()
+    assert counts.get(0, 0) == 5  # the seed set
+    # every hop level reached, frontier grows, rest unreachable
+    assert counts.get(1, 0) > 0 and counts.get(2, 0) > 0 and counts.get(-1, 0) > 0
+
+
+def test_corpus_report_rollup_consistency(ray_session, sf_unit_dir):
+    d = QUERIES["corpus_report"](sf_unit_dir).to_pandas()
+    total = d[(d["lang"] == "*") & (d["source"] == "*")]
+    fine = d[(d["lang"] != "*") & (d["source"] != "*")]
+    by_lang = d[(d["lang"] != "*") & (d["source"] == "*")]
+    # every rollup level must sum to the same grand totals
+    assert fine["n_docs"].sum() == by_lang["n_docs"].sum() == int(total["n_docs"].iloc[0])
+    assert fine["total_chars"].sum() == int(total["total_chars"].iloc[0])
