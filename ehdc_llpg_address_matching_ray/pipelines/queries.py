@@ -1805,6 +1805,13 @@ FROM {prev}
 
 SQL_MINHASH_BANDKEYS = _minhash_bandkeys_oracle_sql()
 
+# Pairs = self-join of the oracled band-key table: any shared folded key.
+SQL_MINHASH_PAIRS_EXACT = f"""
+WITH bk AS ({SQL_MINHASH_BANDKEYS})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
 
 def q_multimodal_frame_sample(sf_dir: str) -> rd.Dataset:
     """Frame-sampling over a video-like payload stream: documents become
@@ -4970,6 +4977,41 @@ LEFT JOIN (
 """
 
 
+def q_minhash_pairs_exact(sf_dir: str) -> rd.Dataset:
+    """End-to-end MinHash-LSH candidate PAIRS with a full SQL oracle —
+    the uncapped twin of minhash_neardup's banding: every distinct
+    (doc_a < doc_b) sharing at least one folded band key.  With
+    minhash_sigs gating the signature kernel and minhash_bandkeys the
+    FNV fold, this closes the loop: the whole LSH chain signature ->
+    band key -> candidate pair is now value-hash-checked.  Scale shape:
+    ONE keyed exchange on band_key (in-block self-merge enumerates
+    pairs; block sizes are the LSH bucket sizes), then a distinct
+    exchange on the pair itself.  The production path (minhash_neardup)
+    adds salted caps with accounted drops for adversarial buckets;
+    this exact variant is the oracle surface."""
+    bk = q_minhash_bandkeys(sf_dir)
+
+    def enum_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        d = df[["band_key", "doc_id"]]
+        m = d.merge(d, on="band_key", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if not len(m):
+            return empty
+        out = m[["doc_id_a", "doc_id_b"]].drop_duplicates()
+        return out.rename(columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
+
+    stage1 = _grouped(bk, ["band_key"], enum_pairs)
+    return _grouped(stage1, ["doc_a", "doc_b"], lambda df: df.drop_duplicates())
+
+
 def q_bfs_hops(sf_dir: str) -> rd.Dataset:
     """Multi-source multi-hop traversal: minimum hop distance (<= 2)
     from a 5-node seed set over the synthetic link graph — the frontier-expansion pattern
@@ -6051,6 +6093,7 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "bfs_hops": q_bfs_hops,
     "corpus_report": q_corpus_report,
+    "minhash_pairs_exact": q_minhash_pairs_exact,
 }
 
 ORACLE_SQL = {
@@ -6135,4 +6178,5 @@ ORACLE_SQL = {
     "pivot_events": SQL_PIVOT_EVENTS,
     "bfs_hops": SQL_BFS_HOPS,
     "corpus_report": SQL_CORPUS_REPORT,
+    "minhash_pairs_exact": SQL_MINHASH_PAIRS_EXACT,
 }

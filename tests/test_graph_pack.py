@@ -33,6 +33,7 @@ GRAPH_PACK = [
     "pivot_events",
     "bfs_hops",
     "corpus_report",
+    "minhash_pairs_exact",
 ]
 
 
@@ -131,3 +132,21 @@ def test_corpus_report_rollup_consistency(ray_session, sf_unit_dir):
     # every rollup level must sum to the same grand totals
     assert fine["n_docs"].sum() == by_lang["n_docs"].sum() == int(total["n_docs"].iloc[0])
     assert fine["total_chars"].sum() == int(total["total_chars"].iloc[0])
+
+
+def test_minhash_pairs_exact_contains_exact_dups(ray_session, sf_unit_dir):
+    """Identical texts share every band key, so every exact-dup pair
+    must appear in the LSH candidate set."""
+    import duckdb as _dd
+    import os as _os
+
+    pairs = QUERIES["minhash_pairs_exact"](sf_unit_dir).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    dup = _dd.connect().execute(
+        "SELECT a.doc_id, b.doc_id FROM read_parquet($p) a "
+        "JOIN read_parquet($p) b ON md5(a.text) = md5(b.text) "
+        "AND a.doc_id < b.doc_id AND a.text != ''",
+        {"p": _os.path.join(sf_unit_dir, "documents.parquet")},
+    ).df()
+    for t in dup.itertuples(index=False):
+        assert (t[0], t[1]) in got
