@@ -5755,6 +5755,86 @@ LEFT JOIN p USING (user_id)
 """
 
 
+def q_brand_revenue(sf_dir: str) -> rd.Dataset:
+    """Revenue and quantity per part brand: lineitem hash-joined to part
+    (both scale with sf) with per-block partial aggregation before the
+    tiny brand groupby — the other large⋈large join axis (partkey) next
+    to revenue_by_nation's custkey/orderkey chain."""
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_quantity"])
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda b: pa.table({"l_partkey": b["p_partkey"], "p_brand": b["p_brand"]}),
+        batch_format="pyarrow",
+    )
+    joined = engine_join(li, part, ("l_partkey",), how="inner", num_partitions=8)
+
+    def partial(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(1.0, b["l_discount"]))
+        t = pa.table({"p_brand": b["p_brand"], "rev": rev, "qty": b["l_quantity"]})
+        return t.group_by("p_brand").aggregate([("rev", "sum"), ("qty", "sum")])
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("p_brand", sort=False, as_index=False).agg(
+            revenue=("rev_sum", "sum"), total_qty=("qty_sum", "sum")
+        )
+        g["revenue"] = g["revenue"].round(2)
+        g["total_qty"] = g["total_qty"].round(2)
+        return g
+
+    return _grouped(joined.map_batches(partial, batch_format="pyarrow"), ["p_brand"], final)
+
+
+SQL_BRAND_REVENUE = """
+SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand
+"""
+
+
+def q_suppliers_per_nation(sf_dir: str) -> rd.Dataset:
+    """Ordered string aggregation: per nation, the comma-joined sorted
+    supplier names plus count — the LISTAGG/STRING_AGG reshape.  ONE
+    keyed exchange on nationkey; the join is Arrow's vectorized
+    binary_join over sorted run slices (no per-group Python)."""
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name", "s_nationkey"])
+
+    def agg(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "s_nationkey": pd.Series([], dtype="int64"),
+                    "n_suppliers": pd.Series([], dtype="int64"),
+                    "supplier_names": pd.Series([], dtype="object"),
+                }
+            )
+        d = df.sort_values(["s_nationkey", "s_name"], kind="mergesort")
+        nk = d["s_nationkey"].to_numpy()
+        chg = np.r_[True, nk[1:] != nk[:-1]]
+        run = np.nonzero(chg)[0]
+        off = np.r_[run, len(nk)].astype(np.int32)
+        names = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off), pa.array(d["s_name"], pa.string())),
+            ",",
+        )
+        cnt = np.diff(off).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "s_nationkey": nk[run],
+                "n_suppliers": cnt,
+                "supplier_names": names.to_pandas().to_numpy(),
+            }
+        )
+
+    return _grouped(supp, ["s_nationkey"], agg)
+
+
+SQL_SUPPLIERS_PER_NATION = """
+SELECT s_nationkey, count(*)::BIGINT AS n_suppliers,
+       string_agg(s_name, ',' ORDER BY s_name) AS supplier_names
+FROM supplier GROUP BY s_nationkey
+"""
+
+
 _Q5_REGION = "ASIA"
 
 
@@ -6094,6 +6174,8 @@ QUERIES = {
     "bfs_hops": q_bfs_hops,
     "corpus_report": q_corpus_report,
     "minhash_pairs_exact": q_minhash_pairs_exact,
+    "brand_revenue": q_brand_revenue,
+    "suppliers_per_nation": q_suppliers_per_nation,
 }
 
 ORACLE_SQL = {
@@ -6179,4 +6261,6 @@ ORACLE_SQL = {
     "bfs_hops": SQL_BFS_HOPS,
     "corpus_report": SQL_CORPUS_REPORT,
     "minhash_pairs_exact": SQL_MINHASH_PAIRS_EXACT,
+    "brand_revenue": SQL_BRAND_REVENUE,
+    "suppliers_per_nation": SQL_SUPPLIERS_PER_NATION,
 }

@@ -34,6 +34,8 @@ GRAPH_PACK = [
     "bfs_hops",
     "corpus_report",
     "minhash_pairs_exact",
+    "brand_revenue",
+    "suppliers_per_nation",
 ]
 
 
