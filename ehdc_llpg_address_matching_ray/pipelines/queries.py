@@ -5755,6 +5755,96 @@ LEFT JOIN p USING (user_id)
 """
 
 
+def q_vocab_coverage(sf_dir: str) -> rd.Dataset:
+    """Tokenizer-design metric: per language, the smallest number of
+    most-frequent distinct tokens whose cumulative count covers >= 90%
+    of all token occurrences (ties broken token-ascending), plus totals
+    — the coverage-curve question behind vocab sizing.  Scale shape:
+    per-batch (lang, tok) partial counts -> ONE keyed exchange on
+    (lang, tok) for global counts -> ONE exchange on lang where the
+    per-lang ordered cumsum is a vectorized sort + searchsorted.  The
+    per-lang state is the distinct-token table, the same cardinality
+    any tokenizer fit must hold."""
+    docs = _t(sf_dir, "documents", ["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        row, codes, _, vocab = _flat_token_codes(pc.fill_null(b["text"], ""))
+        if not len(row):
+            return pa.table(
+                {
+                    "lang": pa.array([], pa.string()),
+                    "tok": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        langs = np.asarray(pc.fill_null(b["lang"], "").to_pylist(), dtype=object)[row]
+        toks = np.asarray(vocab.to_pylist(), dtype=object)[codes]
+        key = np.char.add(np.char.add(langs.astype(str), "\x01"), toks.astype(str))
+        uk, cnt = np.unique(key, return_counts=True)
+        parts = np.char.partition(uk, "\x01")
+        return pa.table(
+            {
+                "lang": pa.array(parts[:, 0].astype(object), pa.string()),
+                "tok": pa.array(parts[:, 2].astype(object), pa.string()),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["lang", "tok"], sort=False)["cnt"].sum().reset_index()
+
+    counts = _grouped(docs.map_batches(partial, batch_format="pyarrow"), ["lang", "tok"], merge_counts)
+
+    def coverage(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype="object"),
+                    "total_tokens": pd.Series([], dtype="int64"),
+                    "vocab_size": pd.Series([], dtype="int64"),
+                    "vocab_90": pd.Series([], dtype="int64"),
+                }
+            )
+        d = df.sort_values(["lang", "cnt", "tok"], ascending=[True, False, True], kind="mergesort")
+        lg = d["lang"].to_numpy()
+        cnt = d["cnt"].to_numpy()
+        chg = np.r_[True, lg[1:] != lg[:-1]]
+        run = np.nonzero(chg)[0]
+        off = np.r_[run, len(lg)]
+        for i, s in enumerate(run):
+            e = off[i + 1]
+            c = cnt[s:e]
+            cum = np.cumsum(c)
+            total = cum[-1]
+            k = int(np.searchsorted(cum, 0.9 * total, side="left")) + 1
+            out.append((lg[s], int(total), int(e - s), k))
+        return pd.DataFrame(out, columns=["lang", "total_tokens", "vocab_size", "vocab_90"])
+
+    return _grouped(counts, ["lang"], coverage)
+
+
+SQL_VOCAB_COVERAGE = """
+WITH toks AS (
+  SELECT coalesce(lang, '') AS lang,
+         unnest(regexp_extract_all(text, '\\S+')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT lang, tok, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY c DESC, tok ASC
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY lang) AS total,
+         row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok ASC) AS rn
+  FROM cnt
+)
+SELECT lang, max(total)::BIGINT AS total_tokens, count(*)::BIGINT AS vocab_size,
+       min(CASE WHEN cum >= 0.9 * total THEN rn END)::BIGINT AS vocab_90
+FROM ranked GROUP BY lang
+"""
+
+
 def q_brand_revenue(sf_dir: str) -> rd.Dataset:
     """Revenue and quantity per part brand: lineitem hash-joined to part
     (both scale with sf) with per-block partial aggregation before the
@@ -6175,6 +6265,7 @@ QUERIES = {
     "corpus_report": q_corpus_report,
     "minhash_pairs_exact": q_minhash_pairs_exact,
     "brand_revenue": q_brand_revenue,
+    "vocab_coverage": q_vocab_coverage,
     "suppliers_per_nation": q_suppliers_per_nation,
 }
 
@@ -6262,5 +6353,6 @@ ORACLE_SQL = {
     "corpus_report": SQL_CORPUS_REPORT,
     "minhash_pairs_exact": SQL_MINHASH_PAIRS_EXACT,
     "brand_revenue": SQL_BRAND_REVENUE,
+    "vocab_coverage": SQL_VOCAB_COVERAGE,
     "suppliers_per_nation": SQL_SUPPLIERS_PER_NATION,
 }

@@ -36,6 +36,7 @@ GRAPH_PACK = [
     "minhash_pairs_exact",
     "brand_revenue",
     "suppliers_per_nation",
+    "vocab_coverage",
 ]
 
 
@@ -152,3 +153,10 @@ def test_minhash_pairs_exact_contains_exact_dups(ray_session, sf_unit_dir):
     ).df()
     for t in dup.itertuples(index=False):
         assert (t[0], t[1]) in got
+
+
+def test_vocab_coverage_bounds(ray_session, sf_unit_dir):
+    d = QUERIES["vocab_coverage"](sf_unit_dir).to_pandas()
+    assert (d["vocab_90"] <= d["vocab_size"]).all()
+    assert (d["vocab_90"] >= 1).all()
+    assert (d["total_tokens"] >= d["vocab_size"]).all()
