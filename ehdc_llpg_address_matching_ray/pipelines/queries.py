@@ -5755,6 +5755,78 @@ LEFT JOIN p USING (user_id)
 """
 
 
+def q_retention_cohorts(sf_dir: str) -> rd.Dataset:
+    """Weekly retention cohorts: users grouped by signup week, counted
+    distinct-active in each later week offset — the product-analytics
+    matrix behind every retention chart.  Scale shape: ONE keyed
+    exchange on user_id (each user's signup + activity resolve in one
+    partition; per-partition output is (cohort_week, offset, user)
+    dedup rows), then a tiny count-distinct merge on the cohort cell —
+    never a self-join of events against events."""
+    ev = _t(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def cells(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cohort_week": pd.Series([], dtype="int64"),
+                "week_offset": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        week = (
+            df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+            // (7 * 24 * 3600 * 1_000_000)
+        )
+        d = pd.DataFrame(
+            {"user_id": df["user_id"].to_numpy(), "week": week, "et": df["event_type"]}
+        )
+        signup = d[d["et"] == "signup"].groupby("user_id")["week"].min()
+        d["cohort"] = d["user_id"].map(signup)
+        act = d[d["cohort"].notna() & (d["week"] >= d["cohort"])]
+        if not len(act):
+            return empty
+        out = pd.DataFrame(
+            {
+                "cohort_week": act["cohort"].astype(np.int64).to_numpy(),
+                "week_offset": (act["week"] - act["cohort"]).astype(np.int64).to_numpy(),
+                "user_id": act["user_id"].to_numpy(),
+            }
+        ).drop_duplicates()
+        return out
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["cohort_week", "week_offset"], sort=False)["user_id"]
+            .nunique()
+            .reset_index(name="n_users")
+        )
+        return g.astype(
+            {"cohort_week": "int64", "week_offset": "int64", "n_users": "int64"}
+        )
+
+    cellrows = _grouped(ev, ["user_id"], cells)
+    return _grouped(cellrows, ["cohort_week", "week_offset"], merge)
+
+
+SQL_RETENTION_COHORTS = """
+WITH wk AS (
+  SELECT user_id, event_type,
+         (epoch_us(ts) // (7 * 24 * 3600 * 1000000::BIGINT))::BIGINT AS week
+  FROM events
+), signup AS (
+  SELECT user_id, min(week) AS cohort_week FROM wk
+  WHERE event_type = 'signup' GROUP BY 1
+)
+SELECT s.cohort_week, (w.week - s.cohort_week)::BIGINT AS week_offset,
+       count(DISTINCT w.user_id)::BIGINT AS n_users
+FROM wk w JOIN signup s USING (user_id)
+WHERE w.week >= s.cohort_week
+GROUP BY 1, 2
+"""
+
+
 def q_vocab_coverage(sf_dir: str) -> rd.Dataset:
     """Tokenizer-design metric: per language, the smallest number of
     most-frequent distinct tokens whose cumulative count covers >= 90%
@@ -6266,6 +6338,7 @@ QUERIES = {
     "minhash_pairs_exact": q_minhash_pairs_exact,
     "brand_revenue": q_brand_revenue,
     "vocab_coverage": q_vocab_coverage,
+    "retention_cohorts": q_retention_cohorts,
     "suppliers_per_nation": q_suppliers_per_nation,
 }
 
@@ -6354,5 +6427,6 @@ ORACLE_SQL = {
     "minhash_pairs_exact": SQL_MINHASH_PAIRS_EXACT,
     "brand_revenue": SQL_BRAND_REVENUE,
     "vocab_coverage": SQL_VOCAB_COVERAGE,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
     "suppliers_per_nation": SQL_SUPPLIERS_PER_NATION,
 }

@@ -37,6 +37,7 @@ GRAPH_PACK = [
     "brand_revenue",
     "suppliers_per_nation",
     "vocab_coverage",
+    "retention_cohorts",
 ]
 
 
@@ -160,3 +161,12 @@ def test_vocab_coverage_bounds(ray_session, sf_unit_dir):
     assert (d["vocab_90"] <= d["vocab_size"]).all()
     assert (d["vocab_90"] >= 1).all()
     assert (d["total_tokens"] >= d["vocab_size"]).all()
+
+
+def test_retention_cohorts_monotone(ray_session, sf_unit_dir):
+    d = QUERIES["retention_cohorts"](sf_unit_dir).to_pandas()
+    # offset-0 row exists per cohort and is the cohort maximum
+    for _, g in d.groupby("cohort_week"):
+        g = g.sort_values("week_offset")
+        assert g["week_offset"].iloc[0] == 0
+        assert g["n_users"].iloc[0] == g["n_users"].max()
