@@ -81,24 +81,30 @@ def run_match(
     gaz_id: str = "uprn",
     gaz_text: str = "full_address",
     max_key_freq: int = 256,
+    fuzzy_tier: bool = True,
 ) -> dict[str, rd.Dataset]:
     """sources × gazetteer -> per-source match decisions.
 
     Returns stage datasets: ``matches`` has one row per source with
     (src_id, decision, matched_id, score, method) — method in
     {exact_key, exact_canonical, fuzzy, none}.
+
+    ``fuzzy_tier=False`` truncates the J6 cascade after the exact tiers
+    (A1/A2) — the reference's exact-phase-only run mode
+    (cmd/matcher-v2/main.go exact pass before the fuzzy generations);
+    tier B's blocking/scoring/decide stages are skipped entirely.
     """
     cfg = cfg or PipelineConfig()
     with hash_shuffle():
         return _run_match_inner(
             sources_ds, gazetteer_ds, cfg, source_id, source_text,
-            source_legacy_key, gaz_id, gaz_text, max_key_freq,
+            source_legacy_key, gaz_id, gaz_text, max_key_freq, fuzzy_tier,
         )
 
 
 def _run_match_inner(
     sources_ds, gazetteer_ds, cfg, source_id, source_text,
-    source_legacy_key, gaz_id, gaz_text, max_key_freq,
+    source_legacy_key, gaz_id, gaz_text, max_key_freq, fuzzy_tier,
 ):
     P = default_partitions()
     conc = cfg.scorer_concurrency or default_concurrency()
@@ -196,6 +202,32 @@ def _run_match_inner(
     # exactly one row per source id, so a2 is unique on src_id)
     leftovers = anti_join(remaining, a2, key="id", right_key="src_id", num_partitions=P).materialize()
     leftovers = leftovers.repartition(max(1, min(P, leftovers.count()))).materialize()
+
+    if not fuzzy_tier:
+        # cascade truncated after the exact tiers: no blocking, scoring
+        # or decide work is scheduled at all
+        fuzzy = rd.from_arrow(
+            pa.table(
+                {
+                    "src_id": pa.array([], pa.string()),
+                    "matched_id": pa.array([], pa.string()),
+                    "score": pa.array([], pa.float64()),
+                    "decision": pa.array([], pa.string()),
+                    "method": pa.array([], pa.string()),
+                }
+            )
+        )
+        matches = a1.union(a2).materialize()
+        return {
+            "sources_normalized": src,
+            "gazetteer_normalized": gaz,
+            "tier_a1": a1,
+            "tier_a2": a2,
+            "candidate_pairs": fuzzy,
+            "scored": fuzzy,
+            "fuzzy": fuzzy,
+            "matches": matches,
+        }
 
     # ---- Tier B: bipartite LSH blocking + scoring ---------------------------
     # idf over the gazetteer canonicals via the SAME distributed
