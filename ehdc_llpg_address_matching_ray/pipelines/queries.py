@@ -1376,6 +1376,100 @@ def q_linkage_fact(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_validate_integrity(sf_dir: str) -> rd.Dataset:
+    """validate-integrity analogue (cmd/matcher-v2/main.go:1254-1366 —
+    FK/location consistency sweeps over the fact table): assert the fact
+    table's structural invariants as DISTRIBUTED aggregates and report
+    one (check_name, value) row per invariant; the SQL twin recomputes
+    the identical aggregates over the oracle fact, so any engine-side
+    invariant breach value-hash-mismatches the driver row.
+
+    Invariants (reference checks 1-3 re-expressed for this fact schema):
+    decision within the tier domain, top_score within [0,1] and zero for
+    no_candidates rows, carried cluster_size equals the actual member
+    count, cluster_rep_url is the minimum member url (and therefore a
+    member), is_exact_dup consistent with the text_hash group minimum.
+    Scale shape: batch partials for row-local checks + one cluster_id
+    exchange + one text_hash exchange, then a tiny check-keyed merge."""
+    fact = q_linkage_fact(sf_dir).materialize()
+
+    allowed = pa.array(["auto_accept", "review", "reject", "no_candidates"])
+
+    def domain_partial(b: pa.Table) -> pa.Table:
+        ts = b["top_score"].to_numpy()
+        bad_dec = int(pc.sum(pc.invert(pc.is_in(b["decision"], value_set=allowed))).as_py() or 0)
+        bad_ts = int(((ts < 0.0) | (ts > 1.0)).sum())
+        nc = pc.equal(b["decision"], "no_candidates").to_numpy(zero_copy_only=False)
+        nc_bad = int((nc & (ts != 0.0)).sum())
+        return pa.table(
+            {
+                "check_name": pa.array(
+                    ["fact_rows", "decision_domain", "top_score_bounds", "no_candidates_zero_score"]
+                ),
+                "value": pa.array([b.num_rows, bad_dec, bad_ts, nc_bad], pa.int64()),
+            }
+        )
+
+    def cluster_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"check_name": pd.Series([], dtype=str), "value": pd.Series([], dtype="int64")})
+        g = df.groupby("cluster_id", sort=False)
+        actual = g["url"].transform("size")
+        minu = g["url"].transform("min")
+        has_rep = (
+            df.assign(_hit=df["url"].to_numpy() == df["cluster_rep_url"].to_numpy())
+            .groupby("cluster_id", sort=False)["_hit"]
+            .transform("max")
+        )
+        return pd.DataFrame(
+            {
+                "check_name": [
+                    "clusters",
+                    "cluster_size_mismatch",
+                    "cluster_rep_not_min",
+                    "cluster_rep_dangling",
+                ],
+                "value": pd.array(
+                    [
+                        df["cluster_id"].nunique(),
+                        int((df["cluster_size"].to_numpy() != actual.to_numpy()).sum()),
+                        int((df["cluster_rep_url"].to_numpy() != minu.to_numpy()).sum()),
+                        int((~has_rep.to_numpy()).sum()),
+                    ],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    def dup_partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"check_name": pd.Series([], dtype=str), "value": pd.Series([], dtype="int64")})
+        minu = df.groupby("text_hash", sort=False)["url"].transform("min")
+        viol = int(
+            (df["is_exact_dup"].to_numpy() != (df["url"].to_numpy() != minu.to_numpy())).sum()
+        )
+        return pd.DataFrame({"check_name": ["exact_dup_flag"], "value": pd.array([viol], dtype="int64")})
+
+    row_checks = fact.map_batches(domain_partial, batch_format="pyarrow")
+    cluster_checks = _grouped(
+        fact.select_columns(["cluster_id", "url", "cluster_rep_url", "cluster_size"]),
+        ["cluster_id"],
+        cluster_partial,
+    )
+    dup_checks = _grouped(
+        fact.select_columns(["text_hash", "url", "is_exact_dup"]), ["text_hash"], dup_partial
+    )
+    partials = row_checks.union(cluster_checks).union(dup_checks)
+    return _grouped(
+        partials,
+        ["check_name"],
+        lambda df: df.groupby("check_name", sort=False, as_index=False)["value"].sum(),
+        num_partitions=2,
+    )
+
+
+
+
 SQL_LINKAGE_FACT = f"""
 WITH pages AS (
   SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, {_CANON_SQL} AS canonical
@@ -1397,6 +1491,41 @@ SELECT url, canonical, text_hash,
        0.0 AS top_score,
        url <> rep_url AS is_exact_dup
 FROM grp
+"""
+
+
+SQL_VALIDATE_INTEGRITY = f"""
+WITH fact AS ({SQL_LINKAGE_FACT}),
+cl AS (
+  SELECT cluster_id, count(*) AS actual, min(url) AS minu,
+         max(CASE WHEN url = cluster_rep_url THEN 1 ELSE 0 END) AS has_rep
+  FROM fact GROUP BY cluster_id
+),
+dh AS (SELECT text_hash, min(url) AS minu FROM fact GROUP BY text_hash)
+SELECT 'fact_rows' AS check_name, count(*)::BIGINT AS value FROM fact
+UNION ALL
+SELECT 'clusters', count(*)::BIGINT FROM cl
+UNION ALL
+SELECT 'decision_domain', count(*) FILTER (
+  decision NOT IN ('auto_accept', 'review', 'reject', 'no_candidates'))::BIGINT FROM fact
+UNION ALL
+SELECT 'top_score_bounds', count(*) FILTER (top_score < 0 OR top_score > 1)::BIGINT FROM fact
+UNION ALL
+SELECT 'no_candidates_zero_score', count(*) FILTER (
+  decision = 'no_candidates' AND top_score <> 0)::BIGINT FROM fact
+UNION ALL
+SELECT 'cluster_size_mismatch', count(*)::BIGINT
+FROM fact f JOIN cl ON f.cluster_id = cl.cluster_id WHERE f.cluster_size <> cl.actual
+UNION ALL
+SELECT 'cluster_rep_not_min', count(*)::BIGINT
+FROM fact f JOIN cl ON f.cluster_id = cl.cluster_id WHERE f.cluster_rep_url <> cl.minu
+UNION ALL
+SELECT 'cluster_rep_dangling', count(*)::BIGINT
+FROM fact f JOIN cl ON f.cluster_id = cl.cluster_id WHERE cl.has_rep = 0
+UNION ALL
+SELECT 'exact_dup_flag', count(*)::BIGINT
+FROM fact f JOIN dh ON f.text_hash = dh.text_hash
+WHERE f.is_exact_dup <> (f.url <> dh.minu)
 """
 
 
@@ -6376,6 +6505,7 @@ FROM orders o JOIN hits h USING (o_orderkey)
 QUERIES = {
     # -- flagship pipelines + production scoring/consensus family --
     "linkage_fact": q_linkage_fact,
+    "validate_integrity": q_validate_integrity,
     "match_documents": q_match_documents,
     "linkage_exact_projection": q_linkage_exact_projection,
     "scored_pairs_projection": q_scored_pairs_projection,
@@ -6514,6 +6644,7 @@ ORACLE_SQL = {
     # the flagship DAG under its deterministic reduced config (see
     # q_linkage_fact docstring): the complete fact table, value-hash
     "linkage_fact": SQL_LINKAGE_FACT,
+    "validate_integrity": SQL_VALIDATE_INTEGRITY,
     "export_enhanced": SQL_EXPORT_ENHANCED,
     "threshold_sweep": SQL_THRESHOLD_SWEEP,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
