@@ -4188,7 +4188,28 @@ FROM sh JOIN cnt USING (h) GROUP BY doc_id
 """
 
 
-_SEMDEDUP_K, _SEMDEDUP_TAU = 8, 0.30
+_SEMDEDUP_TAU = 0.30
+_SEMDEDUP_CAP = 4096  # in-cluster chunk bound (see semdedup_prune_chunked)
+
+
+def semdedup_prune_chunked(matn: np.ndarray, cap: int) -> np.ndarray:
+    """In-cluster SemDeDup prune with the blocking stage's salted-cap
+    shape (stages/blocking.enumerate_block_pairs): rows arrive sorted by
+    vec_id; the cluster is processed in contiguous chunks of ``cap``, so
+    a vector is pruned iff an EARLIER vector of its OWN chunk is within
+    tau — per-row work is bounded by ``cap`` no matter how hot the
+    cluster, and the chunking rule (rank // cap over the vec_id order)
+    is deterministic and SQL-expressible, so the oracle reproduces the
+    capped semantics exactly rather than asserting the cap never fired.
+    Dropped cross-chunk coverage is surfaced per row via the ``capped``
+    output column (no silent truncation)."""
+    n = len(matn)
+    pruned = np.zeros(n, dtype=bool)
+    for s in range(0, n, cap):
+        chunk = matn[s : s + cap]
+        sims = chunk @ chunk.T
+        pruned[s : s + cap] = (np.tril(sims, k=-1) >= _SEMDEDUP_TAU).any(axis=1)
+    return pruned
 
 
 def q_semdedup(sf_dir: str) -> rd.Dataset:
@@ -4200,13 +4221,22 @@ def q_semdedup(sf_dir: str) -> rd.Dataset:
     first K vectors (the ann_ivf stand-in for an offline sample k-means
     fit, broadcast once via ray.put); assignment is a stateless matmul,
     pruning is ONE keyed shuffle on the cluster id + an in-cluster
-    lower-triangle matmul — no all-pairs across clusters."""
+    lower-triangle matmul — no all-pairs across clusters.
+
+    100-TB shape: K scales with the corpus (ceil(sqrt(n)), clamped to
+    [8, 65536] — the paper scales cluster count with n; sqrt keeps BOTH
+    the n*K assignment matmul and the expected n/K cluster population
+    sub-quadratic), and residual hot clusters are bounded by the chunked
+    prune (``semdedup_prune_chunked``, cap _SEMDEDUP_CAP): per-row work
+    <= cap with the capped rows flagged, never silently dropped."""
     import pyarrow.parquet as pq
 
+    n_vecs = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    k = max(8, min(65536, int(np.ceil(np.sqrt(n_vecs)))))
     head = pq.read_table(
         f"{sf_dir}/embeddings.parquet",
         columns=["vec_id", "embedding"],
-        filters=[("vec_id", "<", _SEMDEDUP_K)],
+        filters=[("vec_id", "<", k)],
     ).sort_by("vec_id")
     C = np.array(head["embedding"].to_pylist(), dtype=np.float64)
     cids = head["vec_id"].to_numpy()
@@ -4242,6 +4272,7 @@ def q_semdedup(sf_dir: str) -> rd.Dataset:
                     "vec_id": pd.Series([], dtype="int64"),
                     "list_id": pd.Series([], dtype="int64"),
                     "pruned": pd.Series([], dtype="bool"),
+                    "capped": pd.Series([], dtype="bool"),
                 }
             )
         frames = []
@@ -4251,14 +4282,14 @@ def q_semdedup(sf_dir: str) -> rd.Dataset:
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
             matn = mat / norms[:, None]
-            sims = matn @ matn.T
-            pruned = (np.tril(sims, k=-1) >= _SEMDEDUP_TAU).any(axis=1)
+            pruned = semdedup_prune_chunked(matn, _SEMDEDUP_CAP)
             frames.append(
                 pd.DataFrame(
                     {
                         "vec_id": g["vec_id"].to_numpy(),
                         "list_id": g["list_id"].to_numpy(),
                         "pruned": pruned,
+                        "capped": np.full(len(g), len(g) > _SEMDEDUP_CAP),
                     }
                 )
             )
@@ -4270,21 +4301,36 @@ def q_semdedup(sf_dir: str) -> rd.Dataset:
     return _grouped(ds, ["list_id"], prune)
 
 
+# K = clamp(ceil(sqrt(n)), 8, 65536); the chunked prune's rank//cap rule
+# is reproduced exactly (chunk column), so the capped semantics — not an
+# uncapped idealization — are what the value hash pins.
 SQL_SEMDEDUP = f"""
-WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
-           WHERE vec_id < {_SEMDEDUP_K}),
+WITH kk AS (
+  SELECT GREATEST(8, LEAST(65536, CAST(CEIL(SQRT(count(*))) AS BIGINT))) AS k
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings
+      WHERE vec_id < (SELECT k FROM kk)),
 assigned AS (
   SELECT e.vec_id, e.embedding,
          (SELECT c.cid FROM c
           ORDER BY list_cosine_similarity(c.ce, e.embedding) DESC, c.cid
           LIMIT 1) AS list_id
-  FROM embeddings e)
+  FROM embeddings e),
+ranked AS (
+  SELECT vec_id, embedding, list_id,
+         (row_number() OVER (PARTITION BY list_id ORDER BY vec_id) - 1)
+           // {_SEMDEDUP_CAP} AS chunk,
+         count(*) OVER (PARTITION BY list_id) > {_SEMDEDUP_CAP} AS capped
+  FROM assigned)
 SELECT a.vec_id, a.list_id,
-       EXISTS (SELECT 1 FROM assigned b
-               WHERE b.list_id = a.list_id AND b.vec_id < a.vec_id
+       EXISTS (SELECT 1 FROM ranked b
+               WHERE b.list_id = a.list_id AND b.chunk = a.chunk
+                 AND b.vec_id < a.vec_id
                  AND list_cosine_similarity(a.embedding, b.embedding)
-                     >= {_SEMDEDUP_TAU}) AS pruned
-FROM assigned a
+                     >= {_SEMDEDUP_TAU}) AS pruned,
+       a.capped
+FROM ranked a
 """
 
 

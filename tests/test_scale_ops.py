@@ -41,6 +41,36 @@ def test_semdedup_survivor_rule(ray_session, sf_unit_dir):
     assert df["pruned"].any()  # tau chosen so pruning actually happens
 
 
+def test_semdedup_chunked_cap_bounds_hot_cluster():
+    """100x blow-up of one hot cluster: per-row comparison work stays
+    bounded by the chunk cap (each matmul is at most cap x cap), and the
+    chunked verdicts match the SQL twin's rank//cap rule — a vector is
+    pruned iff a same-chunk predecessor is within tau."""
+    import numpy as np
+
+    from ehdc_llpg_address_matching_ray.pipelines.queries import (
+        _SEMDEDUP_TAU,
+        semdedup_prune_chunked,
+    )
+
+    rng = np.random.default_rng(7)
+    cap = 32
+    n = cap * 100  # a cluster 100x the cap — the pre-fix quadratic case
+    mat = rng.normal(size=8)[None, :] + 0.01 * rng.normal(size=(n, 8))
+    matn = mat / np.linalg.norm(mat, axis=1)[:, None]
+    pruned = semdedup_prune_chunked(matn, cap)
+    # all vectors are near-identical (cos >> tau), so exactly each
+    # chunk's first row survives under the rank//cap rule
+    expect = np.ones(n, dtype=bool)
+    expect[::cap] = False
+    assert (pruned == expect).all()
+    # single-chunk clusters reduce to the uncapped lower-triangle rule
+    small = matn[:cap]
+    sims = small @ small.T
+    ref = (np.tril(sims, k=-1) >= _SEMDEDUP_TAU).any(axis=1)
+    assert (semdedup_prune_chunked(small, cap) == ref).all()
+
+
 def test_substring_dedup_bounds(ray_session, sf_unit_dir):
     df = QUERIES["substring_dedup"](sf_unit_dir).to_pandas()
     assert (df["n_dup"] <= df["n_grams"]).all()
