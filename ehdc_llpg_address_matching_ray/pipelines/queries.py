@@ -4855,7 +4855,11 @@ def q_weighted_sample(sf_dir: str, k: int = 100) -> rd.Dataset:
     def key(b: pa.Table) -> pa.Table:
         did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         h = SK.hash60([str(i) for i in did.tolist()])
-        u = (h.astype(np.float64) + 1.0) / float((1 << 60) + 1)
+        # (h + 1) in int64 FIRST, then one float64 conversion — the SQL
+        # twin adds in BIGINT before the double division, and for ~0.2%
+        # of 60-bit hashes float64(h) + 1.0 differs by 1 ulp from
+        # float64(h + 1) (a latent top-k tie hazard)
+        u = (h + 1).astype(np.float64) / float((1 << 60) + 1)
         w = np.maximum(
             b["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64), 1.0
         )
@@ -4929,7 +4933,10 @@ def q_bm25_topk(sf_dir: str, k: int = 15) -> rd.Dataset:
             for t in _BM25_TERMS:
                 c = np.nonzero(vocab_np == t)[0]
                 if len(c):
-                    keys.append(t)
+                    # 't:' prefix keeps real tokens out of the sentinel
+                    # namespace (a doc containing the literal token
+                    # '__n_docs__' is legal under \S+ tokenization)
+                    keys.append("t:" + t)
                     vals.append(int(len(np.unique(row[codes == c[0]]))))
         return pa.table(
             {"key": pa.array(keys, pa.string()), "val": pa.array(vals, pa.int64())}
@@ -4954,9 +4961,9 @@ def q_bm25_topk(sf_dir: str, k: int = 15) -> rd.Dataset:
     n_docs = float(fit["__n_docs__"])
     avgdl = float(fit["__sum_dl__"]) / float(fit["__n_dl__"])
     idf = {
-        t: np.log(1.0 + (n_docs - float(fit[t]) + 0.5) / (float(fit[t]) + 0.5))
+        t: np.log(1.0 + (n_docs - float(fit["t:" + t]) + 0.5) / (float(fit["t:" + t]) + 0.5))
         for t in _BM25_TERMS
-        if t in fit.index
+        if ("t:" + t) in fit.index
     }
 
     def score(b: pa.Table) -> pa.Table:
@@ -5438,6 +5445,10 @@ def q_corpus_report(sf_dir: str) -> rd.Dataset:
     docs = _t(sf_dir, "documents", ["lang", "source", "n_chars"])
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
+        # fill_null BEFORE grouping: pandas groupby silently drops NaN
+        # keys (the SQL twin pre-coalesces identically)
+        lang_f = df["lang"].fillna("")
+        source_f = df["source"].fillna("")
         outs = []
         for lang_key, src_key in (
             ("lang", "source"),
@@ -5446,8 +5457,8 @@ def q_corpus_report(sf_dir: str) -> rd.Dataset:
             (None, None),
         ):
             g = df.assign(
-                lang=df["lang"] if lang_key else "*",
-                source=df["source"] if src_key else "*",
+                lang=lang_f if lang_key else "*",
+                source=source_f if src_key else "*",
             )
             outs.append(
                 g.groupby(["lang", "source"], sort=False)
@@ -5470,9 +5481,15 @@ def q_corpus_report(sf_dir: str) -> rd.Dataset:
 
 
 SQL_CORPUS_REPORT = """
+WITH d AS (
+  -- pre-coalesce data NULLs to '' (matching the engine's fill_null)
+  -- so the outer coalesce to '*' marks ONLY grouping-set rollups
+  SELECT coalesce(lang, '') AS lang, coalesce(source, '') AS source, n_chars
+  FROM documents
+)
 SELECT coalesce(lang, '*') AS lang, coalesce(source, '*') AS source,
        count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
-FROM documents
+FROM d
 GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
 """
 
@@ -5505,8 +5522,11 @@ def q_domain_stats(sf_dir: str) -> rd.Dataset:
         )
 
     def partials(df: pd.DataFrame) -> pd.DataFrame:
+        # fill_null before grouping (pandas drops NaN keys; the SQL twin
+        # counts DISTINCT coalesce(lang, ''))
         return (
-            df.groupby(["domain", "lang"], sort=False)
+            df.assign(lang=df["lang"].fillna(""))
+            .groupby(["domain", "lang"], sort=False)
             .agg(n_docs=("n_chars", "size"), total_chars=("n_chars", "sum"))
             .reset_index()
         )
@@ -5545,7 +5565,7 @@ WITH raw AS (
   FROM raw
 )
 SELECT domain, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
-       count(DISTINCT lang)::BIGINT AS n_langs
+       count(DISTINCT coalesce(lang, ''))::BIGINT AS n_langs
 FROM dom GROUP BY domain
 """
 
@@ -5715,7 +5735,9 @@ def q_pivot_events(sf_dir: str) -> rd.Dataset:
     ev = _t(sf_dir, "events", ["user_id", "event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        p = df.pivot_table(
+        # fill_null on the grouping key (pandas pivot drops NaN index
+        # keys; the SQL twin coalesces to the same sentinel)
+        p = df.assign(user_id=df["user_id"].fillna(-1)).pivot_table(
             index="user_id",
             columns="event_type",
             values="value",
@@ -5739,13 +5761,13 @@ def q_pivot_events(sf_dir: str) -> rd.Dataset:
 
 
 SQL_PIVOT_EVENTS = """
-SELECT user_id,
+SELECT coalesce(user_id, -1) AS user_id,
        round(coalesce(sum(value) FILTER (WHERE event_type = 'view'), 0), 6)     AS sum_view,
        round(coalesce(sum(value) FILTER (WHERE event_type = 'click'), 0), 6)    AS sum_click,
        round(coalesce(sum(value) FILTER (WHERE event_type = 'purchase'), 0), 6) AS sum_purchase,
        round(coalesce(sum(value) FILTER (WHERE event_type = 'signup'), 0), 6)   AS sum_signup,
        round(coalesce(sum(value) FILTER (WHERE event_type = 'error'), 0), 6)    AS sum_error
-FROM events GROUP BY user_id
+FROM events GROUP BY coalesce(user_id, -1)
 """
 
 
@@ -5824,13 +5846,18 @@ def q_snapshot_diff(sf_dir: str) -> rd.Dataset:
 
 SQL_SNAPSHOT_DIFF = """
 WITH old AS (
-  SELECT doc_id, md5(text) AS h FROM documents
+  -- coalesce INSIDE md5: the engine hashes fill_null(text, ''), and
+  -- md5(NULL) is NULL in SQL (a NULL-text doc would flip unchanged ->
+  -- updated between the twins otherwise)
+  SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents
 ), new_base AS (
   SELECT doc_id,
-         CASE WHEN doc_id % 7 = 2 THEN md5(text || ' v2') ELSE md5(text) END AS h
+         CASE WHEN doc_id % 7 = 2 THEN md5(coalesce(text, '') || ' v2')
+              ELSE md5(coalesce(text, '')) END AS h
   FROM documents WHERE doc_id % 11 != 3
 ), new_tail AS (
-  SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id, md5(text) AS h
+  SELECT doc_id + (SELECT count(*) FROM documents) AS doc_id,
+         md5(coalesce(text, '')) AS h
   FROM documents WHERE doc_id % 13 = 1
 ), new AS (
   SELECT * FROM new_base UNION ALL SELECT * FROM new_tail
@@ -6125,10 +6152,14 @@ def q_vocab_coverage(sf_dir: str) -> rd.Dataset:
     of all token occurrences (ties broken token-ascending), plus totals
     — the coverage-curve question behind vocab sizing.  Scale shape:
     per-batch (lang, tok) partial counts -> ONE keyed exchange on
-    (lang, tok) for global counts -> ONE exchange on lang where the
-    per-lang ordered cumsum is a vectorized sort + searchsorted.  The
-    per-lang state is the distinct-token table, the same cardinality
-    any tokenizer fit must hold."""
+    (lang, tok) for global counts, folded IN-PARTITION to a count
+    HISTOGRAM (lang, cnt, n_tokens) -> ONE exchange on lang over
+    histogram rows only.  vocab_90 depends only on the multiset of
+    counts (tokens tied on cnt are interchangeable under the cnt-desc,
+    tok-asc order), so the per-lang state is the distinct count-VALUE
+    table (Zipf: ~sqrt(vocab) rows), never the vocabulary itself — the
+    merged-histogram pattern length_quantiles uses, closing the
+    hot-lang single-partition sort this query shipped in round 3."""
     docs = _t(sf_dir, "documents", ["lang", "text"])
 
     def partial(b: pa.Table) -> pa.Table:
@@ -6141,23 +6172,43 @@ def q_vocab_coverage(sf_dir: str) -> rd.Dataset:
                     "cnt": pa.array([], pa.int64()),
                 }
             )
-        langs = np.asarray(pc.fill_null(b["lang"], "").to_pylist(), dtype=object)[row]
-        toks = np.asarray(vocab.to_pylist(), dtype=object)[codes]
-        key = np.char.add(np.char.add(langs.astype(str), "\x01"), toks.astype(str))
-        uk, cnt = np.unique(key, return_counts=True)
-        parts = np.char.partition(uk, "\x01")
+        # integer (lang_code, token_code) pair aggregation (the
+        # q_hll_distinct pattern): a \S+ token may legally contain any
+        # non-whitespace byte, so no string separator is safe here
+        lang_dict = pc.dictionary_encode(pc.fill_null(b["lang"], ""))
+        lang_codes = lang_dict.combine_chunks().indices.to_numpy().astype(np.int64)[row]
+        lang_vocab = lang_dict.combine_chunks().dictionary
+        pair = (lang_codes << np.int64(32)) | codes.astype(np.int64)
+        upair, cnt = np.unique(pair, return_counts=True)
         return pa.table(
             {
-                "lang": pa.array(parts[:, 0].astype(object), pa.string()),
-                "tok": pa.array(parts[:, 2].astype(object), pa.string()),
+                "lang": lang_vocab.take(pa.array(upair >> np.int64(32), pa.int64())),
+                "tok": vocab.take(pa.array(upair & np.int64(0xFFFFFFFF), pa.int64())),
                 "cnt": pa.array(cnt.astype(np.int64)),
             }
         )
 
-    def merge_counts(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(["lang", "tok"], sort=False)["cnt"].sum().reset_index()
+    def merge_to_hist(df: pd.DataFrame) -> pd.DataFrame:
+        # each (lang, tok) is whole in this partition, so the summed cnt
+        # is global — fold token rows straight into the count histogram
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "lang": pd.Series([], dtype="object"),
+                    "cnt": pd.Series([], dtype="int64"),
+                    "n_toks": pd.Series([], dtype="int64"),
+                }
+            )
+        tok_cnt = df.groupby(["lang", "tok"], sort=False)["cnt"].sum().reset_index()
+        hist = (
+            tok_cnt.groupby(["lang", "cnt"], sort=False)
+            .size()
+            .rename("n_toks")
+            .reset_index()
+        )
+        return hist
 
-    counts = _grouped(docs.map_batches(partial, batch_format="pyarrow"), ["lang", "tok"], merge_counts)
+    hist = _grouped(docs.map_batches(partial, batch_format="pyarrow"), ["lang", "tok"], merge_to_hist)
 
     def coverage(df: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -6170,22 +6221,46 @@ def q_vocab_coverage(sf_dir: str) -> rd.Dataset:
                     "vocab_90": pd.Series([], dtype="int64"),
                 }
             )
-        d = df.sort_values(["lang", "cnt", "tok"], ascending=[True, False, True], kind="mergesort")
+        # different partitions contributed different tokens of a lang, so
+        # the same count value may repeat — merge the histograms first
+        d = (
+            df.groupby(["lang", "cnt"], sort=False)["n_toks"]
+            .sum()
+            .reset_index()
+            .sort_values(["lang", "cnt"], ascending=[True, False], kind="mergesort")
+        )
         lg = d["lang"].to_numpy()
-        cnt = d["cnt"].to_numpy()
+        cnt = d["cnt"].to_numpy().astype(np.int64)
+        ntk = d["n_toks"].to_numpy().astype(np.int64)
         chg = np.r_[True, lg[1:] != lg[:-1]]
         run = np.nonzero(chg)[0]
         off = np.r_[run, len(lg)]
         for i, s in enumerate(run):
             e = off[i + 1]
-            c = cnt[s:e]
-            cum = np.cumsum(c)
-            total = cum[-1]
-            k = int(np.searchsorted(cum, 0.9 * total, side="left")) + 1
-            out.append((lg[s], int(total), int(e - s), k))
+            c, n = cnt[s:e], ntk[s:e]
+            occ = c * n
+            cum = np.cumsum(occ)  # occurrences through the end of each band
+            toks_before = np.cumsum(n) - n  # tokens before each band
+            total = int(cum[-1])
+            target = 0.9 * total
+            # band where the target falls = first band whose end-cum
+            # clears the target (token order within a band is immaterial:
+            # every token contributes the same cnt)
+            bi = int(np.searchsorted(cum, target, side="left"))
+            cum_before = int(cum[bi] - occ[bi])
+            # tokens needed from the band — float-exact against the
+            # token-level rule `first rank with cum >= 0.9*total`: seed
+            # with the float division, then settle with the comparison
+            # the token-level cumsum would have made
+            m = max(1, int(np.ceil((target - cum_before) / c[bi])))
+            while m > 1 and cum_before + (m - 1) * c[bi] >= target:
+                m -= 1
+            while cum_before + m * c[bi] < target:
+                m += 1
+            out.append((lg[s], total, int(n.sum()), int(toks_before[bi]) + m))
         return pd.DataFrame(out, columns=["lang", "total_tokens", "vocab_size", "vocab_90"])
 
-    return _grouped(counts, ["lang"], coverage)
+    return _grouped(hist, ["lang"], coverage)
 
 
 SQL_VOCAB_COVERAGE = """
