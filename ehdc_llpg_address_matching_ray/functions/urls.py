@@ -47,17 +47,18 @@ def _sort_join_params(query: pa.Array) -> pa.Array:
         pc.not_equal(flat, ""),
     ).to_numpy(zero_copy_only=False)
     kept_rows = rows[keep]
-    # one C mergesort orders every row's surviving params; the re-join is
-    # Arrow's vectorized binary_join over a rebuilt ListArray (no
-    # per-row Python)
-    df = pd.DataFrame(
-        {"r": kept_rows, "v": flat.to_pandas().to_numpy()[keep]}
-    ).sort_values(["r", "v"], kind="mergesort")
+    # one Arrow C++ sort orders every row's surviving params (strings
+    # never leave Arrow — the previous pandas detour copied the whole
+    # flat param column into Python objects); the re-join is Arrow's
+    # vectorized binary_join over a rebuilt ListArray
+    kept_vals = flat.filter(pa.array(keep))
+    order = pc.sort_indices(
+        pa.table({"r": pa.array(kept_rows), "v": kept_vals}),
+        sort_keys=[("r", "ascending"), ("v", "ascending")],
+    )
     off = np.zeros(len(parts) + 1, dtype=np.int32)
     np.cumsum(np.bincount(kept_rows, minlength=len(parts)), out=off[1:])
-    la = pa.ListArray.from_arrays(
-        pa.array(off), pa.array(df["v"].to_numpy(), pa.string())
-    )
+    la = pa.ListArray.from_arrays(pa.array(off), kept_vals.take(order))
     return pc.binary_join(la, "&")
 
 
