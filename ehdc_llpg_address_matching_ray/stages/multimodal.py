@@ -2,11 +2,12 @@
 metadata, processed by actor-pool map_batches stages.
 
 The heavyweight decode libraries are not available in this environment,
-but three byte formats need none and decode for REAL here: 24-bit BMP
-and 8-bit PNG below (pure numpy + stdlib zlib) and RIFF/PCM WAV in
-stages/audio.py.  Mimes that genuinely require codecs (jpeg, mp4, mp3)
-fall back to a deterministic stub (or raise NotImplementedError in
-strict mode) — everything Ray-side stays real and tested either way:
+but four byte formats decode for REAL here: 24-bit BMP and 8-bit PNG
+below, baseline JPEG (stages/jpeg.py: Huffman + IDCT + 4:2:0, pure
+numpy) and RIFF/PCM WAV in stages/audio.py.  Mimes that genuinely
+require absent codecs (mp4, mp3; progressive JPEG) fall back to a
+deterministic stub (or raise NotImplementedError in strict mode) —
+everything Ray-side stays real and tested either way:
 schema contract, actor signature, batch sizing for wide binary rows,
 output layout.  Swapping ``_decode_stub`` for PIL / ffmpeg changes
 nothing else.
@@ -235,10 +236,21 @@ def decode_png(data: bytes) -> np.ndarray:
 
 
 # mime -> (decode, re-encode) for the real codec paths
+def _jpeg_codec():
+    from .jpeg import decode_jpeg, encode_jpeg
+
+    return decode_jpeg, encode_jpeg
+
+
 _CODECS = {
     "image/bmp": (decode_bmp, encode_bmp),
     "image/png": (decode_png, encode_png),
+    # baseline sequential JPEG (stages/jpeg.py, pure numpy): huffman +
+    # IDCT + 4:2:0/4:4:4 + restart markers; progressive/arithmetic
+    # raise ValueError (strict mode surfaces them as a real gap)
+    "image/jpeg": _jpeg_codec(),
 }
+_CODECS["image/jpg"] = _CODECS["image/jpeg"]
 
 
 def _image_features(img: np.ndarray) -> np.ndarray:
@@ -332,8 +344,9 @@ class MultimodalFeaturizer:
             elif self.strict:
                 raise NotImplementedError(
                     f"no real decoder for mime {m!r} in this environment; "
-                    "only image/bmp and image/png decode natively — construct "
-                    "MultimodalFeaturizer(strict=False) for the deterministic stub"
+                    "image/bmp, image/png and baseline image/jpeg decode "
+                    "natively — construct MultimodalFeaturizer(strict=False) "
+                    "for the deterministic stub"
                 )
             else:
                 metas.append({**_decode_stub(p, m or ""), "pixel_mean": None})
@@ -414,8 +427,8 @@ class ImageResizer:
                     out.append(p)  # malformed payload passes through
             elif self.strict:
                 raise NotImplementedError(
-                    f"no real decoder for mime {m!r}; only image/bmp and "
-                    "image/png resize natively"
+                    f"no real decoder for mime {m!r}; image/bmp, image/png "
+                    "and baseline image/jpeg resize natively"
                 )
             else:
                 out.append(p)

@@ -236,6 +236,54 @@ class TestMultimodal:
         with _pytest.raises(ValueError):
             decode_bmp(b"not a bmp at all, definitely not")
 
+    def test_jpeg_codec_roundtrip(self):
+        """Baseline JPEG (stages/jpeg.py): lossy, so the gate is PSNR
+        per subsampling mode + exact header geometry, plus grayscale and
+        the progressive/garbage rejection paths."""
+        import numpy as np
+        import pytest as _pytest
+
+        from ehdc_llpg_address_matching_ray.stages.jpeg import decode_jpeg, encode_jpeg
+
+        yy, xx = np.mgrid[0:40, 0:56]
+        img = np.stack(
+            [(xx * 255 // 55), (yy * 255 // 39), ((xx + yy) * 255 // 94)], axis=2
+        ).astype(np.uint8)
+        for q, sub, min_psnr in ((90, "444", 40.0), (90, "420", 35.0), (50, "420", 28.0)):
+            out = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+            assert out.shape == img.shape
+            mse = ((out.astype(float) - img.astype(float)) ** 2).mean()
+            psnr = 10 * np.log10(255**2 / max(mse, 1e-9))
+            assert psnr >= min_psnr, (q, sub, psnr)
+        # odd, non-MCU-aligned sizes exercise the padding paths
+        rng = np.random.default_rng(11)
+        for h, w in ((1, 1), (17, 23), (8, 9)):
+            small = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            assert decode_jpeg(encode_jpeg(small, quality=95)).shape == (h, w, 3)
+        # grayscale replicates to the 3-channel output contract
+        g = ((xx * yy) % 256).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(g, quality=90))
+        assert out.shape == (40, 56, 3)
+        assert np.array_equal(out[:, :, 0], out[:, :, 1])
+        with _pytest.raises(ValueError):
+            decode_jpeg(b"not a jpeg")
+        # progressive SOF2 must be rejected loudly, not mis-decoded
+        data = bytearray(encode_jpeg(img))
+        sof = bytes(data).find(b"\xff\xc0")
+        data[sof + 1] = 0xC2
+        with _pytest.raises(ValueError, match="coding process"):
+            decode_jpeg(bytes(data))
+
+    def test_jpeg_in_codec_registry(self):
+        import numpy as np
+
+        from ehdc_llpg_address_matching_ray.stages.multimodal import _CODECS
+
+        dec, enc = _CODECS["image/jpeg"]
+        img = np.full((9, 9, 3), 200, dtype=np.uint8)
+        assert dec(enc(img)).shape == (9, 9, 3)
+        assert _CODECS["image/jpg"] == _CODECS["image/jpeg"]
+
     def test_png_codec_roundtrip(self):
         import numpy as np
 
