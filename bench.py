@@ -324,6 +324,61 @@ def run_bench_steal_guarded(sf_dir: str, num_cpus: int, names: list[str]) -> dic
     return second if second["value"] < first["value"] else first
 
 
+def run_headline_protocol() -> dict:
+    """Steal-gated headline protocol (the discipline the scaling
+    protocols use, applied to the 14-query headline): N fresh-process
+    runs of the full BENCH_QUERIES set, per-run steal recorded, runs
+    above GRAFT_HEADLINE_STEAL_MAX (default 1%) retried up to
+    GRAFT_SCALING_MAX_RETRIES times, MEDIAN total reported.  The result
+    is also written to BENCH_headline_protocol.json at the repo root —
+    the artifact README's headline numbers are pinned to."""
+    import statistics
+
+    repeats = int(os.environ.get("GRAFT_HEADLINE_REPEATS", "3"))
+    steal_max = float(os.environ.get("GRAFT_HEADLINE_STEAL_MAX", "0.01"))
+    max_retries = int(os.environ.get("GRAFT_SCALING_MAX_RETRIES", "4"))
+    runs: list[dict] = []
+    for _ in range(repeats):
+        for attempt in range(max_retries + 1):
+            out = subprocess.run(
+                [sys.executable, __file__],
+                capture_output=True,
+                text=True,
+                env={**os.environ, "GRAFT_BENCH_NO_RETRY": "1", "GRAFT_SF_DIR": SF_DIR},
+                timeout=3600,
+            )
+            line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            r = json.loads(line)
+            if r.get("steal_frac", 0.0) <= steal_max or attempt == max_retries:
+                break
+        runs.append(r)
+    totals = [r["value"] for r in runs]
+    med = statistics.median(totals)
+    med_run = min(runs, key=lambda r: abs(r["value"] - med))
+    result = {
+        "metric": "headline_protocol_median_sec",
+        "value": med,
+        "unit": "sec",
+        "queries": med_run["queries"],
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": med_run["rows"],
+        "protocol": {
+            "repeats": repeats,
+            "steal_max": steal_max,
+            "run_totals_sec": totals,
+            "run_steal_fracs": [r.get("steal_frac") for r in runs],
+        },
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_headline_protocol.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except Exception:
+        pass
+    return result
+
+
 def _calibrate_worker(args):
     """One pinned worker scoring synthetic pairs with the production
     kernels (no Ray): measures what the BOX delivers per core."""
@@ -553,5 +608,7 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling(SF_DIR)))
     elif len(sys.argv) > 1 and sys.argv[1] == "--weak-scaling":
         print(json.dumps(run_weak_scaling(SF_DIR)))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--headline-protocol":
+        print(json.dumps(run_headline_protocol()))
     else:
         print(json.dumps(run_bench_steal_guarded(SF_DIR, NUM_CPUS, BENCH_QUERIES)))
