@@ -243,9 +243,13 @@ def _run_linkage_inner(
             # blocking stage below); every scorer worker then maps the
             # single sorted block zero-copy instead of rebuilding its own
             # concat+argsort index — a per-worker, width-independent floor
+            # the task also precomputes the scorer's CSR index (token /
+            # house / locality ids, idf weights, norms, JW truncations)
+            # so scorer workers run pure array kernels — no per-pair
+            # Python, no per-worker tokenization (round-4 fast path)
             payload_ref = [
-                ray.remote(num_cpus=1)(SC.combine_payload_blocks).remote(
-                    *reps_slim.to_arrow_refs()
+                ray.remote(num_cpus=1)(SC.build_payload_index).remote(
+                    idf_ref, n_docs, *reps_slim.to_arrow_refs()
                 )
             ]
     if not broadcast:
@@ -397,7 +401,8 @@ def _resolve_decision_ids(b: pa.Table, payload_ref=None, rtok: str = "") -> pa.T
     from ..rayutil import worker_cached
 
     def _build_lut():
-        tables = [tb for tb in ray.get(payload_ref) if tb.num_rows]
+        objs = [o[0] if isinstance(o, tuple) else o for o in ray.get(payload_ref)]
+        tables = [tb for tb in objs if tb.num_rows]
         t = pa.concat_tables([tb.select(["nid", "url"]) for tb in tables])
         ids = t["nid"].to_numpy()
         if len(ids) > 1 and bool(np.all(ids[1:] >= ids[:-1])):

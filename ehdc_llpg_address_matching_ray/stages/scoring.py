@@ -167,6 +167,185 @@ def combine_payload_blocks(*blocks) -> pa.Table:
     return t
 
 
+def _csr_flat_idx(indptr: np.ndarray, rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Ragged gather plan: flat value indices + per-row lengths for the
+    CSR rows in ``rows`` — pure numpy, no per-row Python."""
+    starts = indptr[rows]
+    lens = (indptr[rows + 1] - starts).astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), lens
+    offs = np.cumsum(lens) - lens
+    idx = np.repeat(starts - offs, lens) + np.arange(total, dtype=np.int64)
+    return idx, lens
+
+
+def _rowwise_unique(row_of: np.ndarray, codes: np.ndarray, n_rows: int):
+    """(row, code) pairs -> per-row SORTED UNIQUE codes as a CSR, plus
+    per-entry multiplicities.  Packs (row << 32 | code) into uint64 and
+    uses one np.unique — the same trick the scorer's sort-merge uses."""
+    if len(codes):
+        key = (row_of.astype(np.uint64) << np.uint64(32)) | codes.astype(np.uint64)
+        uk, counts = np.unique(key, return_counts=True)
+        urow = (uk >> np.uint64(32)).astype(np.int64)
+        ucode = (uk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    else:
+        urow = np.empty(0, np.int64)
+        ucode = np.empty(0, np.uint32)
+        counts = np.empty(0, np.int64)
+    per_row = np.bincount(urow, minlength=n_rows)
+    indptr = np.zeros(n_rows + 2, np.int64)
+    np.cumsum(per_row, out=indptr[1 : n_rows + 1])
+    indptr[n_rows + 1] = indptr[n_rows]
+    return indptr, ucode, counts, urow
+
+
+def _list_col_csr(col, n_rows: int, upper: bool = False):
+    """list<string> column -> (flat row ids, flat string values).  Uses
+    offsets+values (alignment holds even for null rows); null rows count
+    as empty.  ``upper`` applies PYTHON str.upper (the scalar kernels'
+    semantics — Arrow utf8_upper diverges on e.g. 'ß')."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = arr.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(off)
+    if arr.null_count:
+        lens = np.where(np.asarray(arr.is_null()), 0, lens)
+    row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
+    # gather from the TRUE per-row starts (offsets index into .values
+    # as-is); null rows contribute nothing even if their offset range
+    # is non-empty
+    total = int(lens.sum())
+    if total:
+        offs = np.cumsum(lens) - lens
+        idx = np.repeat(off[:-1] - offs, lens) + np.arange(total, dtype=np.int64)
+        flat = arr.values.take(pa.array(idx, pa.int64())).to_pylist()
+    else:
+        flat = []
+    if upper:
+        flat = [("" if x is None else x).upper() for x in flat]
+    else:
+        flat = ["" if x is None else x for x in flat]
+    return row_of, flat
+
+
+def _intern(flat: list[str]) -> tuple[np.ndarray, list[str]]:
+    """Factorize strings -> (codes, vocab) with first-seen ids."""
+    import pandas as pd
+
+    if not flat:
+        return np.empty(0, np.int64), []
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+    return codes.astype(np.int64), list(uniques)
+
+
+def build_payload_index(idf, n_docs: int, *blocks):
+    """The broadcast-payload remote task, round-4 form: combine + sort
+    the payload blocks (exactly ``combine_payload_blocks``) AND
+    precompute the scorer's CSR index — token ids / idf weights / norms,
+    DL-1-eligible token ids, house-number and locality id CSRs, and the
+    JW-truncated canonicals — ONCE, overlapping the blocking stage.
+    Scorer workers then run pure array kernels per batch: no per-pair
+    Python, no per-worker string tokenization, no row materialization.
+
+    Returns ``(payload_table, index_dict | None)``.  Token/house/loc ids
+    are uint32 (fits: the broadcast path is row-gated at
+    ``broadcast_payload_max`` ≪ 2^31; the join path carries strings and
+    never builds this index).  Token ids are assigned in STRING-SORTED
+    order so per-row ascending ids == Python ``sorted()`` order — the
+    greedy DL-1 rescue (order-dependent) stays bit-identical to the
+    scalar kernel."""
+    tables = [b for b in blocks if b.num_rows]
+    if not tables:
+        return (blocks[0].slice(0, 0) if blocks else pa.table({}), None)
+    t = pa.concat_tables(tables).combine_chunks()
+    if "house_nums" not in t.column_names or "nid" not in t.column_names:
+        t = enrich_payload(t)
+    t = t.take(pc.sort_indices(t["nid"])).combine_chunks()
+    n = t.num_rows
+
+    # --- tokens: split(" ") keeping empties; empty canonical -> no tokens
+    canon = pc.fill_null(t["canonical"].combine_chunks(), "")
+    toks = pc.split_pattern(canon, " ")
+    off = toks.offsets.to_numpy().astype(np.int64)
+    lens = np.diff(off)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    empty_rows = np.asarray(pc.equal(canon, "").to_numpy(zero_copy_only=False))
+    keep = ~empty_rows[row_of]
+    codes, vocab = _intern(toks.values.to_pylist())
+    # remap ids to string rank (vocab < 2^32 guarded by the row gate;
+    # a pathological vocab overflow must fail loudly, not wrap)
+    if len(vocab) >= (1 << 32) or n >= (1 << 31):
+        raise ValueError("payload too large for the uint32 CSR index")
+    order = sorted(range(len(vocab)), key=vocab.__getitem__)
+    rank = np.empty(len(vocab), np.int64)
+    rank[np.asarray(order, dtype=np.int64)] = np.arange(len(vocab), dtype=np.int64)
+    vocab = [vocab[i] for i in order]
+    codes = rank[codes] if len(codes) else codes
+    tok_len = np.fromiter((len(x) for x in vocab), np.int32, len(vocab))
+    tok_isrest = np.fromiter(
+        (x.isalpha() and len(x) >= 3 for x in vocab), bool, len(vocab)
+    )
+    default_idf = math.log(1 + max(1, n_docs)) + 1.0
+    idf = idf or {}
+    idf_vec = np.fromiter((idf.get(x, default_idf) for x in vocab), np.float64, len(vocab))
+    tok_indptr, tok_ids, tok_counts, tok_rows = _rowwise_unique(
+        row_of[keep], codes[keep], n
+    )
+    tok_w = tok_counts * idf_vec[tok_ids.astype(np.int64)]
+    # sequential per-row accumulation == np.sum for short rows (the
+    # scalar kernel's order); long-document rows differ by <=1e-15 rel
+    norm = np.sqrt(np.bincount(tok_rows, weights=tok_w * tok_w, minlength=n))
+    tok_norm = np.append(norm, 0.0)
+    rmask = tok_isrest[tok_ids.astype(np.int64)]
+    rest_ids = tok_ids[rmask]
+    rest_per_row = np.bincount(tok_rows[rmask], minlength=n)
+    rest_indptr = np.zeros(n + 2, np.int64)
+    np.cumsum(rest_per_row, out=rest_indptr[1 : n + 1])
+    rest_indptr[n + 1] = rest_indptr[n]
+
+    # --- house numbers: uppercase (Python semantics), per-row unique set
+    hrow, hflat = _list_col_csr(t["house_nums"], n, upper=True)
+    hcodes, _hvocab = _intern(hflat)
+    house_indptr, house_ids, _, _ = _rowwise_unique(hrow, hcodes, n)
+
+    # --- locality tokens: LIST (multiplicity, for counts/denominators)
+    # and SET (side-a membership) CSRs over one interned id space
+    lrow, lflat = _list_col_csr(t["loc_toks"], n)
+    lcodes, _lvocab = _intern(lflat)
+    locl_indptr = np.zeros(n + 2, np.int64)
+    np.cumsum(np.bincount(lrow, minlength=n), out=locl_indptr[1 : n + 1])
+    locl_indptr[n + 1] = locl_indptr[n]
+    locs_indptr, locs_ids, _, _ = _rowwise_unique(lrow, lcodes, n)
+
+    # --- JW input: Python slice (codepoint semantics) + "" sentinel row
+    mjl = ProductionWeights.max_jw_len
+    trunc = pa.array([c[:mjl] for c in canon.to_pylist()] + [""], pa.string())
+
+    return (
+        t,
+        {
+            "n": n,
+            "mjl": mjl,
+            "tok_indptr": tok_indptr,
+            "tok_ids": tok_ids,
+            "tok_w": tok_w,
+            "tok_norm": tok_norm,
+            "rest_indptr": rest_indptr,
+            "rest_ids": rest_ids,
+            "house_indptr": house_indptr,
+            "house_ids": house_ids,
+            "locl_indptr": locl_indptr,
+            "locl_ids": lcodes.astype(np.uint32),
+            "locs_indptr": locs_indptr,
+            "locs_ids": locs_ids,
+            "tok_len": tok_len,
+            "tok_isrest": tok_isrest,
+            "vocab": pa.array(vocab, pa.string()),
+            "trunc": trunc,
+        },
+    )
+
+
 @lru_cache(maxsize=262144)
 def _house_numbers_cached(text: str) -> tuple[str, ...]:
     return tuple(N.extract_house_numbers(text))
@@ -218,6 +397,8 @@ class PairScorer:
         self._prow = None
         self._pid_sorted = None
         self._pid_rows = None
+        self._csr = None
+        self._vocab_str: dict[int, str] = {}
         self._row_cache: dict[int, tuple] = {}
         try:
             import ray
@@ -236,7 +417,19 @@ class PairScorer:
                 # build only a 16-byte/row hash index (vectorized polars
                 # hash + argsort, ~0.2s), then gather per batch with
                 # searchsorted + Table.take.
-                tables = [tb for tb in ray.get(payload) if tb.num_rows]
+                objs = ray.get(payload)
+                csr = None
+                tables = []
+                for o in objs:
+                    if isinstance(o, tuple) and len(o) == 2:
+                        # build_payload_index result: (sorted table, CSR
+                        # index).  The index is row-aligned to ONE table,
+                        # so only a single-ref payload can carry it.
+                        o, icsr = o
+                        if icsr is not None and len(objs) == 1:
+                            csr = icsr
+                    if o.num_rows:
+                        tables.append(o)
                 if tables:
                     # combine_chunks: the per-batch random gather
                     # (Table.take) on a ~blocks-chunked table pays a
@@ -300,6 +493,12 @@ class PairScorer:
                             self._pid_sorted = sorted_ids
                             self._pid_rows = iorder.astype(np.int64)
                         self._ptable = t
+                        if (
+                            csr is not None
+                            and self._pid_sorted is not None
+                            and csr.get("n") == t.num_rows
+                        ):
+                            self._csr = csr
                         payload = None
         except ValueError:
             raise  # nid collision guard must fail loudly, not fall back
@@ -643,8 +842,232 @@ class PairScorer:
             [v[3] for v in out],
         )
 
+    def _match_csr(self, indptr, data, rows_a, rows_b, n):
+        """Per-pair sorted-set intersection via ONE searchsorted: side-a
+        packed keys (pair << 32 | id) are sorted BY CONSTRUCTION (pair
+        index ascending, ids ascending within each CSR row), so the
+        merge needs no argsort.  Returns everything the callers reuse."""
+        idx_a, la = _csr_flat_idx(indptr, rows_a)
+        idx_b, lb = _csr_flat_idx(indptr, rows_b)
+        a_ids = data[idx_a].astype(np.uint64)
+        b_ids = data[idx_b].astype(np.uint64)
+        pra = np.repeat(np.arange(n, dtype=np.uint64), la)
+        prb = np.repeat(np.arange(n, dtype=np.uint64), lb)
+        a_keys = (pra << np.uint64(32)) | a_ids
+        b_keys = (prb << np.uint64(32)) | b_ids
+        if len(a_keys):
+            pos = np.searchsorted(a_keys, b_keys)
+            safe = np.minimum(pos, len(a_keys) - 1)
+            eq = a_keys[safe] == b_keys
+            pos = safe
+        else:
+            pos = np.zeros(len(b_keys), np.int64)
+            eq = np.zeros(len(b_keys), bool)
+        common = np.bincount(
+            prb[eq].astype(np.int64), minlength=n
+        ).astype(np.int64)
+        return idx_a, idx_b, la, lb, pra, prb, pos, eq, common
+
+    def _score_csr(self, batch: pa.Table) -> pa.Table:
+        """Vectorized scorer over the broadcast CSR index: payload row
+        lookup by searchsorted, then flat ragged gathers + one
+        sort-merge per feature family.  No per-pair Python except the
+        (rare) greedy DL-1 rescue, which runs only on pairs where both
+        sides still have unmatched fuzzy-eligible tokens.  Semantics are
+        bit-identical to the scalar kernels (property-tested)."""
+        csr = self._csr
+        nrows = csr["n"]
+        n = batch.num_rows
+        vals_a = np.asarray(batch["id_a"].to_numpy(zero_copy_only=False))
+        vals_b = np.asarray(batch["id_b"].to_numpy(zero_copy_only=False))
+
+        def _rows(vals):
+            if len(self._pid_sorted) == 0:
+                return np.full(len(vals), nrows, np.int64)
+            pos = np.minimum(
+                np.searchsorted(self._pid_sorted, vals), len(self._pid_sorted) - 1
+            )
+            found = self._pid_sorted[pos] == vals
+            # misses (salting sentinels, dangling ids) -> the synthetic
+            # empty row at index n (every *_indptr has n+2 entries)
+            return np.where(found, self._pid_rows[pos], nrows)
+
+        rows_a = _rows(vals_a)
+        rows_b = _rows(vals_b)
+
+        # --- token-set ratio + tf-idf cosine -------------------------
+        idx_a, idx_b, la, lb, pra, prb, pos, eq, common = self._match_csr(
+            csr["tok_indptr"], csr["tok_ids"], rows_a, rows_b, n
+        )
+        w_a = csr["tok_w"][idx_a]
+        w_b = csr["tok_w"][idx_b]
+        dot = np.bincount(
+            prb[eq].astype(np.int64), weights=w_a[pos[eq]] * w_b[eq], minlength=n
+        )
+        ts = np.zeros(n, dtype=np.float64)
+        both_empty = (la == 0) & (lb == 0)
+        ts[both_empty] = 1.0
+        live = (la > 0) & (lb > 0)
+        denom = np.minimum(la, lb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ts[live] = np.minimum(1.0, common[live] / denom[live])
+        tf = np.zeros(n, dtype=np.float64)
+        tf[both_empty] = 1.0
+        na = csr["tok_norm"][rows_a]
+        nb = csr["tok_norm"][rows_b]
+        ok = (dot != 0.0) & (na != 0.0) & (nb != 0.0)
+        tf[ok] = dot[ok] / (na[ok] * nb[ok])
+
+        # --- greedy DL-1 rescue (exact _overlap_pair semantics) ------
+        unsat = live & (common < denom)
+        if unsat.any():
+            isrest = csr["tok_isrest"]
+            matched_a = np.zeros(len(idx_a), bool)
+            matched_a[pos[eq]] = True
+            fa_m = isrest[csr["tok_ids"][idx_a].astype(np.int64)] & ~matched_a
+            fb_m = isrest[csr["tok_ids"][idx_b].astype(np.int64)] & ~eq
+            cnt_a = np.bincount(pra[fa_m].astype(np.int64), minlength=n)
+            cnt_b = np.bincount(prb[fb_m].astype(np.int64), minlength=n)
+            need = np.flatnonzero(unsat & (cnt_a > 0) & (cnt_b > 0) & (cnt_a * cnt_b <= 64))
+            if len(need):
+                fa_ids = csr["tok_ids"][idx_a[fa_m]].astype(np.int64)
+                fa_pairs = pra[fa_m].astype(np.int64)
+                fb_ids = csr["tok_ids"][idx_b[fb_m]].astype(np.int64)
+                fb_pairs = prb[fb_m].astype(np.int64)
+                a_lo = np.searchsorted(fa_pairs, need)
+                a_hi = np.searchsorted(fa_pairs, need + 1)
+                b_lo = np.searchsorted(fb_pairs, need)
+                b_hi = np.searchsorted(fb_pairs, need + 1)
+                tok_len = csr["tok_len"]
+                vocab = csr["vocab"]
+                vs = self._vocab_str
+                dl1 = self._dl1_cache
+                for k in range(len(need)):
+                    i = int(need[k])
+                    ta_list = fa_ids[a_lo[k] : a_hi[k]].tolist()
+                    tb_list = fb_ids[b_lo[k] : b_hi[k]].tolist()
+                    used = [False] * len(tb_list)
+                    extra = 0
+                    for ta in ta_list:
+                        lta = int(tok_len[ta])
+                        for j, tb in enumerate(tb_list):
+                            if used[j] or abs(lta - int(tok_len[tb])) > 1:
+                                continue
+                            key = (ta, tb)
+                            v = dl1.get(key)
+                            if v is None:
+                                if len(dl1) > self._CAP:
+                                    dl1.clear()
+                                sa = vs.get(ta)
+                                if sa is None:
+                                    if len(vs) > self._CAP:
+                                        vs.clear()
+                                    sa = vs[ta] = vocab[ta].as_py()
+                                sb = vs.get(tb)
+                                if sb is None:
+                                    sb = vs[tb] = vocab[tb].as_py()
+                                v = SS.within_one_edit(sa, sb)
+                                dl1[key] = v
+                            if v:
+                                used[j] = True
+                                extra += 1
+                                break
+                    if extra:
+                        ts[i] = min(1.0, (int(common[i]) + extra) / int(denom[i]))
+
+        # --- house-number veto (P6) ----------------------------------
+        _, _, ha_n, hb_n, _, _, _, _, hcommon = self._match_csr(
+            csr["house_indptr"], csr["house_ids"], rows_a, rows_b, n
+        )
+        both_house = (ha_n > 0) & (hb_n > 0)
+        same_house = both_house & (hcommon > 0)
+        veto = both_house & (hcommon == 0)
+
+        # --- locality overlap (D2): set(a) membership, LIST lengths ---
+        ll = csr["locl_indptr"]
+        la_list = ll[rows_a + 1] - ll[rows_a]
+        lb_list = ll[rows_b + 1] - ll[rows_b]
+        sidx_a, _ = _csr_flat_idx(csr["locs_indptr"], rows_a)
+        lidx_b, lb_cnt = _csr_flat_idx(ll, rows_b)
+        sa_ids = csr["locs_ids"][sidx_a].astype(np.uint64)
+        lb_ids = csr["locl_ids"][lidx_b].astype(np.uint64)
+        pr_sa = np.repeat(
+            np.arange(n, dtype=np.uint64),
+            csr["locs_indptr"][rows_a + 1] - csr["locs_indptr"][rows_a],
+        )
+        pr_lb = np.repeat(np.arange(n, dtype=np.uint64), lb_cnt)
+        sa_keys = (pr_sa << np.uint64(32)) | sa_ids
+        lb_keys = (pr_lb << np.uint64(32)) | lb_ids
+        if len(sa_keys):
+            lpos = np.minimum(np.searchsorted(sa_keys, lb_keys), len(sa_keys) - 1)
+            leq = sa_keys[lpos] == lb_keys
+        else:
+            leq = np.zeros(len(lb_keys), bool)
+        lcount = np.bincount(pr_lb[leq].astype(np.int64), minlength=n)
+        loc_overlap = np.zeros(n, dtype=np.float64)
+        loc_overlap[(la_list == 0) & (lb_list == 0)] = 1.0
+        lboth = (la_list > 0) & (lb_list > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            loc_overlap[lboth] = lcount[lboth] / np.minimum(la_list, lb_list)[lboth]
+
+        # --- Jaro-Winkler on the precomputed truncated canonicals -----
+        rows_pa_a = pa.array(rows_a, pa.int64())
+        rows_pa_b = pa.array(rows_b, pa.int64())
+        if csr["mjl"] == self.prod.max_jw_len:
+            ta_arr = csr["trunc"].take(rows_pa_a)
+            tb_arr = csr["trunc"].take(rows_pa_b)
+        else:
+            mjl = self.prod.max_jw_len
+            can = pc.fill_null(self._ptable["canonical"], "")
+            ta_arr = pa.array(
+                [("" if r == nrows else can[r].as_py())[:mjl] for r in rows_a.tolist()]
+            )
+            tb_arr = pa.array(
+                [("" if r == nrows else can[r].as_py())[:mjl] for r in rows_b.tolist()]
+            )
+        if self._duck is not None:
+            _jwt = pa.table({"a": ta_arr, "b": tb_arr})
+            jw = (
+                self._duck.execute("SELECT jaro_winkler_similarity(a, b) AS jw FROM _jwt")
+                .arrow()["jw"]
+                .to_numpy()
+            )
+        else:
+            jw = S.jaro_winkler_batch(ta_arr.to_pylist(), tb_arr.to_pylist())
+
+        w = self.prod
+        score = w.jaro_winkler * jw + w.token_set * ts + w.tfidf_cosine * tf
+        is_edge = (score >= w.edge_threshold) & ~veto
+        sent = vals_a == -1
+        if sent.any():
+            is_edge &= ~sent
+
+        cols: dict = {
+            "id_a": batch["id_a"],
+            "id_b": batch["id_b"],
+            "jaro_winkler": pa.array(jw),
+            "token_set_ratio": pa.array(ts),
+            "tfidf_cosine": pa.array(tf),
+            "house_veto": pa.array(veto),
+            "has_same_house_num": pa.array(same_house),
+            "locality_overlap": pa.array(loc_overlap),
+            "score": pa.array(score),
+            "is_edge": pa.array(is_edge),
+        }
+        if "dropped_pairs" in batch.column_names:
+            cols["dropped_pairs"] = batch["dropped_pairs"]
+        return pa.table(cols)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         id_mode = "id_a" in batch.column_names
+        if (
+            id_mode
+            and self._csr is not None
+            and self._pid_sorted is not None
+            and not self.fidelity
+            and self.prod.formula != "alt"
+        ):
+            return self._score_csr(batch)
         a_col, b_col = ("id_a", "id_b") if id_mode else ("url_a", "url_b")
         url_a = batch[a_col]
         url_b = batch[b_col]

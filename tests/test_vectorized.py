@@ -213,3 +213,98 @@ class TestBatchedTsTf:
         tf_s = np.array([sc._tfidf_pair(a, b) for a, b in zip(ca, cb)])
         assert np.abs(ts_v - ts_s).max() == 0.0
         assert np.abs(tf_v - tf_s).max() < 1e-12
+
+
+class TestCsrScorerParity:
+    """Round-4 CSR fast path (build_payload_index + _score_csr) vs the
+    per-text-cached path: every output column must match on adversarial
+    payloads — empty canonicals, double spaces (empty tokens), digit
+    tokens, DL-1-distance typos, unicode, house/locality extractions,
+    salting sentinels (-1) and dangling ids."""
+
+    def _payload(self):
+        import ray
+
+        from ehdc_llpg_address_matching_ray.stages import scoring as SC
+
+        rng = np.random.RandomState(7)
+        words = [
+            "street", "stret", "orchard", "orchord", "monks", "lane", "the",
+            "a1", "12", "héllo", "wörld", "grove", "grove,", "park", "road",
+            "rode", "house", "big", "xx", "yyy", "zzzz", "12a", "ab3",
+        ]
+        texts = []
+        for i in range(180):
+            toks = [words[rng.randint(0, len(words))] for _ in range(rng.randint(0, 9))]
+            t = " ".join(toks)
+            if i % 17 == 0:
+                t = t + "  double"  # double space -> empty token
+            if i % 31 == 0:
+                t = ""
+            texts.append(t)
+        t = pa.table(
+            {
+                "url": pa.array([f"http://s{i}.example/p" for i in range(len(texts))]),
+                "text": pa.array(
+                    [
+                        f"{rng.randint(1, 30)} MONKS ORCHARD {x}" if i % 3 else x
+                        for i, x in enumerate(texts)
+                    ]
+                ),
+                "canonical": pa.array(texts),
+            }
+        )
+        return SC.enrich_payload(t), rng
+
+    def test_all_columns_match_reference_path(self):
+        import ray
+
+        from ehdc_llpg_address_matching_ray.stages import scoring as SC
+
+        t, rng = self._payload()
+        nids = t["nid"].to_numpy()
+        idf = {"street": 2.0, "the": 0.5, "orchard": 3.0}
+        old = SC.PairScorer(idf=idf, n_docs=400, payload=[ray.put(t)])
+        new = SC.PairScorer(
+            idf=idf, n_docs=400, payload=[ray.put(SC.build_payload_index(idf, 400, t))]
+        )
+        assert new._csr is not None
+        ia = nids[rng.randint(0, len(nids), 3000)].copy()
+        ib = nids[rng.randint(0, len(nids), 3000)].copy()
+        ia[:5] = -1  # salting sentinels
+        ib[5:10] = 999_999  # dangling ids
+        ia[10] = ib[10]
+        batch = pa.table(
+            {
+                "id_a": pa.array(ia, pa.int64()),
+                "id_b": pa.array(ib, pa.int64()),
+                "dropped_pairs": pa.array(np.zeros(len(ia), np.int64)),
+            }
+        )
+        r_old, r_new = old(batch), new(batch)
+        assert r_old.column_names == r_new.column_names
+        for c in r_old.column_names:
+            a = r_old[c].to_numpy(zero_copy_only=False)
+            b = r_new[c].to_numpy(zero_copy_only=False)
+            if a.dtype.kind == "f":
+                assert np.abs(a - b).max() < 1e-12, c
+            else:
+                assert np.array_equal(a, b), c
+
+    def test_empty_batch_and_empty_payload(self):
+        import ray
+
+        from ehdc_llpg_address_matching_ray.stages import scoring as SC
+
+        t, _ = self._payload()
+        new = SC.PairScorer(
+            n_docs=400, payload=[ray.put(SC.build_payload_index({}, 400, t))]
+        )
+        empty = pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+        out = new(empty)
+        assert out.num_rows == 0 and "score" in out.column_names
+        # 0-row payload -> no index, graceful fallthrough
+        tbl, idx = SC.build_payload_index({}, 1, t.slice(0, 0))
+        assert idx is None and tbl.num_rows == 0
