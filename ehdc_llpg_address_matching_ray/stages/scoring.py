@@ -11,9 +11,14 @@ Two scorers over candidate-pair batches:
   checks and the reference-semantics queries.
 
 The actor holds the idf dictionary and config (loaded once per actor,
-SURVEY.md ST1-ST3 pattern); per-batch work is Python-per-pair over the
-short canonical strings with numpy/Counter kernels — strings are tens of
-bytes after normalization, so per-pair cost is O(len²) on tiny lengths.
+SURVEY.md ST1-ST3 pattern).  Per-batch work has two forms: under the
+broadcast payload, ``build_payload_index`` precomputes a CSR index once
+in a remote task and ``_score_csr`` scores each batch with pure
+searchsorted/ragged-gather kernels (no per-pair Python except the gated
+greedy DL-1 rescue); under the join path (pairs carry their own text
+columns) the per-text-cached ``_ts_tf_batch`` kernels apply.  Both are
+property-tested value-identical to the scalar ports, which remain the
+parity oracles.
 
 Edge semantics (P5/P6 analogue): a pair becomes a cluster edge iff
 ``score >= edge_threshold`` AND the house-number veto passes (exact
