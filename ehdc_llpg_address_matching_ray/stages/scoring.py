@@ -187,13 +187,14 @@ def _csr_flat_idx(indptr: np.ndarray, rows: np.ndarray) -> tuple[np.ndarray, np.
 
 def _rowwise_unique(row_of: np.ndarray, codes: np.ndarray, n_rows: int):
     """(row, code) pairs -> per-row SORTED UNIQUE codes as a CSR, plus
-    per-entry multiplicities.  Packs (row << 32 | code) into uint64 and
-    uses one np.unique — the same trick the scorer's sort-merge uses."""
+    per-entry multiplicities.  Packs (row << 32 | code) into int64
+    (row < 2^31, code < 2^32, both non-negative) and uses one
+    np.unique — the same trick the scorer's sort-merge uses."""
     if len(codes):
-        key = (row_of.astype(np.uint64) << np.uint64(32)) | codes.astype(np.uint64)
+        key = (row_of << 32) | codes
         uk, counts = np.unique(key, return_counts=True)
-        urow = (uk >> np.uint64(32)).astype(np.int64)
-        ucode = (uk & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        urow = uk >> 32
+        ucode = (uk & 0xFFFFFFFF).astype(np.uint32)
     else:
         urow = np.empty(0, np.int64)
         ucode = np.empty(0, np.uint32)
@@ -205,42 +206,40 @@ def _rowwise_unique(row_of: np.ndarray, codes: np.ndarray, n_rows: int):
     return indptr, ucode, counts, urow
 
 
-def _list_col_csr(col, n_rows: int, upper: bool = False):
-    """list<string> column -> (flat row ids, flat string values).  Uses
-    offsets+values (alignment holds even for null rows); null rows count
-    as empty.  ``upper`` applies PYTHON str.upper (the scalar kernels'
-    semantics — Arrow utf8_upper diverges on e.g. 'ß')."""
+def _list_col_codes(col, n_rows: int, upper: bool = False):
+    """list<string> column -> (flat row ids, flat int64 codes).  Values
+    are dictionary-encoded in C++ (no per-value Python); ``upper``
+    applies PYTHON str.upper over the (small) dictionary only — the
+    scalar kernels' semantics, which Arrow utf8_upper diverges from on
+    e.g. 'ß' — then merges ids that collide after uppercasing.  Null
+    rows count as empty; gathering from the true per-row offsets keeps
+    alignment even when null rows carry non-empty offset ranges."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     off = arr.offsets.to_numpy().astype(np.int64)
     lens = np.diff(off)
     if arr.null_count:
         lens = np.where(np.asarray(arr.is_null()), 0, lens)
     row_of = np.repeat(np.arange(n_rows, dtype=np.int64), lens)
-    # gather from the TRUE per-row starts (offsets index into .values
-    # as-is); null rows contribute nothing even if their offset range
-    # is non-empty
     total = int(lens.sum())
-    if total:
-        offs = np.cumsum(lens) - lens
-        idx = np.repeat(off[:-1] - offs, lens) + np.arange(total, dtype=np.int64)
-        flat = arr.values.take(pa.array(idx, pa.int64())).to_pylist()
-    else:
-        flat = []
+    if not total:
+        return row_of, np.empty(0, np.int64)
+    denc = pc.dictionary_encode(pc.fill_null(arr.values, ""))
+    vcodes = denc.indices.to_numpy(zero_copy_only=False)
+    offs = np.cumsum(lens) - lens
+    idx = np.repeat(off[:-1] - offs, lens) + np.arange(total, dtype=np.int64)
+    codes = vcodes[idx]
     if upper:
-        flat = [("" if x is None else x).upper() for x in flat]
-    else:
-        flat = ["" if x is None else x for x in flat]
-    return row_of, flat
-
-
-def _intern(flat: list[str]) -> tuple[np.ndarray, list[str]]:
-    """Factorize strings -> (codes, vocab) with first-seen ids."""
-    import pandas as pd
-
-    if not flat:
-        return np.empty(0, np.int64), []
-    codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
-    return codes.astype(np.int64), list(uniques)
+        vocab = denc.dictionary.to_pylist()
+        seen: dict[str, int] = {}
+        remap = np.empty(len(vocab), np.int64)
+        for i, v in enumerate(vocab):
+            u = v.upper()
+            j = seen.get(u)
+            if j is None:
+                j = seen[u] = len(seen)
+            remap[i] = j
+        codes = remap[codes]
+    return row_of, codes
 
 
 def build_payload_index(idf, n_docs: int, *blocks):
@@ -274,9 +273,15 @@ def build_payload_index(idf, n_docs: int, *blocks):
     off = toks.offsets.to_numpy().astype(np.int64)
     lens = np.diff(off)
     row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    denc = pc.dictionary_encode(toks.values)
+    # int32 indices upcast lazily in the arithmetic below (saves a copy)
+    codes = denc.indices.to_numpy(zero_copy_only=False)
+    vocab = denc.dictionary.to_pylist()
     empty_rows = np.asarray(pc.equal(canon, "").to_numpy(zero_copy_only=False))
-    keep = ~empty_rows[row_of]
-    codes, vocab = _intern(toks.values.to_pylist())
+    if empty_rows.any():
+        keep = ~empty_rows[row_of]
+        row_of = row_of[keep]
+        codes = codes[keep]
     # remap ids to string rank (vocab < 2^32 guarded by the row gate;
     # a pathological vocab overflow must fail loudly, not wrap)
     if len(vocab) >= (1 << 32) or n >= (1 << 31):
@@ -293,9 +298,7 @@ def build_payload_index(idf, n_docs: int, *blocks):
     default_idf = math.log(1 + max(1, n_docs)) + 1.0
     idf = idf or {}
     idf_vec = np.fromiter((idf.get(x, default_idf) for x in vocab), np.float64, len(vocab))
-    tok_indptr, tok_ids, tok_counts, tok_rows = _rowwise_unique(
-        row_of[keep], codes[keep], n
-    )
+    tok_indptr, tok_ids, tok_counts, tok_rows = _rowwise_unique(row_of, codes, n)
     tok_w = tok_counts * idf_vec[tok_ids.astype(np.int64)]
     # sequential per-row accumulation == np.sum for short rows (the
     # scalar kernel's order); long-document rows differ by <=1e-15 rel
@@ -309,22 +312,22 @@ def build_payload_index(idf, n_docs: int, *blocks):
     rest_indptr[n + 1] = rest_indptr[n]
 
     # --- house numbers: uppercase (Python semantics), per-row unique set
-    hrow, hflat = _list_col_csr(t["house_nums"], n, upper=True)
-    hcodes, _hvocab = _intern(hflat)
+    hrow, hcodes = _list_col_codes(t["house_nums"], n, upper=True)
     house_indptr, house_ids, _, _ = _rowwise_unique(hrow, hcodes, n)
 
     # --- locality tokens: LIST (multiplicity, for counts/denominators)
     # and SET (side-a membership) CSRs over one interned id space
-    lrow, lflat = _list_col_csr(t["loc_toks"], n)
-    lcodes, _lvocab = _intern(lflat)
+    lrow, lcodes = _list_col_codes(t["loc_toks"], n)
     locl_indptr = np.zeros(n + 2, np.int64)
     np.cumsum(np.bincount(lrow, minlength=n), out=locl_indptr[1 : n + 1])
     locl_indptr[n + 1] = locl_indptr[n]
     locs_indptr, locs_ids, _, _ = _rowwise_unique(lrow, lcodes, n)
 
-    # --- JW input: Python slice (codepoint semantics) + "" sentinel row
+    # --- JW input: codepoint slice (== Python c[:mjl]) + "" sentinel row
     mjl = ProductionWeights.max_jw_len
-    trunc = pa.array([c[:mjl] for c in canon.to_pylist()] + [""], pa.string())
+    trunc = pa.concat_arrays(
+        [pc.utf8_slice_codeunits(canon, 0, mjl), pa.array([""], pa.string())]
+    )
 
     return (
         t,
