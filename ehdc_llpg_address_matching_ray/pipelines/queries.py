@@ -6613,6 +6613,299 @@ FROM orders o JOIN hits h USING (o_orderkey)
 """
 
 
+def q_bpe_merge_step(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """One iteration of BPE tokenizer training: the top-k most frequent
+    adjacent character pairs across the whitespace-token stream (the
+    merge candidates Sennrich et al. 2016 §3 pick greedily).  Scale
+    shape: pair counts are linear in word counts, so each batch counts
+    its own DISTINCT tokens (bincount over dictionary codes), explodes
+    only the distinct-token character stream into weighted pairs — one
+    utf-32 view over the batch vocabulary, no per-token loop — and emits
+    constant-ish (pair, partial_count) rows; ONE keyed exchange on pair,
+    per-partition exact sum + top-k combiner, tiny final merge.  The
+    full BPE loop re-runs this with merged symbols; the per-iteration
+    dataflow is identical."""
+
+    def pair_partials(b: pa.Table) -> pa.Table:
+        empty = pa.table({"pair": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
+        _, codes, _, vocab = _flat_token_codes(pc.fill_null(b["text"], ""))
+        if not len(codes):
+            return empty
+        w = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        vl = pc.utf8_length(vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+        joined = "".join(vocab.to_pylist())
+        cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        ends = np.cumsum(vl)
+        valid = np.ones(cp.size, dtype=bool)
+        valid[ends - 1] = False
+        idx = np.nonzero(valid)[0]
+        if not len(idx):
+            return empty
+        tok_of = np.searchsorted(ends, idx, side="right")
+        key = (cp[idx].astype(np.uint64) << np.uint64(32)) | cp[idx + 1].astype(np.uint64)
+        uniq, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv, weights=w[tok_of].astype(np.float64)).astype(np.int64)
+        pairs = [chr(int(u >> np.uint64(32))) + chr(int(u & np.uint64(0xFFFFFFFF))) for u in uniq]
+        return pa.table({"pair": pa.array(pairs, pa.string()), "cnt": pa.array(cnt)})
+
+    def sum_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("pair", sort=False)["cnt"].sum().reset_index()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out.sort_values(["cnt", "pair"], ascending=[False, True], kind="mergesort").head(k)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.sort_values(["cnt", "pair"], ascending=[False, True], kind="mergesort")
+            .head(k)
+            .reset_index(drop=True)
+        )
+
+    partials = _t(sf_dir, "documents", ["text"]).map_batches(
+        pair_partials, batch_format="pyarrow"
+    )
+    summed = _grouped(partials, ["pair"], sum_topk)
+    return summed.repartition(1).map_batches(final_topk, batch_format="pandas", batch_size=None)
+
+
+SQL_BPE_MERGE_STEP = r"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS w FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair
+  FROM toks WHERE length(w) >= 2
+)
+SELECT pair, count(*)::BIGINT AS cnt
+FROM pairs GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 20
+"""
+
+
+def q_keywords_tfidf(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Per-document keyword extraction: top-k tokens by smoothed TF-IDF
+    (sklearn's ``ln((1+N)/(1+df)) + 1`` idf over raw term frequency /
+    doc length).  Scale shape: per-batch (doc, token, tf, dl) distinct
+    rows (a doc's text is one row, so tf and dl are batch-exact), ONE
+    keyed exchange on token where df is partition-local group size and
+    scores are computed vectorized, a per-doc top-k COMBINER inside the
+    same partition visit (exact: global per-doc top-k is the top-k of
+    per-partition top-ks), then one keyed exchange on doc_id for the
+    final per-doc merge — the vocabulary never gathers to the driver."""
+    n_docs = _t(sf_dir, "documents", ["doc_id"]).count()
+
+    def tf_rows(b: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "token": pa.array([], pa.string()),
+                "tf": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+            }
+        )
+        row, codes, _, vocab = _flat_token_codes(pc.fill_null(b["text"], ""))
+        if not len(row):
+            return empty
+        nvoc = len(vocab)
+        uniq, cnt = np.unique(row * nvoc + codes, return_counts=True)
+        dl = np.bincount(row, minlength=b.num_rows)
+        r = uniq // nvoc
+        return pa.table(
+            {
+                "doc_id": pa.array(b["doc_id"].to_numpy(zero_copy_only=False)[r]),
+                "token": vocab.take(pa.array(uniq % nvoc)),
+                "tf": pa.array(cnt.astype(np.int64)),
+                "n_tokens": pa.array(dl[r].astype(np.int64)),
+            }
+        )
+
+    def score_combine(g: pd.DataFrame) -> pd.DataFrame:
+        # df = docs-per-token is exact here: the exchange co-located every
+        # (doc, token) row for each token, and rows are doc-distinct.
+        df = g.groupby("token", sort=False)["doc_id"].transform("size").to_numpy()
+        idf = np.log((1.0 + n_docs) / (1.0 + df.astype(np.float64))) + 1.0
+        s = (g["tf"].to_numpy().astype(np.float64) / g["n_tokens"].to_numpy().astype(np.float64)) * idf
+        out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "token": g["token"].to_numpy(), "s": s})
+        out = out.sort_values(["doc_id", "s", "token"], ascending=[True, False, True], kind="mergesort")
+        return out.groupby("doc_id", sort=False).head(k)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "s", "token"], ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
+        return pd.DataFrame(
+            {"doc_id": g["doc_id"], "token": g["token"], "score": g["s"].round(6)}
+        )
+
+    rows = _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tf_rows, batch_format="pyarrow"
+    )
+    scored = _grouped(rows, ["token"], score_combine)
+    return _grouped(scored, ["doc_id"], final_topk)
+
+
+SQL_KEYWORDS_TFIDF = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tokens FROM toks GROUP BY 1
+), df AS (
+  SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*)::BIGINT AS n_docs FROM documents
+), scored AS (
+  SELECT t.doc_id, t.tok AS token,
+         (t.tf / d.n_tokens::DOUBLE)
+           * (ln((1 + n.n_docs) / (1 + f.df)::DOUBLE) + 1) AS s
+  FROM tf t JOIN dl d USING (doc_id) JOIN df f ON t.tok = f.tok CROSS JOIN n
+)
+SELECT doc_id, token, round(s, 6) AS score FROM (
+  SELECT doc_id, token, s,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, token ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+def q_link_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
+    """Connected components of the (undirected) synthetic link graph,
+    iterated to FIXPOINT — the crawl-graph twin of the flagship's
+    transitive clustering, but with an integer-exact SQL oracle
+    (component = min doc_id reachable).  Scale shape: per round,
+    new_label(v) = min(label(v), min over incoming (u,v) of label(u))
+    runs as TWO keyed exchanges of narrow int64 rows — a tagged-union
+    join on u that attaches each node's current label to its out-edges,
+    then a min-merge on v that also unions each node's self row so the
+    exchange doubles as the left join — with per-batch partial mins
+    before each wire.  Convergence is detected by a per-round `changed`
+    sum (labels only ever decrease), so rounds = graph diameter, not
+    max_iters; edges are materialized once and reused every round.
+    This is the label_propagation shape from stages/cluster.py
+    (the 100-TB path of the flagship's G-family clustering), expressed
+    over the link graph with integer node ids."""
+    n = _doc_count(sf_dir)
+    docs = _t(sf_dir, "documents", ["doc_id"])
+
+    def edge_rows(b: pa.Table) -> pa.Table:
+        es, ed, _ = _synth_edges(b, n)
+        src = np.concatenate([es, ed])  # symmetrize: undirected components
+        dst = np.concatenate([ed, es])
+        return pa.table(
+            {
+                "key": pa.array(src),
+                "dst": pa.array(dst),
+                "lbl": pa.array(np.zeros(len(src), np.int64)),
+                "is_lbl": pa.array(np.zeros(len(src), np.bool_)),
+            }
+        )
+
+    edges = docs.map_batches(edge_rows, batch_format="pyarrow").materialize()
+    labels = docs.map_batches(
+        lambda b: pa.table({"node": b["doc_id"], "lbl": b["doc_id"]}),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def lbl_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["node"],
+                "dst": pa.array(np.full(b.num_rows, -1, np.int64)),
+                "lbl": b["lbl"],
+                "is_lbl": pa.array(np.ones(b.num_rows, np.bool_)),
+            }
+        )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        lbls = df[df["is_lbl"]]
+        eg = df[~df["is_lbl"]]
+        if not len(eg):
+            return pd.DataFrame(
+                {"node": pd.Series([], dtype="int64"), "cand": pd.Series([], dtype="int64")}
+            )
+        # labels cover the full node universe and are co-partitioned on
+        # the same key, so the left merge never yields NaN; the cast
+        # keeps cand int64 for the downstream union's schema
+        l = (
+            eg[["key"]]
+            .merge(lbls[["key", "lbl"]], on="key", how="left")["lbl"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        # partial min per dst BEFORE the second wire
+        d = pd.DataFrame({"node": eg["dst"].to_numpy(), "cand": l})
+        return d.groupby("node", sort=False)["cand"].min().reset_index()
+
+    def self_rows(b: pa.Table) -> pa.Table:
+        # old is float64 to match the attach rows' NaN markers in the union
+        return pa.table(
+            {
+                "node": b["node"],
+                "cand": b["lbl"],
+                "old": pc.cast(b["lbl"], pa.float64()),
+            }
+        )
+
+    def min_merge(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("node", sort=False).agg(
+            lbl=("cand", "min"), old=("old", "max")
+        ).reset_index()
+        # `old` is present exactly once per node (its self row); attach
+        # rows carry NaN -> max() recovers the single real value
+        return pd.DataFrame(
+            {
+                "node": g["node"].astype("int64"),
+                "lbl": g["lbl"].astype("int64"),
+                "changed": (g["lbl"] < g["old"]).astype("int64"),
+            }
+        )
+
+    for _ in range(max_iters):
+        cand = _grouped(
+            edges.union(labels.map_batches(lbl_rows, batch_format="pyarrow")),
+            ["key"],
+            attach,
+        )
+        stepped = _grouped(
+            cand.map_batches(
+                lambda b: pa.table(
+                    {
+                        "node": b["node"],
+                        "cand": b["cand"],
+                        "old": pa.array(np.full(b.num_rows, np.nan)),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).union(labels.map_batches(self_rows, batch_format="pyarrow")),
+            ["node"],
+            min_merge,
+        ).materialize()
+        if stepped.sum("changed") == 0:
+            labels = stepped
+            break
+        labels = stepped.map_batches(
+            lambda b: pa.table({"node": b["node"], "lbl": b["lbl"]}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"], "component": b["lbl"]}),
+        batch_format="pyarrow",
+    )
+
+
+SQL_LINK_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_EDGES}
+, und AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT dst AS a, src AS b FROM edges
+), reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT re.node, u.b AS r FROM reach re JOIN und u ON u.a = re.r
+)
+SELECT node, min(r)::BIGINT AS component FROM reach GROUP BY node
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -6721,6 +7014,9 @@ QUERIES = {
     "vocab_coverage": q_vocab_coverage,
     "retention_cohorts": q_retention_cohorts,
     "suppliers_per_nation": q_suppliers_per_nation,
+    "bpe_merge_step": q_bpe_merge_step,
+    "keywords_tfidf": q_keywords_tfidf,
+    "link_components": q_link_components,
 }
 
 ORACLE_SQL = {
@@ -6820,4 +7116,7 @@ ORACLE_SQL = {
     "vocab_coverage": SQL_VOCAB_COVERAGE,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "suppliers_per_nation": SQL_SUPPLIERS_PER_NATION,
+    "bpe_merge_step": SQL_BPE_MERGE_STEP,
+    "keywords_tfidf": SQL_KEYWORDS_TFIDF,
+    "link_components": SQL_LINK_COMPONENTS,
 }

@@ -38,7 +38,18 @@ GRAPH_PACK = [
     "suppliers_per_nation",
     "vocab_coverage",
     "retention_cohorts",
+    "link_components",
 ]
+
+
+def test_link_components_fixpoint_semantics(ray_session, sf_unit_dir):
+    """Every component label is the min doc_id of its member set, and
+    labels are closed: a node's component equals its label's component."""
+    df = QUERIES["link_components"](sf_unit_dir).to_pandas()
+    comp = df.set_index("node")["component"]
+    assert (comp.loc[comp.to_numpy()].to_numpy() == comp.to_numpy()).all()
+    mins = df.groupby("component")["node"].min()
+    assert (mins.to_numpy() == mins.index.to_numpy()).all()
 
 
 @pytest.mark.parametrize("name", GRAPH_PACK)
