@@ -6891,6 +6891,84 @@ def q_link_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
     )
 
 
+def q_blocking_skew(sf_dir: str) -> rd.Dataset:
+    """Blocking-skew diagnostic over the ORACLED LSH band keys: per
+    band, a log2 histogram of bucket sizes with the candidate-pair mass
+    k*(k-1)/2 each size class would generate — the hot-key report that
+    justifies the production blocking stage's salted caps
+    (stages/blocking.py) and tells an operator where an all-to-all
+    pair explosion would come from before running one.  Scale shape:
+    per-batch partial (band_idx, band_key, count) rows, ONE keyed
+    exchange on band_key for exact bucket sizes, per-partition
+    histogram partials (constant-size: <= bands x 64 rows), tiny final
+    merge.  All-integer output, value-hash-exact vs a twin composed
+    over the minhash_bandkeys oracle."""
+    bk = q_minhash_bandkeys(sf_dir)
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "band_idx": b["band_idx"].to_numpy(),
+                "band_key": b["band_key"].to_numpy(),
+            }
+        )
+        g = df.groupby(["band_idx", "band_key"], sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["band_idx", "band_key"], sort=False)["c"].sum().reset_index()
+        k = g["c"].to_numpy().astype(np.int64)
+        # floor(log2(k)) via frexp — exact for any int64 bucket size
+        size_log2 = (np.frexp(k.astype(np.float64))[1] - 1).astype(np.int64)
+        h = pd.DataFrame(
+            {
+                "band_idx": g["band_idx"].to_numpy(),
+                "size_log2": size_log2,
+                "n_buckets": np.ones(len(g), np.int64),
+                "n_docs": k,
+                "pair_mass": k * (k - 1) // 2,
+            }
+        )
+        return (
+            h.groupby(["band_idx", "size_log2"], sort=False)[
+                ["n_buckets", "n_docs", "pair_mass"]
+            ]
+            .sum()
+            .reset_index()
+        )
+
+    def final_merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.groupby(["band_idx", "size_log2"], sort=False)[
+                ["n_buckets", "n_docs", "pair_mass"]
+            ]
+            .sum()
+            .reset_index()
+        )
+
+    partials = bk.map_batches(partial_counts, batch_format="pyarrow")
+    hists = _grouped(partials, ["band_key"], hist_partial)
+    return hists.repartition(1).map_batches(
+        final_merge, batch_format="pandas", batch_size=None
+    )
+
+
+def _blocking_skew_oracle_sql() -> str:
+    return f"""
+WITH b AS (
+  SELECT band_idx, band_key, count(*)::BIGINT AS k
+  FROM ({_minhash_bandkeys_oracle_sql()}) GROUP BY 1, 2
+)
+SELECT band_idx,
+       (length(bin(k)) - 1)::BIGINT AS size_log2,
+       count(*)::BIGINT AS n_buckets,
+       sum(k)::BIGINT AS n_docs,
+       sum(k * (k - 1) // 2)::BIGINT AS pair_mass
+FROM b GROUP BY 1, 2
+"""
+
+
 SQL_LINK_COMPONENTS = f"""
 WITH RECURSIVE {_SQL_EDGES}
 , und AS (
@@ -7017,6 +7095,7 @@ QUERIES = {
     "bpe_merge_step": q_bpe_merge_step,
     "keywords_tfidf": q_keywords_tfidf,
     "link_components": q_link_components,
+    "blocking_skew": q_blocking_skew,
 }
 
 ORACLE_SQL = {
@@ -7119,4 +7198,5 @@ ORACLE_SQL = {
     "bpe_merge_step": SQL_BPE_MERGE_STEP,
     "keywords_tfidf": SQL_KEYWORDS_TFIDF,
     "link_components": SQL_LINK_COMPONENTS,
+    "blocking_skew": _blocking_skew_oracle_sql(),
 }

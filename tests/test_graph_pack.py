@@ -39,7 +39,21 @@ GRAPH_PACK = [
     "vocab_coverage",
     "retention_cohorts",
     "link_components",
+    "blocking_skew",
 ]
+
+
+def test_blocking_skew_accounts_every_doc_band_row(ray_session, sf_unit_dir):
+    """Histogram conservation: n_docs summed over size classes equals
+    docs x bands (every (doc, band) row lands in exactly one bucket)."""
+    import pyarrow.parquet as pq
+
+    df = QUERIES["blocking_skew"](sf_unit_dir).to_pandas()
+    n_docs = pq.read_metadata(f"{sf_unit_dir}/documents.parquet").num_rows
+    per_band = df.groupby("band_idx")["n_docs"].sum()
+    assert (per_band == n_docs).all()
+    # singleton buckets generate zero pairs
+    assert (df.loc[df["size_log2"] == 0, "pair_mass"] == 0).all()
 
 
 def test_link_components_fixpoint_semantics(ray_session, sf_unit_dir):
