@@ -88,7 +88,11 @@ def run_bench(sf_dir: str, num_cpus: int, names: list[str]) -> dict:
     }
 
 
-SCALING_ENTITIES = int(os.environ.get("GRAFT_SCALING_ENTITIES", "500000"))
+# default = the corpus the recorded round-4 protocols used (2M entities
+# = 6.24M pages), so a bare `bench.py --scaling` reproduces the
+# BENCH_scaling_*_r4.json rows; the width-insensitive stage floors
+# amortize at this size (see BASELINE.md weak-scaling)
+SCALING_ENTITIES = int(os.environ.get("GRAFT_SCALING_ENTITIES", "2000000"))
 SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
 # N vs 4N widths for the scaling protocol.  Default 4,16 — the pairing
 # that leaves headroom on this 32-core shared VM; saturating the full

@@ -6688,8 +6688,9 @@ def q_keywords_tfidf(sf_dir: str, k: int = 3) -> rd.Dataset:
     scores are computed vectorized, a per-doc top-k COMBINER inside the
     same partition visit (exact: global per-doc top-k is the top-k of
     per-partition top-ks), then one keyed exchange on doc_id for the
-    final per-doc merge — the vocabulary never gathers to the driver."""
-    n_docs = _t(sf_dir, "documents", ["doc_id"]).count()
+    final per-doc merge — the vocabulary never gathers to the driver.
+    N comes from parquet footer metadata (no read pass)."""
+    n_docs = _doc_count(sf_dir)
 
     def tf_rows(b: pa.Table) -> pa.Table:
         empty = pa.table(
