@@ -6892,6 +6892,33 @@ def q_link_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
     )
 
 
+def q_latest_event_per_user(sf_dir: str) -> rd.Dataset:
+    """CDC log compaction: each user's LATEST event row (argmax by ts,
+    ties to the largest event_id) — the keep-last-write primitive that
+    compacts an append-only event log into current state.  Scale
+    shape: per-batch partial argmax (one candidate row per user per
+    batch crosses the wire, not the raw log), ONE keyed exchange on
+    user_id, per-partition final argmax — exact because argmax is
+    associative under the (ts, event_id) total order."""
+
+    def partial_argmax(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        return d.groupby("user_id", sort=False).tail(1)
+
+    ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
+    partials = ev.map_batches(partial_argmax, batch_format="pandas")
+    return _grouped(partials, ["user_id"], partial_argmax)
+
+
+SQL_LATEST_EVENT_PER_USER = """
+SELECT event_id, ts, user_id, event_type, value FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
 def q_blocking_skew(sf_dir: str) -> rd.Dataset:
     """Blocking-skew diagnostic over the ORACLED LSH band keys: per
     band, a log2 histogram of bucket sizes with the candidate-pair mass
@@ -7097,6 +7124,7 @@ QUERIES = {
     "keywords_tfidf": q_keywords_tfidf,
     "link_components": q_link_components,
     "blocking_skew": q_blocking_skew,
+    "latest_event_per_user": q_latest_event_per_user,
 }
 
 ORACLE_SQL = {
@@ -7200,4 +7228,5 @@ ORACLE_SQL = {
     "keywords_tfidf": SQL_KEYWORDS_TFIDF,
     "link_components": SQL_LINK_COMPONENTS,
     "blocking_skew": _blocking_skew_oracle_sql(),
+    "latest_event_per_user": SQL_LATEST_EVENT_PER_USER,
 }

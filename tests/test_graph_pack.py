@@ -40,7 +40,25 @@ GRAPH_PACK = [
     "retention_cohorts",
     "link_components",
     "blocking_skew",
+    "latest_event_per_user",
 ]
+
+
+def test_latest_event_is_users_max(ray_session, sf_unit_dir):
+    """Compaction keeps exactly one row per user, and it is that user's
+    (ts, event_id) maximum in the raw log."""
+    import duckdb
+
+    df = QUERIES["latest_event_per_user"](sf_unit_dir).to_pandas()
+    assert df["user_id"].is_unique
+    con = duckdb.connect()
+    raw = con.execute(
+        "SELECT user_id, max(ts) AS mts FROM read_parquet('"
+        + f"{sf_unit_dir}/events.parquet') GROUP BY 1"
+    ).df()
+    m = df.merge(raw, on="user_id")
+    assert len(m) == len(raw)
+    assert (m["ts"] == m["mts"]).all()
 
 
 def test_blocking_skew_accounts_every_doc_band_row(ray_session, sf_unit_dir):
