@@ -27,7 +27,15 @@ def _ray_session(num_cpus: int | None):
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False}
+        import os
+
+        # honor RAY_ADDRESS (set by `ray job submit` / cluster launchers)
+        # so the same CLI attaches to a running cluster; bare local runs
+        # default to a private local session
+        kwargs = {
+            "address": os.environ.get("RAY_ADDRESS", "local"),
+            "include_dashboard": False,
+        }
         if num_cpus:
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)

@@ -6902,7 +6902,12 @@ def q_latest_event_per_user(sf_dir: str) -> rd.Dataset:
     associative under the (ts, event_id) total order."""
 
     def partial_argmax(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        # na_position="first": a NULL ts must lose to any real ts, matching
+        # the SQL twin's ORDER BY ts DESC (DuckDB places NULLs last, so a
+        # NULL row is never rn=1 unless the user has only NULLs)
+        d = df.sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort", na_position="first"
+        )
         return d.groupby("user_id", sort=False).tail(1)
 
     ev = _t(sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"])
