@@ -12,6 +12,7 @@ for large⋈large.
 
 from __future__ import annotations
 
+import hashlib
 import json
 
 import numpy as np
@@ -7018,6 +7019,475 @@ SELECT node, min(r)::BIGINT AS component FROM reach GROUP BY node
 
 
 # ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer et al. 2003) + incremental re-match
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 8  # char k-gram width
+_WINNOW_W = 4  # winnowing window (gram hashes per window)
+
+
+def winnow_select(rank: np.ndarray, doc: np.ndarray, w: int) -> np.ndarray:
+    """Selected gram indices under the winnowing rule (Schleimer et al.,
+    SIGMOD 2003 §4: in every sliding window of ``w`` consecutive gram
+    hashes keep the minimum, RIGHTMOST position on ties) over a FLAT
+    rank array with doc boundaries given by ``doc`` — one vectorized
+    pass over the whole batch, no per-doc loop.  ``rank`` must order the
+    same way as the hash values.  Returns sorted unique flat indices;
+    docs with fewer than ``w`` grams emit nothing (no full window)."""
+    L = len(rank) - w + 1
+    if L <= 0:
+        return np.array([], np.int64)
+    valid = doc[:L] == doc[w - 1 :]
+    if not valid.any():
+        return np.array([], np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(rank, w)[valid]
+    # rightmost argmin == argmin over the reversed window
+    idx = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+    starts = np.nonzero(valid)[0].astype(np.int64)
+    return np.unique(starts + idx)
+
+
+def winnow_batch(b: pa.Table, k: int = _WINNOW_K, w: int = _WINNOW_W) -> pa.Table:
+    """Winnowing fingerprints for one batch: md5-hex of every char
+    k-gram (computed ONCE per distinct gram via a void-view dedup, the
+    sketches.py factorize trick), hash order reduced to integer ranks,
+    then the vectorized window-min selection.  Texts are viewed as
+    utf-32 codepoint arrays so char positions match SQL ``substr``
+    semantics for any input, not just ASCII."""
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "h": pa.array([], pa.string()),
+        }
+    )
+    txts = pc.fill_null(b["text"], "").to_pylist()
+    ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cps = [np.frombuffer(t.encode("utf-32-le"), np.uint32) for t in txts]
+    ng = np.array([max(len(c) - k + 1, 0) for c in cps], np.int64)
+    total = int(ng.sum())
+    if total == 0:
+        return empty
+    doc = np.repeat(np.arange(len(txts), dtype=np.int64), ng)
+    mats = [
+        np.lib.stride_tricks.sliding_window_view(c, k) for c, g in zip(cps, ng) if g > 0
+    ]
+    M = np.ascontiguousarray(np.concatenate(mats, axis=0))
+    uniq, codes = np.unique(M.view(f"V{M.dtype.itemsize * k}").ravel(), return_inverse=True)
+    dig = np.array(
+        [
+            hashlib.md5(u.tobytes().decode("utf-32-le").encode("utf-8")).hexdigest()
+            for u in uniq
+        ],
+        dtype="U32",
+    )
+    rank_of = np.empty(len(dig), np.int64)
+    rank_of[np.argsort(dig, kind="stable")] = np.arange(len(dig), dtype=np.int64)
+    sel = winnow_select(rank_of[codes], doc, w)
+    if len(sel) == 0:
+        return empty
+    starts = np.concatenate(([0], np.cumsum(ng)))[:-1]
+    d = doc[sel]
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[d], pa.int64()),
+            "pos": pa.array(sel - starts[d] + 1, pa.int64()),
+            "h": pa.array(dig[codes[sel]].tolist(), pa.string()),
+        }
+    )
+
+
+def q_winnow_fingerprints(sf_dir: str) -> rd.Dataset:
+    """Positional winnowing fingerprints — the MOSS local fingerprinting
+    scheme guaranteeing any shared substring of length >= k + w - 1 is
+    caught by at least one shared fingerprint (the locality property
+    plain rolling-hash fingerprints lack; complements `doc_fingerprint`
+    whole-document hashing and the minhash/simhash family).  Stateless,
+    embarrassingly parallel map_batches — no shuffle; the downstream
+    near-dup join on (h) would reuse the minhash band-key exchange
+    shape."""
+    return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        winnow_batch, batch_format="pyarrow"
+    )
+
+
+SQL_WINNOW_FINGERPRINTS = f"""
+WITH g AS (
+  SELECT doc_id, u.pos::BIGINT AS pos, u.h AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(tx) - {_WINNOW_K} + 2),
+                  i -> {{'pos': i, 'h': md5(substr(tx, i::INT, {_WINNOW_K}))}})) AS u
+    FROM (SELECT doc_id, coalesce(text, '') AS tx FROM documents)
+  )
+), wm AS (
+  SELECT doc_id, pos AS j,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS n_g
+  FROM g
+), sel AS (
+  SELECT w.doc_id, w.j, max(g2.pos) AS pos, w.wmin AS h
+  FROM wm w
+  JOIN g g2 ON g2.doc_id = w.doc_id
+           AND g2.pos BETWEEN w.j AND w.j + {_WINNOW_W - 1}
+           AND g2.h = w.wmin
+  WHERE w.j + {_WINNOW_W - 1} <= w.n_g
+  GROUP BY w.doc_id, w.j, w.wmin
+)
+SELECT DISTINCT doc_id, pos, h FROM sel
+"""
+
+
+def q_incremental_match(sf_dir: str) -> rd.Dataset:
+    """Incremental (delta) re-linkage — the daily-ingest ER shape: given
+    yesterday's match table and today's snapshot, re-run the match
+    cascade ONLY for added/updated sources and carry yesterday's rows
+    forward for unchanged ones (deleted sources drop out).  Because the
+    exact-tier decisions are per-source (source row + fixed gazetteer
+    only — the documented independence assumption, matching the
+    reference's per-source decision loop, cmd/matcher-v2/main.go), the
+    incremental result is provably identical to a full re-match of the
+    new snapshot, which is what the SQL twin computes.  Snapshot
+    synthesis extends q_snapshot_diff's (doc_id%11==3 deleted, %7==2
+    revised ' v2' — a content edit that breaks the match, %13==1
+    re-added under a shifted id) with %7==4 trailing-whitespace
+    revisions — a cosmetic edit the canonicalizer absorbs, so 'updated'
+    sources exercise the re-match HIT path too.  Scale shape:
+    statuses come from ONE narrow (id, md5, side) keyed exchange —
+    never the text — carry-forward and status-attach are keyed
+    exchanges on the same id key, and the expensive match cascade
+    touches only the delta (|Δ| ≪ |corpus| in production)."""
+    from ..config import PipelineConfig
+    from .match import run_match
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    n = _doc_count(sf_dir)
+
+    def gaz_side(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out = b.filter(pa.array(ids % 5 == 0))
+        return pa.table(
+            {
+                "uprn": pc.cast(out["doc_id"], pa.string()),
+                "full_address": pc.utf8_lower(out["text"]),
+            }
+        )
+
+    def new_snapshot(b: pa.Table) -> pa.Table:
+        did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = pc.fill_null(b["text"], "")
+        keep = did % 11 != 3
+        kept = did[keep]
+        ktxt = txt.filter(pa.array(keep))
+        if isinstance(ktxt, pa.ChunkedArray):
+            ktxt = ktxt.combine_chunks()
+        revised = pc.if_else(
+            pa.array(kept % 7 == 2),
+            pc.binary_join_element_wise(ktxt, " v2", ""),
+            pc.if_else(
+                pa.array(kept % 7 == 4),
+                pc.binary_join_element_wise(ktxt, "  ", ""),
+                ktxt,
+            ),
+        )
+        parts = [pa.table({"sid": pa.array(kept), "raw": revised})]
+        add = did % 13 == 1
+        if add.any():
+            parts.append(
+                pa.table({"sid": pa.array(did[add] + n), "raw": txt.filter(pa.array(add))})
+            )
+        return pa.concat_tables(parts)
+
+    # the delta-side snapshot is consumed by two stages (hash diff +
+    # re-match); materialize it once — it is the bounded daily delta,
+    # never the full corpus, so this is the production checkpoint shape
+    new_ds = docs.map_batches(new_snapshot, batch_format="pyarrow").materialize()
+
+    _X = pa.table(
+        {
+            "id": pa.array([], pa.int64()),
+            "h": pa.array([], pa.string()),
+            "side": pa.array([], pa.int8()),
+        }
+    ).schema
+
+    def old_h(b: pa.Table) -> pa.Table:
+        h = TS.md5_hex(pc.fill_null(b["text"], "").to_pylist())
+        return pa.table(
+            {
+                "id": pc.cast(b["doc_id"], pa.int64()),
+                "h": pa.array(h, pa.string()),
+                "side": pa.array(np.zeros(b.num_rows, np.int8)),
+            },
+            schema=_X,
+        )
+
+    def new_h(b: pa.Table) -> pa.Table:
+        h = TS.md5_hex(pc.fill_null(b["raw"], "").to_pylist())
+        return pa.table(
+            {
+                "id": pc.cast(b["sid"], pa.int64()),
+                "h": pa.array(h, pa.string()),
+                "side": pa.array(np.ones(b.num_rows, np.int8)),
+            },
+            schema=_X,
+        )
+
+    def status_part(df: pd.DataFrame) -> pd.DataFrame:
+        # statuses only for ids present in the NEW snapshot (deleted ids
+        # simply never enter the new match table)
+        old = df[df["side"] == 0].set_index("id")["h"]
+        new = df[df["side"] == 1].set_index("id")["h"]
+        if not len(new):
+            return pd.DataFrame(
+                {"id": pd.Series([], dtype="int64"), "status": pd.Series([], dtype="object")}
+            )
+        oh = old.reindex(new.index)
+        status = np.where(
+            oh.isna().to_numpy(),
+            "added",
+            np.where(oh.to_numpy() == new.to_numpy(), "unchanged", "updated"),
+        )
+        return pd.DataFrame({"id": new.index.to_numpy().astype(np.int64), "status": status})
+
+    hashes = docs.map_batches(old_h, batch_format="pyarrow").union(
+        new_ds.map_batches(new_h, batch_format="pyarrow")
+    )
+    statuses = _grouped(hashes, ["id"], status_part)
+
+    # -- yesterday's match table (persisted fact in production; rebuilt
+    # here so the query is self-contained)
+    def src_all(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src_id": pc.cast(b["doc_id"], pa.string()), "raw_address": b["text"]}
+        )
+
+    gaz = docs.map_batches(gaz_side, batch_format="pyarrow")
+    old_matches = run_match(
+        docs.map_batches(src_all, batch_format="pyarrow"),
+        gaz,
+        PipelineConfig(),
+        fuzzy_tier=False,
+    )["matches"]
+
+    _M = pa.table(
+        {
+            "id": pa.array([], pa.int64()),
+            "src_id": pa.array([], pa.string()),
+            "matched_id": pa.array([], pa.string()),
+            "score": pa.array([], pa.float64()),
+            "decision": pa.array([], pa.string()),
+            "method": pa.array([], pa.string()),
+            "status": pa.array([], pa.string()),
+            "kind": pa.array([], pa.string()),
+        }
+    ).schema
+    _M_COLS = ["id", "src_id", "matched_id", "score", "decision", "method", "status", "kind"]
+
+    def m_rows(b: pa.Table) -> pa.Table:
+        sid = pa.array(b["src_id"].to_pylist(), pa.string())
+        nul = pa.nulls(b.num_rows, pa.string())
+        return pa.table(
+            {
+                "id": pc.cast(sid, pa.int64()),
+                "src_id": sid,
+                "matched_id": pa.array(b["matched_id"].to_pylist(), pa.string()),
+                "score": pa.array(b["score"].to_pylist(), pa.float64()),
+                "decision": pa.array(b["decision"].to_pylist(), pa.string()),
+                "method": pa.array(b["method"].to_pylist(), pa.string()),
+                "status": nul,
+                "kind": pa.array(["m"] * b.num_rows, pa.string()),
+            },
+            schema=_M,
+        )
+
+    def s_rows(b: pa.Table) -> pa.Table:
+        nul = pa.nulls(b.num_rows, pa.string())
+        return pa.table(
+            {
+                "id": pc.cast(b["id"], pa.int64()),
+                "src_id": nul,
+                "matched_id": nul,
+                "score": pa.nulls(b.num_rows, pa.float64()),
+                "decision": nul,
+                "method": nul,
+                "status": pa.array(b["status"].to_pylist(), pa.string()),
+                "kind": pa.array(["s"] * b.num_rows, pa.string()),
+            },
+            schema=_M,
+        )
+
+    _OUT_COLS = ["src_id", "matched_id", "score", "decision", "method", "src_status"]
+
+    def _empty_out() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "src_id": pd.Series([], dtype="object"),
+                "matched_id": pd.Series([], dtype="object"),
+                "score": pd.Series([], dtype="float64"),
+                "decision": pd.Series([], dtype="object"),
+                "method": pd.Series([], dtype="object"),
+                "src_status": pd.Series([], dtype="object"),
+            }
+        )
+
+    def carry_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_out()
+        st = df[df["kind"] == "s"]
+        ok = st.loc[st["status"] == "unchanged", "id"]
+        m = df[(df["kind"] == "m") & df["id"].isin(set(ok.tolist()))]
+        out = m[["src_id", "matched_id", "score", "decision", "method"]].copy()
+        out["src_status"] = "unchanged"
+        return out
+
+    carried = _grouped(
+        old_matches.map_batches(m_rows, batch_format="pyarrow").union(
+            statuses.map_batches(s_rows, batch_format="pyarrow")
+        ),
+        ["id"],
+        carry_part,
+    )
+
+    # -- delta sources: new-snapshot rows whose status is added/updated
+    def r_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pc.cast(b["sid"], pa.int64()),
+                "raw": pc.cast(pc.fill_null(b["raw"], ""), pa.string()),
+                "status": pa.nulls(b.num_rows, pa.string()),
+                "kind": pa.array(["r"] * b.num_rows, pa.string()),
+            }
+        )
+
+    def s2_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id": pc.cast(b["id"], pa.int64()),
+                "raw": pa.nulls(b.num_rows, pa.string()),
+                "status": pa.array(b["status"].to_pylist(), pa.string()),
+                "kind": pa.array(["s"] * b.num_rows, pa.string()),
+            }
+        )
+
+    def delta_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "id": pd.Series([], dtype="int64"),
+                    "raw": pd.Series([], dtype="object"),
+                    "status": pd.Series([], dtype="object"),
+                }
+            )
+        st = df[df["kind"] == "s"]
+        chg = st.loc[st["status"].isin(("added", "updated")), ["id", "status"]]
+        r = df.loc[df["kind"] == "r", ["id", "raw"]]
+        return r.merge(chg, on="id")
+
+    delta = _grouped(
+        new_ds.map_batches(r_rows, batch_format="pyarrow").union(
+            statuses.map_batches(s2_rows, batch_format="pyarrow")
+        ),
+        ["id"],
+        delta_part,
+    ).materialize()
+
+    def delta_src(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_id": pc.cast(b["id"], pa.string()),
+                "raw_address": pa.array(b["raw"].to_pylist(), pa.string()),
+            }
+        )
+
+    rematched = run_match(
+        delta.map_batches(delta_src, batch_format="pyarrow"),
+        gaz,
+        PipelineConfig(),
+        fuzzy_tier=False,
+    )["matches"]
+
+    # -- attach status to the re-matched rows (same id key exchange)
+    def s3_rows(b: pa.Table) -> pa.Table:
+        nul = pa.nulls(b.num_rows, pa.string())
+        return pa.table(
+            {
+                "id": pc.cast(b["id"], pa.int64()),
+                "src_id": nul,
+                "matched_id": nul,
+                "score": pa.nulls(b.num_rows, pa.float64()),
+                "decision": nul,
+                "method": nul,
+                "status": pa.array(b["status"].to_pylist(), pa.string()),
+                "kind": pa.array(["s"] * b.num_rows, pa.string()),
+            },
+            schema=_M,
+        )
+
+    def attach_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return _empty_out()
+        st = df.loc[df["kind"] == "s", ["id", "status"]]
+        m = df.loc[
+            df["kind"] == "m", ["id", "src_id", "matched_id", "score", "decision", "method"]
+        ]
+        out = m.merge(st, on="id")
+        out = out.rename(columns={"status": "src_status"})
+        return out[_OUT_COLS]
+
+    fresh = _grouped(
+        rematched.map_batches(m_rows, batch_format="pyarrow").union(
+            delta.map_batches(s3_rows, batch_format="pyarrow")
+        ),
+        ["id"],
+        attach_part,
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[_OUT_COLS].copy()
+        out["score"] = out["score"].astype("float64").round(4)
+        return out
+
+    return carried.union(fresh).map_batches(project, batch_format="pandas")
+
+
+_SQL_NEWSRC_CANON = m1_canonical_sql("raw")[0]
+
+SQL_INCREMENTAL_MATCH = f"""
+WITH gaz AS (
+  SELECT CAST(doc_id AS VARCHAR) AS gid, {m1_canonical_sql("lower(text)")[0]} AS canonical
+  FROM documents WHERE doc_id % 5 = 0
+), newsrc_raw AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 7 = 2 THEN coalesce(text, '') || ' v2'
+              WHEN doc_id % 7 = 4 THEN coalesce(text, '') || '  '
+              ELSE coalesce(text, '') END AS raw,
+         CASE WHEN doc_id % 7 IN (2, 4) THEN 'updated' ELSE 'unchanged' END AS status
+  FROM documents WHERE doc_id % 11 != 3
+  UNION ALL
+  SELECT doc_id + (SELECT count(*) FROM documents) AS id,
+         coalesce(text, '') AS raw, 'added' AS status
+  FROM documents WHERE doc_id % 13 = 1
+), src AS (
+  SELECT CAST(id AS VARCHAR) AS sid, status, {_SQL_NEWSRC_CANON} AS canonical
+  FROM newsrc_raw
+), hits AS (
+  SELECT s.sid, s.status, g.gid FROM src s JOIN gaz g ON s.canonical = g.canonical
+), agg AS (
+  SELECT sid, status, min(gid) AS matched_id, count(*) AS c FROM hits GROUP BY 1, 2
+)
+SELECT sid AS src_id,
+       matched_id,
+       CASE WHEN c > 1 THEN 0.90 ELSE 0.99 END AS score,
+       CASE WHEN c > 1 THEN 'review' ELSE 'auto_accept' END AS decision,
+       'exact_canonical' AS method,
+       status AS src_status
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -7035,6 +7505,7 @@ QUERIES = {
     "linkage_exact_projection": q_linkage_exact_projection,
     "scored_pairs_projection": q_scored_pairs_projection,
     "match_exact_tiers": q_match_exact_tiers,
+    "incremental_match": q_incremental_match,
     "group_consensus": q_group_consensus,
     "consensus_event_type": q_consensus_event_type,
     "corrections_override": q_corrections_override,
@@ -7091,6 +7562,7 @@ QUERIES = {
     "bfs_hops": q_bfs_hops,
     "domain_stats": q_domain_stats,
     "doc_fingerprint": q_doc_fingerprint,
+    "winnow_fingerprints": q_winnow_fingerprints,
     "token_explode": q_token_explode,
     "levenshtein_adjacent": q_levenshtein_adjacent,
     "char_jaccard_adjacent": q_char_jaccard_adjacent,
@@ -7218,6 +7690,8 @@ ORACLE_SQL = {
     "pmi_bigrams": SQL_PMI_BIGRAMS,
     "funnel": SQL_FUNNEL,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "incremental_match": SQL_INCREMENTAL_MATCH,
+    "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
     "pivot_events": SQL_PIVOT_EVENTS,
     "bfs_hops": SQL_BFS_HOPS,
     "corpus_report": SQL_CORPUS_REPORT,
