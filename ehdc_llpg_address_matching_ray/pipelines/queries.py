@@ -7139,6 +7139,105 @@ SELECT DISTINCT doc_id, pos, h FROM sel
 """
 
 
+_WINNOW_NEARDUP_TAU = 0.4
+
+
+def q_winnow_neardup(sf_dir: str) -> rd.Dataset:
+    """Fingerprint-based near-duplicate pairs over the winnowing
+    fingerprints: docs sharing >= 1 selected fingerprint become
+    candidates (ONE keyed exchange on the fingerprint hash, in-block
+    self-merge — the minhash_pairs_exact shape), then a pair-keyed
+    exchange counts shared fingerprints and keeps pairs whose
+    fingerprint-set Jaccard >= tau.  Unlike MinHash banding, the
+    winnowing locality guarantee makes the candidate set free of false
+    negatives for any shared substring of k+w-1 chars.  Per-doc
+    fingerprint-set sizes ride along with the rows (each doc's winnow
+    set is computed whole inside its batch, so per-batch dedup IS
+    global dedup).  Adversarial hot fingerprints would take the
+    blocking stage's salted caps in production; at oracle scale the
+    buckets are tiny."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fp_rows(b: pa.Table) -> pa.Table:
+        df = winnow_batch(b).to_pandas()[["doc_id", "h"]].drop_duplicates()
+        n_fp = df.groupby("doc_id", sort=False)["h"].transform("size").astype("int64")
+        return pa.table(
+            {
+                "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+                "h": pa.array(df["h"].tolist(), pa.string()),
+                "n_fp": pa.array(n_fp.to_numpy(), pa.int64()),
+            }
+        )
+
+    def pair_part(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "na": pd.Series([], dtype="int64"),
+                "nb": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        m = df.merge(df, on="h", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if not len(m):
+            return empty
+        out = m[["doc_id_a", "doc_id_b", "n_fp_a", "n_fp_b"]]
+        return out.rename(
+            columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b", "n_fp_a": "na", "n_fp_b": "nb"}
+        )
+
+    def jacc_part(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "n_shared": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        )
+        if not len(df):
+            return empty
+        g = (
+            df.groupby(["doc_a", "doc_b"], sort=False)
+            .agg(n_shared=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+            .reset_index()
+        )
+        jacc = g["n_shared"].to_numpy() / (
+            g["na"].to_numpy() + g["nb"].to_numpy() - g["n_shared"].to_numpy()
+        )
+        keep = jacc >= _WINNOW_NEARDUP_TAU
+        out = g.loc[keep, ["doc_a", "doc_b"]].copy()
+        out["n_shared"] = g.loc[keep, "n_shared"].astype("int64")
+        out["jaccard"] = np.round(jacc[keep], 6)
+        return out
+
+    fps = docs.map_batches(fp_rows, batch_format="pyarrow")
+    cands = _grouped(fps, ["h"], pair_part)
+    return _grouped(cands, ["doc_a", "doc_b"], jacc_part)
+
+
+SQL_WINNOW_NEARDUP = f"""
+WITH fp AS (
+  SELECT DISTINCT doc_id, h FROM ({SQL_WINNOW_FINGERPRINTS})
+), sz AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM fp GROUP BY 1
+), pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
+  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_shared,
+       round(n_shared / (sa.n + sb.n - n_shared), 6) AS jaccard
+FROM pr
+JOIN sz sa ON sa.doc_id = pr.doc_a
+JOIN sz sb ON sb.doc_id = pr.doc_b
+WHERE n_shared / (sa.n + sb.n - n_shared) >= {_WINNOW_NEARDUP_TAU}
+"""
+
+
 def q_incremental_match(sf_dir: str) -> rd.Dataset:
     """Incremental (delta) re-linkage — the daily-ingest ER shape: given
     yesterday's match table and today's snapshot, re-run the match
@@ -7563,6 +7662,7 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
+    "winnow_neardup": q_winnow_neardup,
     "token_explode": q_token_explode,
     "levenshtein_adjacent": q_levenshtein_adjacent,
     "char_jaccard_adjacent": q_char_jaccard_adjacent,
@@ -7692,6 +7792,7 @@ ORACLE_SQL = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "incremental_match": SQL_INCREMENTAL_MATCH,
     "winnow_fingerprints": SQL_WINNOW_FINGERPRINTS,
+    "winnow_neardup": SQL_WINNOW_NEARDUP,
     "pivot_events": SQL_PIVOT_EVENTS,
     "bfs_hops": SQL_BFS_HOPS,
     "corpus_report": SQL_CORPUS_REPORT,
