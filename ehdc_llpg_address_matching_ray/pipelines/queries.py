@@ -7139,6 +7139,91 @@ SELECT DISTINCT doc_id, pos, h FROM sel
 """
 
 
+def metaphone_sql(col: str) -> str:
+    """DuckDB twin of functions.phonetics.metaphone, generated from the
+    SAME replacement table so the two can't drift (reference:
+    internal/phonetics/metaphone.go:16-73).  RE2 has no backreferences,
+    so the collapse-consecutive-duplicates step unrolls one
+    regexp_replace per charset character (A-Z, 0-9 — everything the M1
+    canonical charset + the replacement outputs can produce; the Ray
+    side guards non-ASCII loudly)."""
+    from ..functions import phonetics as PH
+
+    t = f"upper(trim({col}))"
+    for pat, rep in PH._REPLACEMENTS:
+        t = f"replace({t}, '{pat}', '{rep}')"
+    s = (
+        f"CASE WHEN length({t}) > 1 "
+        f"THEN substr({t}, 1, 1) || regexp_replace(substr({t}, 2), '[AEIOUY]', '', 'g') "
+        f"ELSE {t} END"
+    )
+    for ch in "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789":
+        s = f"regexp_replace({s}, '{ch}{ch}+', '{ch}', 'g')"
+    return f"substr({s}, 1, 4)"
+
+
+def q_phonetic_codes(sf_dir: str) -> rd.Dataset:
+    """P7 phonetic codec behind a DIRECT value-hash oracle (previously
+    gated only via the flagship's blocking keys + F1): the phonetic
+    prefix-key recipe of stages/blocking.py:80-105 in STRING form —
+    the canonical text's first-2-token prefix, each token
+    metaphone-coded unless purely numeric, joined as 'PH|' + ' ' (the
+    production key is the FNV string_key of exactly this string; the
+    FNV fold itself is already oracled by minhash_bandkeys).  Metaphone
+    runs once per DISTINCT prefix (factorize — the production emitter's
+    per-worker cache, batch-local)."""
+    from ..functions import phonetics as PH
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+    _ascii = __import__("re").compile(r"^[A-Z0-9 ]*$")
+
+    def f(b: pa.Table) -> pa.Table:
+        canonical, _ = N.canonical_batch(b["text"])
+        texts = canonical.to_pylist()
+        prefixes = [" ".join(t.split(" ")[:2]) if t else "" for t in texts]
+        codes_idx, uniq = pd.factorize(np.asarray(prefixes, dtype=object))
+        coded = []
+        for p in uniq:
+            if not _ascii.match(p):
+                # the SQL twin's dedup unroll covers [A-Z0-9] only; fail
+                # loudly rather than silently diverging from the oracle
+                raise ValueError(f"non-ASCII canonical prefix: {p!r}")
+            coded.append(
+                "PH|"
+                + " ".join(
+                    tok if tok.isdigit() else PH.metaphone(tok) for tok in p.split(" ")
+                )
+            )
+        coded_arr = np.asarray(coded, dtype=object)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "prefix": pa.array(prefixes, pa.string()),
+                "phonetic_key": pa.array(coded_arr[codes_idx], pa.string()),
+            }
+        )
+
+    return docs.map_batches(f, batch_format="pyarrow")
+
+
+SQL_PHONETIC_CODES = f"""
+WITH c AS (
+  SELECT doc_id, {_CANON_SQL} AS canonical FROM documents
+), p AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(canonical, ' '), 1, 2), ' ') AS prefix,
+         list_slice(string_split(canonical, ' '), 1, 2) AS toks
+  FROM c
+)
+SELECT doc_id, prefix,
+       'PH|' || array_to_string(
+         list_transform(toks, s -> CASE WHEN regexp_matches(s, '^[0-9]+$') THEN s
+                                        ELSE {metaphone_sql("s")} END),
+         ' ') AS phonetic_key
+FROM p
+"""
+
+
 _WINNOW_NEARDUP_TAU = 0.4
 
 
@@ -7618,6 +7703,7 @@ QUERIES = {
     "rule_transform": q_rule_transform,
     "range_expand": q_range_expand,
     # -- the MinHash-LSH chain (signature -> band key -> pairs -> prod path) --
+    "phonetic_codes": q_phonetic_codes,
     "minhash_sigs": q_minhash_sigs,
     "minhash_bandkeys": q_minhash_bandkeys,
     "minhash_pairs_exact": q_minhash_pairs_exact,
@@ -7632,6 +7718,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
     "url_dedup": q_url_dedup,
+    "winnow_neardup": q_winnow_neardup,
     "semdedup": q_semdedup,
     # -- curation / quality / text analysis --
     "curation_projection": q_curation_projection,
@@ -7649,10 +7736,10 @@ QUERIES = {
     "hll_distinct": q_hll_distinct,
     "countmin_heavy": q_countmin_heavy,
     "bloom_join": q_bloom_join,
-    "bloom_filter": q_bloom_filter,
     # -- similarity search / retrieval / graph --
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
+    "bloom_filter": q_bloom_filter,
     "bm25_topk": q_bm25_topk,
     "pagerank": q_pagerank,
     # ------------- driver window boundary (~50 entries) -------------
@@ -7662,7 +7749,6 @@ QUERIES = {
     "domain_stats": q_domain_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "winnow_fingerprints": q_winnow_fingerprints,
-    "winnow_neardup": q_winnow_neardup,
     "token_explode": q_token_explode,
     "levenshtein_adjacent": q_levenshtein_adjacent,
     "char_jaccard_adjacent": q_char_jaccard_adjacent,
@@ -7752,6 +7838,7 @@ ORACLE_SQL = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
+    "phonetic_codes": SQL_PHONETIC_CODES,
     "minhash_sigs": SQL_MINHASH_SIGS,
     "source_coerce": SQL_SOURCE_COERCE,
     "audio_features": SQL_AUDIO_FEATURES,
