@@ -3476,6 +3476,72 @@ FROM (
 """
 
 
+def q_cluster_split(sf_dir: str) -> rd.Dataset:
+    """Leakage-safe train/valid/test split — the dedup-aware variant of
+    `train_split`: the split is assigned per DUPLICATE CLUSTER (exact
+    content hash; the near-dup generalization swaps in the minhash
+    component label), so copies of a document can never straddle train
+    and test (Lee et al. 2022's train-test-leakage finding — the reason
+    dedup-aware splitting is a training-data-pipeline primitive, not a
+    nicety).  Every member inherits the bucket of its cluster
+    representative (min doc_id).  Scale shape: ONE keyed exchange of
+    narrow (doc_id, h) rows on the content hash; rep, bucket and split
+    all resolve partition-locally (md5 once per distinct rep)."""
+    docs = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def rows(b: pa.Table) -> pa.Table:
+        h = TS.md5_hex(pc.fill_null(b["text"], "").to_pylist())
+        return pa.table(
+            {"doc_id": pc.cast(b["doc_id"], pa.int64()), "h": pa.array(h, pa.string())}
+        )
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "rep": pd.Series([], dtype="int64"),
+                    "bucket": pd.Series([], dtype="int64"),
+                    "split": pd.Series([], dtype="object"),
+                }
+            )
+        rep = df.groupby("h", sort=False)["doc_id"].transform("min").to_numpy()
+        codes, uniq = pd.factorize(rep)
+        ub = np.array(
+            [int(h[:8], 16) % 1000 for h in TS.md5_hex([str(int(r)) for r in uniq])],
+            dtype=np.int64,
+        )
+        buckets = ub[codes]
+        split = np.where(buckets < 900, "train", np.where(buckets < 950, "valid", "test"))
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "rep": rep.astype(np.int64),
+                "bucket": buckets,
+                "split": split,
+            }
+        )
+
+    return _grouped(docs.map_batches(rows, batch_format="pyarrow"), ["h"], part)
+
+
+SQL_CLUSTER_SPLIT = """
+SELECT doc_id, rep, bucket,
+       CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, rep,
+         CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
+  FROM (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(coalesce(text, ''))) AS rep
+    FROM documents
+  )
+)
+"""
+
+
 def q_top_docs(sf_dir: str, k: int = 100) -> rd.Dataset:
     """Global top-k WITHOUT a global sort: every block reduces to its own
     top-k (combiner), the ≤ k·blocks survivors collapse into one
@@ -7728,16 +7794,17 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pii_redact": q_pii_redact,
     "train_split": q_train_split,
+    "cluster_split": q_cluster_split,
     "stratified_sample": q_stratified_sample,
     "length_quantiles": q_length_quantiles,
     "unigram_logppl": q_unigram_logppl,
     "dsir_weights": q_dsir_weights,
     # -- sketches --
     "hll_distinct": q_hll_distinct,
-    "countmin_heavy": q_countmin_heavy,
-    "bloom_join": q_bloom_join,
     # -- similarity search / retrieval / graph --
     "ann_topk": q_ann_topk,
+    "bloom_join": q_bloom_join,
+    "countmin_heavy": q_countmin_heavy,
     "ann_ivf": q_ann_ivf,
     "bloom_filter": q_bloom_filter,
     "bm25_topk": q_bm25_topk,
@@ -7845,6 +7912,7 @@ ORACLE_SQL = {
     "asof_join": SQL_ASOF_JOIN,
     "tumbling_window": SQL_TUMBLING_WINDOW,
     "train_split": SQL_TRAIN_SPLIT,
+    "cluster_split": SQL_CLUSTER_SPLIT,
     "top_docs": SQL_TOP_DOCS,
     "gopher_quality": SQL_GOPHER_QUALITY,
     "vocab_topk": SQL_VOCAB_TOPK,

@@ -76,6 +76,23 @@ class TestIncrementalMatch:
         # all three live statuses must actually occur at this scale
         assert set(inc["src_status"]) == {"unchanged", "updated", "added"}
 
+    def test_cluster_split_leakage_safe(self, ray_session, sf_unit_dir):
+        from ehdc_llpg_address_matching_ray.pipelines.queries import (
+            q_cluster_split,
+            q_train_split,
+        )
+
+        cs = q_cluster_split(sf_unit_dir).to_pandas()
+        # a duplicate cluster is never straddled across splits
+        assert cs.groupby("rep")["split"].nunique().max() == 1
+        # a cluster REPRESENTATIVE gets the same assignment train_split
+        # would give it standalone (same md5-bucket recipe)
+        ts = q_train_split(sf_unit_dir).to_pandas().set_index("doc_id")["split"]
+        reps = cs[cs["doc_id"] == cs["rep"]]
+        assert (ts.reindex(reps["doc_id"]).to_numpy() == reps["split"].to_numpy()).all()
+        # every doc accounted for exactly once
+        assert cs["doc_id"].is_unique
+
     def test_deleted_sources_never_appear(self, ray_session, sf_unit_dir):
         from ehdc_llpg_address_matching_ray.pipelines.queries import q_incremental_match
 
