@@ -6680,7 +6680,13 @@ FROM orders o JOIN hits h USING (o_orderkey)
 """
 
 
-def q_bpe_merge_step(sf_dir: str, k: int = 20) -> rd.Dataset:
+# top-k bounds shared by the Python queries and their SQL twins (a
+# parameterized k would silently diverge from the fixed-k oracle)
+_BPE_TOPK = 20
+_KEYWORDS_TOPK = 3
+
+
+def q_bpe_merge_step(sf_dir: str) -> rd.Dataset:
     """One iteration of BPE tokenizer training: the top-k most frequent
     adjacent character pairs across the whitespace-token stream (the
     merge candidates Sennrich et al. 2016 §3 pick greedily).  Scale
@@ -6711,19 +6717,26 @@ def q_bpe_merge_step(sf_dir: str, k: int = 20) -> rd.Dataset:
         tok_of = np.searchsorted(ends, idx, side="right")
         key = (cp[idx].astype(np.uint64) << np.uint64(32)) | cp[idx + 1].astype(np.uint64)
         uniq, inv = np.unique(key, return_inverse=True)
-        cnt = np.bincount(inv, weights=w[tok_of].astype(np.float64)).astype(np.int64)
+        # integer-exact accumulation (float64 bincount weights would lose
+        # precision past 2^53 and could flip top-k order vs the oracle):
+        # stable-sort by pair code, then int64 segment sums via reduceat
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(len(uniq)))
+        cnt = np.add.reduceat(w[tok_of][order], bounds).astype(np.int64)
         pairs = [chr(int(u >> np.uint64(32))) + chr(int(u & np.uint64(0xFFFFFFFF))) for u in uniq]
         return pa.table({"pair": pa.array(pairs, pa.string()), "cnt": pa.array(cnt)})
 
     def sum_topk(g: pd.DataFrame) -> pd.DataFrame:
         out = g.groupby("pair", sort=False)["cnt"].sum().reset_index()
         out["cnt"] = out["cnt"].astype("int64")
-        return out.sort_values(["cnt", "pair"], ascending=[False, True], kind="mergesort").head(k)
+        return out.sort_values(
+            ["cnt", "pair"], ascending=[False, True], kind="mergesort"
+        ).head(_BPE_TOPK)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         return (
             g.sort_values(["cnt", "pair"], ascending=[False, True], kind="mergesort")
-            .head(k)
+            .head(_BPE_TOPK)
             .reset_index(drop=True)
         )
 
@@ -6734,7 +6747,7 @@ def q_bpe_merge_step(sf_dir: str, k: int = 20) -> rd.Dataset:
     return summed.repartition(1).map_batches(final_topk, batch_format="pandas", batch_size=None)
 
 
-SQL_BPE_MERGE_STEP = r"""
+SQL_BPE_MERGE_STEP = rf"""
 WITH toks AS (
   SELECT unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS w FROM documents
 ), pairs AS (
@@ -6742,11 +6755,11 @@ WITH toks AS (
   FROM toks WHERE length(w) >= 2
 )
 SELECT pair, count(*)::BIGINT AS cnt
-FROM pairs GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 20
+FROM pairs GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT {_BPE_TOPK}
 """
 
 
-def q_keywords_tfidf(sf_dir: str, k: int = 3) -> rd.Dataset:
+def q_keywords_tfidf(sf_dir: str) -> rd.Dataset:
     """Per-document keyword extraction: top-k tokens by smoothed TF-IDF
     (sklearn's ``ln((1+N)/(1+df)) + 1`` idf over raw term frequency /
     doc length).  Scale shape: per-batch (doc, token, tf, dl) distinct
@@ -6792,11 +6805,11 @@ def q_keywords_tfidf(sf_dir: str, k: int = 3) -> rd.Dataset:
         s = (g["tf"].to_numpy().astype(np.float64) / g["n_tokens"].to_numpy().astype(np.float64)) * idf
         out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(), "token": g["token"].to_numpy(), "s": s})
         out = out.sort_values(["doc_id", "s", "token"], ascending=[True, False, True], kind="mergesort")
-        return out.groupby("doc_id", sort=False).head(k)
+        return out.groupby("doc_id", sort=False).head(_KEYWORDS_TOPK)
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc_id", "s", "token"], ascending=[True, False, True], kind="mergesort")
-        g = g.groupby("doc_id", sort=False).head(k).reset_index(drop=True)
+        g = g.groupby("doc_id", sort=False).head(_KEYWORDS_TOPK).reset_index(drop=True)
         return pd.DataFrame(
             {"doc_id": g["doc_id"], "token": g["token"], "score": g["s"].round(6)}
         )
@@ -6808,7 +6821,7 @@ def q_keywords_tfidf(sf_dir: str, k: int = 3) -> rd.Dataset:
     return _grouped(scored, ["doc_id"], final_topk)
 
 
-SQL_KEYWORDS_TFIDF = r"""
+SQL_KEYWORDS_TFIDF = rf"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(coalesce(text, ''), '\S+')) AS tok FROM documents
 ), tf AS (
@@ -6829,7 +6842,7 @@ SELECT doc_id, token, round(s, 6) AS score FROM (
   SELECT doc_id, token, s,
          row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, token ASC) AS rn
   FROM scored
-) WHERE rn <= 3
+) WHERE rn <= {_KEYWORDS_TOPK}
 """
 
 
@@ -6925,6 +6938,7 @@ def q_link_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
             }
         )
 
+    converged = False
     for _ in range(max_iters):
         cand = _grouped(
             edges.union(labels.map_batches(lbl_rows, batch_format="pyarrow")),
@@ -6945,13 +6959,22 @@ def q_link_components(sf_dir: str, max_iters: int = 64) -> rd.Dataset:
             ["node"],
             min_merge,
         ).materialize()
-        if stepped.sum("changed") == 0:
+        # sum() returns None on an empty dataset (an empty node universe
+        # IS converged); never compare None == 0
+        if (stepped.sum("changed") or 0) == 0:
             labels = stepped
+            converged = True
             break
         labels = stepped.map_batches(
             lambda b: pa.table({"node": b["node"], "lbl": b["lbl"]}),
             batch_format="pyarrow",
         ).materialize()
+    if not converged:
+        # partial labels diverge from the recursive-CTE oracle's full
+        # closure — fail loudly rather than return non-fixpoint output
+        raise RuntimeError(
+            f"link_components did not converge within {max_iters} label-prop rounds"
+        )
 
     return labels.map_batches(
         lambda b: pa.table({"node": b["node"], "component": b["lbl"]}),
@@ -7217,7 +7240,9 @@ def metaphone_sql(col: str) -> str:
 
     t = f"upper(trim({col}))"
     for pat, rep in PH._REPLACEMENTS:
-        t = f"replace({t}, '{pat}', '{rep}')"
+        # plain (non-regex) replace, but quote-escape so a future rule
+        # containing a quote can't corrupt the generated oracle
+        t = f"replace({t}, '{_sql_quote(pat)}', '{_sql_quote(rep)}')"
     s = (
         f"CASE WHEN length({t}) > 1 "
         f"THEN substr({t}, 1, 1) || regexp_replace(substr({t}, 2), '[AEIOUY]', '', 'g') "
@@ -7291,22 +7316,66 @@ FROM p
 
 
 _WINNOW_NEARDUP_TAU = 0.4
+_WINNOW_PAIR_CAP = 256  # per-fingerprint-bucket chunk bound (see winnow_pair_part)
+
+
+def winnow_pair_part(df: pd.DataFrame) -> pd.DataFrame:
+    """Candidate pairs within one fingerprint-keyed partition, with the
+    blocking stage's deterministic chunk cap (semdedup_prune_chunked
+    shape): inside each fingerprint bucket, docs are ranked by doc_id
+    and pairs form only WITHIN contiguous chunks of _WINNOW_PAIR_CAP —
+    per-bucket pair count is O(m * cap), not O(m^2), no matter how hot
+    the fingerprint (universal boilerplate GUARANTEES hot fingerprints
+    at web scale: any shared >= k+w-1-char substring shares one).  The
+    rank//cap rule is SQL-expressible, so the oracle reproduces the
+    capped semantics exactly; dropped cross-chunk coverage is surfaced
+    per pair via the ``capped`` column (true iff any contributing
+    bucket exceeded the cap), never silently truncated."""
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "na": pd.Series([], dtype="int64"),
+            "nb": pd.Series([], dtype="int64"),
+            "capped": pd.Series([], dtype="bool"),
+        }
+    )
+    if not len(df):
+        return empty
+    df = df.sort_values(["h", "doc_id"], kind="mergesort").reset_index(drop=True)
+    grp = df.groupby("h", sort=False)
+    df["chunk"] = (grp.cumcount() // _WINNOW_PAIR_CAP).to_numpy()
+    df["capped"] = (grp["doc_id"].transform("size") > _WINNOW_PAIR_CAP).to_numpy()
+    m = df.merge(df, on=["h", "chunk"], suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]]
+    if not len(m):
+        return empty
+    out = m[["doc_id_a", "doc_id_b", "n_fp_a", "n_fp_b", "capped_a"]]
+    return out.rename(
+        columns={
+            "doc_id_a": "doc_a",
+            "doc_id_b": "doc_b",
+            "n_fp_a": "na",
+            "n_fp_b": "nb",
+            "capped_a": "capped",
+        }
+    )
 
 
 def q_winnow_neardup(sf_dir: str) -> rd.Dataset:
     """Fingerprint-based near-duplicate pairs over the winnowing
     fingerprints: docs sharing >= 1 selected fingerprint become
-    candidates (ONE keyed exchange on the fingerprint hash, in-block
-    self-merge — the minhash_pairs_exact shape), then a pair-keyed
-    exchange counts shared fingerprints and keeps pairs whose
-    fingerprint-set Jaccard >= tau.  Unlike MinHash banding, the
-    winnowing locality guarantee makes the candidate set free of false
-    negatives for any shared substring of k+w-1 chars.  Per-doc
-    fingerprint-set sizes ride along with the rows (each doc's winnow
-    set is computed whole inside its batch, so per-batch dedup IS
-    global dedup).  Adversarial hot fingerprints would take the
-    blocking stage's salted caps in production; at oracle scale the
-    buckets are tiny."""
+    candidates (ONE keyed exchange on the fingerprint hash, chunk-capped
+    in-block self-merge — winnow_pair_part), then a pair-keyed exchange
+    counts shared fingerprints and keeps pairs whose fingerprint-set
+    Jaccard >= tau.  Unlike MinHash banding, the winnowing locality
+    guarantee makes the candidate set free of false negatives for any
+    shared substring of k+w-1 chars — across chunk boundaries of a hot
+    bucket that guarantee is relaxed to the capped semantics, and such
+    pairs carry capped=true.  Per-doc fingerprint-set sizes ride along
+    with the rows (each doc's winnow set is computed whole inside its
+    batch, so per-batch dedup IS global dedup); the Jaccard denominator
+    uses the full uncapped set sizes."""
     docs = _t(sf_dir, "documents", ["doc_id", "text"])
 
     def fp_rows(b: pa.Table) -> pa.Table:
@@ -7320,26 +7389,6 @@ def q_winnow_neardup(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    def pair_part(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "doc_a": pd.Series([], dtype="int64"),
-                "doc_b": pd.Series([], dtype="int64"),
-                "na": pd.Series([], dtype="int64"),
-                "nb": pd.Series([], dtype="int64"),
-            }
-        )
-        if not len(df):
-            return empty
-        m = df.merge(df, on="h", suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        if not len(m):
-            return empty
-        out = m[["doc_id_a", "doc_id_b", "n_fp_a", "n_fp_b"]]
-        return out.rename(
-            columns={"doc_id_a": "doc_a", "doc_id_b": "doc_b", "n_fp_a": "na", "n_fp_b": "nb"}
-        )
-
     def jacc_part(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
@@ -7347,13 +7396,19 @@ def q_winnow_neardup(sf_dir: str) -> rd.Dataset:
                 "doc_b": pd.Series([], dtype="int64"),
                 "n_shared": pd.Series([], dtype="int64"),
                 "jaccard": pd.Series([], dtype="float64"),
+                "capped": pd.Series([], dtype="bool"),
             }
         )
         if not len(df):
             return empty
         g = (
             df.groupby(["doc_a", "doc_b"], sort=False)
-            .agg(n_shared=("na", "size"), na=("na", "first"), nb=("nb", "first"))
+            .agg(
+                n_shared=("na", "size"),
+                na=("na", "first"),
+                nb=("nb", "first"),
+                capped=("capped", "max"),
+            )
             .reset_index()
         )
         jacc = g["n_shared"].to_numpy() / (
@@ -7363,25 +7418,37 @@ def q_winnow_neardup(sf_dir: str) -> rd.Dataset:
         out = g.loc[keep, ["doc_a", "doc_b"]].copy()
         out["n_shared"] = g.loc[keep, "n_shared"].astype("int64")
         out["jaccard"] = np.round(jacc[keep], 6)
+        out["capped"] = g.loc[keep, "capped"].astype("bool")
         return out
 
     fps = docs.map_batches(fp_rows, batch_format="pyarrow")
-    cands = _grouped(fps, ["h"], pair_part)
+    cands = _grouped(fps, ["h"], winnow_pair_part)
     return _grouped(cands, ["doc_a", "doc_b"], jacc_part)
 
 
+# the rank//cap chunk rule is reproduced exactly (chunk column), so the
+# capped semantics — not an uncapped idealization — are what the value
+# hash pins; capped marks pairs whose shared buckets exceeded the cap
 SQL_WINNOW_NEARDUP = f"""
 WITH fp AS (
   SELECT DISTINCT doc_id, h FROM ({SQL_WINNOW_FINGERPRINTS})
+), ranked AS (
+  SELECT doc_id, h,
+         (row_number() OVER (PARTITION BY h ORDER BY doc_id) - 1)
+           // {_WINNOW_PAIR_CAP} AS chunk,
+         count(*) OVER (PARTITION BY h) > {_WINNOW_PAIR_CAP} AS bcapped
+  FROM fp
 ), sz AS (
   SELECT doc_id, count(*)::BIGINT AS n FROM fp GROUP BY 1
 ), pr AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared
-  FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared,
+         bool_or(a.bcapped) AS capped
+  FROM ranked a
+  JOIN ranked b ON a.h = b.h AND a.chunk = b.chunk AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, n_shared,
-       round(n_shared / (sa.n + sb.n - n_shared), 6) AS jaccard
+       round(n_shared / (sa.n + sb.n - n_shared), 6) AS jaccard, capped
 FROM pr
 JOIN sz sa ON sa.doc_id = pr.doc_a
 JOIN sz sb ON sb.doc_id = pr.doc_b

@@ -102,3 +102,55 @@ class TestWinnowBatchParity:
         ha = set(out.loc[out.doc_id == 0, "h"])
         hb = set(out.loc[out.doc_id == 1, "h"])
         assert ha & hb
+
+
+class TestWinnowNeardupCap:
+    def test_pair_cap_bounds_hot_fingerprint(self):
+        """100x blow-up of one hot fingerprint (the universal-boilerplate
+        case): candidate pairs stay O(m * cap) — chunks of cap docs pair
+        internally only — instead of the O(m^2) uncapped self-merge, all
+        hot-bucket pairs carry capped=True, and cold buckets keep the
+        exact uncapped semantics with capped=False."""
+        from ehdc_llpg_address_matching_ray.pipelines.queries import (
+            _WINNOW_PAIR_CAP as CAP,
+            winnow_pair_part,
+        )
+
+        m = CAP * 100  # pre-fix quadratic case: C(25600, 2) ≈ 327M pairs
+        hot = pd.DataFrame(
+            {
+                "doc_id": np.arange(m, dtype=np.int64),
+                "h": "boilerplate",
+                "n_fp": np.full(m, 5, np.int64),
+            }
+        )
+        cold = pd.DataFrame(
+            {
+                "doc_id": np.array([7, 3, 11], np.int64),
+                "h": "rare",
+                "n_fp": np.full(3, 5, np.int64),
+            }
+        )
+        out = winnow_pair_part(pd.concat([hot, cold], ignore_index=True))
+        hot_pairs = out[out["capped"]]
+        cold_pairs = out[~out["capped"]]
+        n_chunks = m // CAP
+        assert len(hot_pairs) == n_chunks * CAP * (CAP - 1) // 2
+        # chunks are contiguous doc_id ranks: no pair spans >= CAP ids
+        assert (hot_pairs["doc_b"] - hot_pairs["doc_a"]).max() < CAP
+        # the cold bucket is below the cap: full C(3,2) pairs, uncapped
+        assert sorted(map(tuple, cold_pairs[["doc_a", "doc_b"]].to_numpy())) == [
+            (3, 7),
+            (3, 11),
+            (7, 11),
+        ]
+
+    def test_neardup_matches_oracle(self, ray_session, sf_unit_dir):
+        from oracle_utils import canon_frame, duck_oracle
+
+        from ehdc_llpg_address_matching_ray.pipelines.queries import ORACLE_SQL, QUERIES
+
+        ray_df = canon_frame(QUERIES["winnow_neardup"](sf_unit_dir).to_pandas())
+        sql_df = canon_frame(duck_oracle(sf_unit_dir, ORACLE_SQL["winnow_neardup"]))
+        assert len(ray_df) == len(sql_df) > 0
+        pd.testing.assert_frame_equal(ray_df, sql_df, check_dtype=False)
