@@ -1850,12 +1850,14 @@ def q_minhash_sigs(sf_dir: str) -> rd.Dataset:
     return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
-def _minhash_sigs_oracle_sql() -> str:
+def _minhash_sigs_oracle_sql(src: str = "documents") -> str:
     """Generated SQL twin of q_minhash_sigs.  64-bit wraparound multiply
     is HUGEINT split-multiply (lo*C + ((hi*C) mod 2^32)*2^32 mod 2^64);
     xor over 64-bit values is xor() on the BIGINT-safe 32-bit halves.
     The first splitmix64 step (x ^= x>>30) is the identity here because
-    shingle codes are 3-byte packs (< 2^24)."""
+    shingle codes are 3-byte packs (< 2^24).  ``src`` is any relation
+    exposing (doc_id, text) — the fuzzy fact twin feeds rep canonicals
+    through the same generated kernel."""
     from ..functions.minhash import make_perms
 
     a, b = make_perms(_MH_SIG_NUM_PERM, _MH_SIG_SEED)
@@ -1881,7 +1883,7 @@ def _minhash_sigs_oracle_sql() -> str:
 WITH perms(perm_idx, a, b) AS (VALUES {perms}),
 san AS (
     SELECT doc_id, regexp_replace(coalesce(text, ''), '[^\\x20-\\x7e]', '', 'g') AS t
-    FROM documents
+    FROM {src}
 ),
 pos AS (
     SELECT doc_id, t, unnest(generate_series(1, length(t) - 2)) AS g
@@ -1911,7 +1913,7 @@ hashed AS (
 ),
 sig AS (SELECT doc_id, perm_idx, min(h) AS sig FROM hashed GROUP BY doc_id, perm_idx)
 SELECT d.doc_id, p.perm_idx, coalesce(s.sig, {_MH_P})::BIGINT AS sig
-FROM documents d
+FROM {src} d
 CROSS JOIN perms p
 LEFT JOIN sig s ON s.doc_id = d.doc_id AND s.perm_idx = p.perm_idx
 """
@@ -1963,11 +1965,12 @@ def q_minhash_bandkeys(sf_dir: str) -> rd.Dataset:
     return _t(sf_dir, "documents", ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
 
 
-def _minhash_bandkeys_oracle_sql() -> str:
+def _minhash_bandkeys_oracle_sql(src: str = "documents") -> str:
     """Generated SQL twin of q_minhash_bandkeys: pivot the oracled
     signatures into (band, s0..s3) rows, then unroll the FNV fold as
     chained CTEs with the same HUGEINT mod-2^64 multiply and 32-bit-half
-    xor used by the signature twin."""
+    xor used by the signature twin.  ``src`` passes through to the
+    signature twin (any (doc_id, text) relation)."""
     rows = _MH_SIG_NUM_PERM // _MH_BK_BANDS
     fnv_offset = 0xCBF29CE484222325
     fnv_prime = 0x100000001B3
@@ -2001,7 +2004,7 @@ def _minhash_bandkeys_oracle_sql() -> str:
         prev = f"f{j + 1}"
     chain = ",\n".join(steps)
     return f"""
-WITH sigs AS ({SQL_MINHASH_SIGS}),
+WITH sigs AS ({_minhash_sigs_oracle_sql(src)}),
 piv AS (
     SELECT doc_id, perm_idx // {rows} AS band_idx,
            {pivot}
@@ -2020,12 +2023,18 @@ FROM {prev}
 
 SQL_MINHASH_BANDKEYS = _minhash_bandkeys_oracle_sql()
 
-# Pairs = self-join of the oracled band-key table: any shared folded key.
-SQL_MINHASH_PAIRS_EXACT = f"""
-WITH bk AS ({SQL_MINHASH_BANDKEYS})
+
+def _minhash_pairs_exact_sql(src: str = "documents") -> str:
+    """Pairs = self-join of the oracled band-key table over ``src``: any
+    shared folded key (classic OR-of-bands, min_band_agreement=1)."""
+    return f"""
+WITH bk AS ({_minhash_bandkeys_oracle_sql(src)})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bk a JOIN bk b ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
+
+
+SQL_MINHASH_PAIRS_EXACT = _minhash_pairs_exact_sql()
 
 
 def q_multimodal_frame_sample(sf_dir: str) -> rd.Dataset:
@@ -2461,25 +2470,23 @@ def q_scored_pairs_projection(sf_dir: str) -> rd.Dataset:
     )
 
 
-def _scored_pairs_sql() -> str:
-    """DuckDB twin of the production PairScorer over adjacent-doc pairs,
-    generated from the SAME regex/rule constants (functions/normalize.py)
-    so the two cannot drift.  The greedy DL-1 leftover-token rescue
-    (scoring.PairScorer._ts_tf_batch / fuzzy_token_overlap) is expressed
-    as a recursive CTE: rest-side tokens sorted ascending, each a-token
-    takes the FIRST unused b-token within one Damerau-Levenshtein edit
-    (duckdb damerau_levenshtein agrees with symspell.within_one_edit on
-    the <=1 verdict), exactly the scalar kernel's iteration order."""
-    canon = m1_canonical_sql("text")[0]
+def _scored_pairs_core(docs_sql: str, nn_sql: str, pairs_sql: str, prelude: str = "") -> str:
+    """The production-PairScorer CTE chain (docs → idf → pairs → greedy
+    DL-1 rescue → scored) with the three corpus-defining relations
+    parameterized, so the SAME generated scoring twin serves both the
+    adjacent-pair projection (SQL_SCORED_PAIRS_PROJECTION) and the
+    full-strength fuzzy fact oracle (SQL_LINKAGE_FACT_FUZZY).  Callers
+    wrap it in WITH RECURSIVE and add their final SELECT; ``prelude``
+    CTEs (if any) come first.  ``scored`` exposes raw (unrounded) jw /
+    ts / tf / house_veto keyed by (id_a, id_b)."""
     hn = _sql_quote(N.HOUSE_NUMBER_PATTERN)
     # FLAT_UNIT_PATTERN under RE2 semantics (\s -> [\t\n\f\r ]), matching
     # normalize._re2_compat's rewrite of the scalar pattern
     flat = _sql_quote(N.FLAT_UNIT_PATTERN.replace(r"\s", "[\\t\\n\\f\\r ]"))
-    return f"""
-WITH RECURSIVE docs AS (
-  SELECT doc_id, text, {canon} AS canonical FROM documents
+    return f"""{prelude}docs AS (
+  {docs_sql}
 ),
-nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+nn AS ({nn_sql}),
 tok AS (
   SELECT doc_id, t AS tok, count(*)::BIGINT AS cnt
   FROM docs, unnest(string_split(canonical, ' ')) AS u(t)
@@ -2508,9 +2515,7 @@ hn AS (
   FROM docs
 ),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.canonical AS ca, b.canonical AS cb
-  FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1
+  {pairs_sql}
 ),
 inter AS (
   SELECT p.id_a, p.id_b, count(*)::BIGINT AS common, sum(ta.w * tb.w) AS dot
@@ -2597,7 +2602,28 @@ scored AS (
   LEFT JOIN rescue r ON r.id_a = p.id_a AND r.id_b = p.id_b
   JOIN hn ha ON ha.doc_id = p.id_a
   JOIN hn hb ON hb.doc_id = p.id_b
-)
+)"""
+
+
+def _scored_pairs_sql() -> str:
+    """DuckDB twin of the production PairScorer over adjacent-doc pairs,
+    generated from the SAME regex/rule constants (functions/normalize.py)
+    so the two cannot drift.  The greedy DL-1 leftover-token rescue
+    (scoring.PairScorer._ts_tf_batch / fuzzy_token_overlap) is expressed
+    as a recursive CTE: rest-side tokens sorted ascending, each a-token
+    takes the FIRST unused b-token within one Damerau-Levenshtein edit
+    (duckdb damerau_levenshtein agrees with symspell.within_one_edit on
+    the <=1 verdict), exactly the scalar kernel's iteration order."""
+    canon = m1_canonical_sql("text")[0]
+    core = _scored_pairs_core(
+        f"SELECT doc_id, text, {canon} AS canonical FROM documents",
+        "SELECT count(*)::DOUBLE AS n FROM documents",
+        """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.canonical AS ca, b.canonical AS cb
+  FROM docs a JOIN docs b ON b.doc_id = a.doc_id + 1""",
+    )
+    return f"""
+WITH RECURSIVE {core}
 SELECT id_a, id_b,
        round(jw, 6) AS jaro_winkler,
        round(ts, 6) AS token_set_ratio,
@@ -2609,6 +2635,194 @@ FROM scored
 
 
 SQL_SCORED_PAIRS_PROJECTION = _scored_pairs_sql()
+
+
+def q_linkage_fact_fuzzy(sf_dir: str) -> rd.Dataset:
+    """The flagship linkage DAG end-to-end at FULL STRENGTH — fuzzy
+    MinHash-LSH blocking, production pair scoring, per-source decide,
+    TRANSITIVE clustering over the fuzzy edges — under a deterministic
+    config whose complete fact table is SQL-expressible, closing the one
+    compositional gap the exact-only `linkage_fact` gate left (its
+    driver row runs with candidate generation disabled).
+
+    Config (all supported knobs, every piece individually oracled):
+    - symspell off → canonical = the pure M1 chain;
+    - blocking = the ORACLED LSH chain (8 perms / 2 bands / seed 7,
+      min_band_agreement=1 = classic OR-of-bands, prefix keys off) with
+      caps unreachable at oracle scale (max_block_size 2^20,
+      max_pairs_per_block 2^30 — no salting, no drops, so the pair set
+      equals the uncapped band-key self-join the minhash_pairs_exact
+      twin pins);
+    - tiers with auto_accept_medium raised to auto_accept_high, making
+      the feature-gated medium tier a subset of the high tier (its
+      margin bound is stricter) — decisions depend only on (score,
+      margin), both SQL-expressible; the medium tier itself stays
+      unit-tested (tests/test_decide.py) and F1-gated.
+
+    The SQL twin composes the minhash band-key kernel over rep
+    canonicals, the production scoring chain (_scored_pairs_core — the
+    same generated CTEs the green scored_pairs_projection row pins),
+    the decide window (top-1 per source by score DESC / cand-nid ASC,
+    margin vs top-2), and a recursive-CTE reachability closure for the
+    transitive clusters (the link_components oracle pattern) — i.e. a
+    fuzzy-scored, transitively-clustered fact gated end-to-end."""
+    from ..config import BlockingConfig, MatchTiers, PipelineConfig, SymSpellConfig
+    from .linkage import run_linkage
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": pc.binary_join_element_wise(
+                    pa.array(["doc://"] * b.num_rows), pc.cast(b["doc_id"], pa.string()), ""
+                ),
+                "text": b["text"],
+                "lang": b["lang"],
+            }
+        )
+
+    pages = _t(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        to_pages, batch_format="pyarrow"
+    )
+    cfg = PipelineConfig(
+        symspell=SymSpellConfig(enabled=False),
+        blocking=BlockingConfig(
+            num_perm=_MH_SIG_NUM_PERM,
+            num_bands=_MH_BK_BANDS,
+            seed=_MH_SIG_SEED,
+            use_prefix_key=False,
+            max_block_size=1 << 20,
+            max_pairs_per_block=1 << 30,
+            min_band_agreement=1,
+        ),
+        tiers=MatchTiers(auto_accept_medium=MatchTiers().auto_accept_high),
+    )
+    out = run_linkage(pages, cfg, from_html=False)
+    return out["fact"].map_batches(
+        lambda b: b.set_column(
+            b.schema.get_field_index("top_score"),
+            "top_score",
+            pc.round(b["top_score"], 6),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _linkage_fact_fuzzy_sql() -> str:
+    """Composed DuckDB twin of q_linkage_fact_fuzzy (see its docstring):
+    M1 canonicals → exact-dedup membership → rep band keys via the
+    generated minhash kernel → production scoring CTEs → edges
+    (score >= edge_threshold, no house veto) → recursive reachability
+    closure (cluster = min reachable 63-bit url fingerprint) → decide
+    window → the 9-column fact.  Every constant is interpolated from
+    the SAME config/weights objects the engine runs with."""
+    from ..config import MatchTiers
+    from ..stages.scoring import ProductionWeights
+
+    tiers = MatchTiers()
+    w = ProductionWeights()
+    canon = m1_canonical_sql("text")[0]
+
+    def nid(col: str) -> str:
+        # stages/cluster.url_to_node_id: top 8 md5 bytes masked to 63 bits
+        return (
+            f"(('0x' || substr(md5({col}), 1, 16))::UBIGINT"
+            f" % 9223372036854775808::UBIGINT)::BIGINT"
+        )
+
+    score = f"{w.jaro_winkler} * jw + {w.token_set} * ts + {w.tfidf_cosine} * tf"
+    prelude = f"""pages AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text, {canon} AS canonical
+  FROM documents
+),
+mem AS (
+  SELECT url, text, canonical, md5(canonical) AS text_hash,
+         min(url) OVER (PARTITION BY md5(canonical)) AS rep_url
+  FROM pages
+),
+reps AS (SELECT url, text, canonical FROM mem WHERE url = rep_url),
+"""
+    pairs_sql = f"""SELECT pr.doc_a AS id_a, pr.doc_b AS id_b,
+         da.canonical AS ca, db.canonical AS cb
+  FROM ({_minhash_pairs_exact_sql("(SELECT doc_id, canonical AS text FROM docs)")}) pr
+  JOIN docs da ON da.doc_id = pr.doc_a
+  JOIN docs db ON db.doc_id = pr.doc_b"""
+    core = _scored_pairs_core(
+        f"SELECT {nid('url')} AS doc_id, text, canonical FROM reps",
+        "SELECT count(*)::DOUBLE AS n FROM reps",
+        pairs_sql,
+        prelude=prelude,
+    )
+    # MATERIALIZED hints matter: sc / edges_sym / ranked / joined are
+    # each referenced more than once (edges_sym inside a RECURSIVE term),
+    # and DuckDB would otherwise re-evaluate the whole ~40 s scoring
+    # chain per reference / per closure iteration
+    return f"""
+WITH RECURSIVE {core},
+sc AS MATERIALIZED (
+  SELECT id_a, id_b, {score} AS score, house_veto FROM scored
+),
+edges AS (
+  SELECT id_a, id_b FROM sc WHERE score >= {w.edge_threshold} AND NOT house_veto
+),
+edges_sym AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM edges
+),
+reach AS (
+  SELECT doc_id AS nid, doc_id AS r FROM docs
+  UNION
+  SELECT e.v AS nid, rr.r FROM reach rr JOIN edges_sym e ON e.u = rr.nid
+),
+comp AS (SELECT nid, min(r) AS cluster_id FROM reach GROUP BY nid),
+directed AS (
+  SELECT id_a AS src, id_b AS cand, score FROM sc
+  UNION ALL
+  SELECT id_b AS src, id_a AS cand, score FROM sc
+),
+ranked AS MATERIALIZED (
+  SELECT src, score,
+         row_number() OVER (PARTITION BY src ORDER BY score DESC, cand ASC) AS rn,
+         count(*) OVER (PARTITION BY src) AS n_cands
+  FROM directed
+),
+dec0 AS (
+  SELECT t.src, t.score AS top_score,
+         CASE WHEN t.n_cands >= 2 THEN t.score - s.score ELSE 1.0 END AS margin
+  FROM ranked t LEFT JOIN ranked s ON s.src = t.src AND s.rn = 2
+  WHERE t.rn = 1
+),
+decisions AS (
+  SELECT src,
+         CASE WHEN top_score < {tiers.min_threshold} THEN 'reject'
+              WHEN top_score >= {tiers.auto_accept_high}
+                   AND margin >= {tiers.winner_margin} THEN 'auto_accept'
+              WHEN top_score >= {tiers.review_threshold} THEN 'review'
+              ELSE 'reject' END AS decision,
+         top_score
+  FROM dec0
+),
+joined AS MATERIALIZED (
+  SELECT m.url, m.canonical, m.text_hash, m.rep_url,
+         c.cluster_id, d.decision, d.top_score
+  FROM mem m
+  JOIN comp c ON c.nid = {nid('m.rep_url')}
+  LEFT JOIN decisions d ON d.src = {nid('m.rep_url')}
+),
+cstats AS (
+  SELECT cluster_id, count(*)::BIGINT AS cluster_size, min(url) AS cluster_rep_url
+  FROM joined GROUP BY 1
+)
+SELECT j.url, j.canonical, j.text_hash, j.cluster_id,
+       c.cluster_rep_url, c.cluster_size,
+       coalesce(j.decision, 'no_candidates') AS decision,
+       round(coalesce(j.top_score, 0.0), 6) AS top_score,
+       j.url <> j.rep_url AS is_exact_dup
+FROM joined j JOIN cstats c USING (cluster_id)
+"""
+
+
+SQL_LINKAGE_FACT_FUZZY = _linkage_fact_fuzzy_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -7818,6 +8032,8 @@ FROM agg
 # below the boundary; selfcheck.py remains the full-surface artifact
 # (CORRECTNESS_selfcheck_*.json re-runs EVERY entry each round).
 QUERIES = {
+    # -- (a) NEW this round --
+    "linkage_fact_fuzzy": q_linkage_fact_fuzzy,
     # -- (b) never driver-covered in r1-r4: sketches / retrieval --
     "countmin_heavy": q_countmin_heavy,
     "bloom_filter": q_bloom_filter,
@@ -7976,6 +8192,7 @@ ORACLE_SQL = {
     # the flagship DAG under its deterministic reduced config (see
     # q_linkage_fact docstring): the complete fact table, value-hash
     "linkage_fact": SQL_LINKAGE_FACT,
+    "linkage_fact_fuzzy": SQL_LINKAGE_FACT_FUZZY,
     "validate_integrity": SQL_VALIDATE_INTEGRITY,
     "export_enhanced": SQL_EXPORT_ENHANCED,
     "threshold_sweep": SQL_THRESHOLD_SWEEP,
