@@ -174,7 +174,14 @@ def _run_linkage_inner(
         normalized, sample_fraction=idf_sample_fraction, seed=cfg.blocking.seed
     )
     _mark("01a_fit_token_df[driver]")
-    P = default_partitions(n_docs)
+    # byte-aware partition sizing (the ~256 MB/partition multi-node
+    # target): the normalized stage is materialized/checkpointed above,
+    # so its size is metadata — no extra pass
+    try:
+        stage_bytes = normalized.size_bytes()
+    except Exception:
+        stage_bytes = None
+    P = default_partitions(n_docs, stage_bytes)
     if cfg.symspell.enabled:
         sym = CR.build_symspell(token_df, cfg.symspell)
         sym_ref = ray.put(sym)
@@ -259,7 +266,8 @@ def _run_linkage_inner(
         reps_slim = reps_slim.map_batches(_add_nid, batch_format="pyarrow")
     _mark("02b_payload_lut[driver]")
     pairs = B.build_blocks(
-        reps_slim, cfg.blocking, concurrency=conc_emit, num_partitions=wide_partitions(n_docs),
+        reps_slim, cfg.blocking, concurrency=conc_emit,
+        num_partitions=wide_partitions(n_docs, stage_bytes),
         attach_payload=not broadcast,
     )
     # pin=True: the emitter pool + band shuffle + pair enumeration and

@@ -638,7 +638,21 @@ def cluster_cpus(default: int = 8) -> int:
 import os
 
 
-def default_partitions(n_rows: int | None = None) -> int:
+# multi-node target: ~256 MB of stage data per shuffle partition — the
+# scale knob BASELINE.md prescribes.  Below ~8 GB corpora the row-based
+# heuristic governs (aggregator-startup-dominated regime measured on
+# this node); above it the byte rule takes over UNCAPPED, so a 100-TB
+# corpus gets ~400k partitions instead of saturating a single-node cap.
+TARGET_PARTITION_BYTES = 256 << 20
+
+
+def _byte_partitions(n_bytes: int | None) -> int:
+    if not n_bytes or n_bytes <= 0:
+        return 0
+    return -(-n_bytes // TARGET_PARTITION_BYTES)  # ceil div
+
+
+def default_partitions(n_rows: int | None = None, n_bytes: int | None = None) -> int:
     """Shuffle partition count.
 
     Keyed-shuffle parallelism equals the partition count (one aggregator
@@ -646,31 +660,37 @@ def default_partitions(n_rows: int | None = None) -> int:
     count must follow DATA VOLUME, not CPU count: 8 partitions beat 32 on
     a 62k-page corpus (startup-dominated) while larger corpora want more
     aggregators.  ~20k rows per partition balances the two on this node;
-    multi-node deployments should target ~256 MB per partition.
+    when the caller knows the stage's byte size (``n_bytes``, e.g.
+    ``Dataset.size_bytes()`` of the materialized stage or parquet
+    metadata), the ~256 MB/partition byte target governs once it exceeds
+    the row heuristic — the multi-node path, unbounded above.
     ``RAY_GRAFT_PARTITIONS`` overrides for experiments.
     """
     env = os.environ.get("RAY_GRAFT_PARTITIONS")
     if env:
         return int(env)
-    if n_rows is None:
+    if n_rows is None and n_bytes is None:
         return 8
-    return min(32, max(8, n_rows // 20_000))
+    row_based = min(32, max(8, (n_rows or 0) // 20_000))
+    return max(row_based, _byte_partitions(n_bytes))
 
 
-def wide_partitions(n_rows: int | None = None) -> int:
+def wide_partitions(n_rows: int | None = None, n_bytes: int | None = None) -> int:
     """Partition count for COMPUTE-HEAVY keyed stages (pair enumeration
     inside blocking): unlike the narrow shuffles (decide, fact joins,
     where aggregator startup dominates and 8 partitions win), the
     per-partition work here is CPU-bound, so the partition count is the
     stage's parallelism ceiling — size it so a full-width cluster has
-    one task per core at the target ~8k rows/partition."""
+    one task per core at the target ~8k rows/partition; the ~256 MB
+    byte target applies as a floor here too (a byte-sized corpus always
+    gets at least bytes/256MB-way parallelism)."""
     env = os.environ.get("RAY_GRAFT_PARTITIONS")
     if env:
         return int(env)
-    base = default_partitions(n_rows)
+    base = default_partitions(n_rows, n_bytes)
     if n_rows is None:
         return max(base, cluster_cpus())
-    return min(64, max(base, n_rows // 8_000))
+    return max(min(64, max(base, n_rows // 8_000)), _byte_partitions(n_bytes))
 
 
 def default_concurrency() -> tuple[int, int]:
