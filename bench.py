@@ -161,6 +161,8 @@ def run_single(sf_dir: str, num_cpus: int) -> dict:
     n = out["fact"].count()
     el = time.time() - t0
     ray.shutdown()
+    from ehdc_llpg_address_matching_ray.pipelines.linkage import LAST_STAGE_TIMINGS
+
     # steal fraction: stolen core-seconds / (wall x ALL host cores) —
     # >2-3% means a co-tenant burst polluted this run
     steal_frac = (_steal_cs() - s0) / 100.0 / max(el * (os.cpu_count() or 32), 1e-9)
@@ -169,6 +171,9 @@ def run_single(sf_dir: str, num_cpus: int) -> dict:
         "sec": round(el, 3),
         "num_cpus": num_cpus,
         "steal_frac": round(steal_frac, 4),
+        # driver-side per-stage walls (lazy stages land on the next
+        # materializing mark); fact count above is outside the marks
+        "stage_sec": dict(LAST_STAGE_TIMINGS),
     }
 
 

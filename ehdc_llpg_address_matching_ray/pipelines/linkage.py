@@ -38,6 +38,11 @@ from ..rayutil import default_concurrency, default_partitions, hash_shuffle, wid
 from .checkpoint import checkpoint, has_valid_checkpoint, score_histogram
 
 
+# per-stage driver walls of the most recent run_linkage call (see _mark
+# in _run_linkage_inner); bench.py copies this into its JSON artifacts
+LAST_STAGE_TIMINGS: dict[str, float] = {}
+
+
 def _add_nid(batch: pa.Table) -> pa.Table:
     """Attach the 63-bit url fingerprint used as the pair/cluster row id
     (same id space as stages.cluster.url_to_node_id)."""
@@ -46,44 +51,6 @@ def _add_nid(batch: pa.Table) -> pa.Table:
     return batch.append_column(
         "nid", pa.array(url_to_node_id(batch["url"].to_pylist()), pa.int64())
     )
-
-
-def fit_idf_from_reps(
-    reps_ds: rd.Dataset,
-    sample_fraction: float = 1.0,
-    max_vocab: int = 200_000,
-    seed: int = 42,
-    auto_sample_docs: int = 2_000_000,
-) -> tuple[dict[str, float], int]:
-    """Fit the idf dictionary on (a sample of) the representative texts.
-
-    At 100-TB scale the idf is fit on a small seeded sample and the
-    resulting bounded dict is broadcast once (ray.put) — never reshipped
-    per batch.  Above ``auto_sample_docs`` rows the corpus is
-    seeded-sampled automatically so the driver pass never scales with
-    the data.  Returns (idf, n_docs_sampled).
-    """
-    ds = reps_ds.select_columns(["canonical"])
-    if sample_fraction >= 1.0:
-        try:
-            n_rows = reps_ds.count()
-        except Exception:
-            n_rows = None
-        if n_rows and n_rows > auto_sample_docs:
-            sample_fraction = auto_sample_docs / n_rows
-    if sample_fraction < 1.0:
-        ds = ds.random_sample(sample_fraction, seed=seed)
-    df_counts: Counter[str] = Counter()
-    n_docs = 0
-    for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        texts = batch["canonical"].to_pylist()
-        n_docs += len(texts)
-        for t in texts:
-            if t:
-                df_counts.update(set(t.split(" ")))
-    if len(df_counts) > max_vocab:
-        df_counts = Counter(dict(df_counts.most_common(max_vocab)))
-    return SC.fit_idf(dict(df_counts), max(1, n_docs)), max(1, n_docs)
 
 
 def run_linkage(
@@ -130,14 +97,20 @@ def _run_linkage_inner(
     conc_score = cfg.scorer_concurrency or max(2, _cpus)
     _trace = os.environ.get("RAY_GRAFT_STAGE_TIMING") == "1"
     _t_last = [__import__("time").time()]
+    LAST_STAGE_TIMINGS.clear()
 
     def _mark(name: str) -> None:
-        if _trace:
-            import time as _time
+        import time as _time
 
-            now = _time.time()
+        now = _time.time()
+        # driver-side wall between marks; lazy (pin=False) stages record
+        # ~0 and their cost lands on the next materializing mark.
+        # Always collected (LAST_STAGE_TIMINGS rides into the bench
+        # artifacts); printed only under RAY_GRAFT_STAGE_TIMING=1.
+        LAST_STAGE_TIMINGS[name] = round(now - _t_last[0], 3)
+        if _trace:
             print(f"[stage-timing] {name}: {now - _t_last[0]:.2f}s", flush=True)
-            _t_last[0] = now
+        _t_last[0] = now
 
     def ckpt(ds: rd.Dataset, name: str, extras=None, pin: bool = True) -> rd.Dataset:
         """Checkpoint to parquet when a checkpoint_dir is given, else pin

@@ -2399,7 +2399,7 @@ def q_scored_pairs_projection(sf_dir: str) -> rd.Dataset:
     per doc, no sampling/cap — the oracle recomputes the identical
     formula; the flagship's sampled/capped distributed fit is a scale
     policy, not a semantics change).  The driver df merge is
-    vocab-bounded, same bound as pipelines/linkage.fit_idf_from_reps."""
+    vocab-bounded, same bound as stages/correct.fit_token_df."""
     from collections import Counter
 
     from ..stages import scoring as SC

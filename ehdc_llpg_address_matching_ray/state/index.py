@@ -77,7 +77,7 @@ class GazetteerIndex:
                 for k in keys[i]:
                     self.buckets.setdefault(int(k), []).append(gid)
         # idf over the gazetteer texts (the single-query analogue of
-        # fit_idf_from_reps)
+        # stages/correct.fit_token_df)
         from collections import Counter
 
         df: Counter[str] = Counter()
