@@ -2083,6 +2083,71 @@ WHERE (doc_id % 37) % 5 = 0
 """
 
 
+def q_video_keyframes(sf_dir: str) -> rd.Dataset:
+    """REAL mp4 keyframe sampling end-to-end under strict mode: each
+    document becomes a synthetic-but-VALID ISO BMFF file (stages/mp4
+    build_mp4 — ftyp + mdat + full moov/stbl, samples split over two
+    stco chunks) whose sample payloads and sync list are deterministic
+    functions of doc_id; Mp4KeyframeSampler then container-parses the
+    bytes (stsz/stsc/stco chunk walk + stss sync list + stts
+    timestamps) and slices the encoded keyframes out of mdat.  The
+    oracle recomputes the expected keyframe payload digests directly —
+    so the value hash pins the writer→parser→extract roundtrip, not a
+    stub.  K = 4 + doc_id%5 samples, payload_i = md5hex(doc_id:i)
+    repeated (1 + i%3)× (varying stsz sizes), sync at i%4==0."""
+    from ..stages.mp4 import build_mp4
+    from ..stages.multimodal import mp4_keyframe_sample
+
+    def to_mp4(b: pa.Table) -> pa.Table:
+        ids = pc.cast(b["doc_id"], pa.int64()).to_numpy()
+        payloads = []
+        for d in ids.tolist():
+            k = 4 + d % 5
+            samples = [
+                hashlib.md5(f"{d}:{i}".encode()).hexdigest().encode() * (1 + i % 3)
+                for i in range(k)
+            ]
+            payloads.append(
+                build_mp4(samples, sync=[i + 1 for i in range(k) if i % 4 == 0], chunks=2)
+            )
+        return pa.table(
+            {
+                "item_id": pa.array(ids.astype(str), pa.string()),
+                "mime": pa.array(["video/mp4"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+    vids = _t(sf_dir, "documents", ["doc_id"]).map_batches(to_mp4, batch_format="pyarrow")
+    kf = mp4_keyframe_sample(vids, strict=True)
+    return kf.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": pc.cast(b["item_id"], pa.int64()),
+                "sample_no": b["sample_no"],
+                "ts": b["ts"],
+                "n_bytes": pc.cast(pc.binary_length(b["payload"]), pa.int64()),
+                "digest": pa.array(
+                    [hashlib.md5(p).hexdigest() for p in b["payload"].to_pylist()],
+                    pa.string(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+SQL_VIDEO_KEYFRAMES = """
+WITH s AS (
+  SELECT doc_id, unnest(range(0, 4 + doc_id % 5)) AS i FROM documents
+)
+SELECT doc_id, (i + 1)::BIGINT AS sample_no, (i * 100)::BIGINT AS ts,
+       (32 * (1 + i % 3))::BIGINT AS n_bytes,
+       md5(repeat(md5(doc_id::VARCHAR || ':' || i::VARCHAR), (1 + i % 3)::INT)) AS digest
+FROM s WHERE i % 4 = 0
+"""
+
+
 def q_match_documents(sf_dir: str) -> rd.Dataset:
     """Two-table match cascade (pipelines/match.py — the reference's
     production flow): every 5th document is the "gazetteer" (carrying
@@ -8034,6 +8099,7 @@ FROM agg
 QUERIES = {
     # -- (a) NEW this round --
     "linkage_fact_fuzzy": q_linkage_fact_fuzzy,
+    "video_keyframes": q_video_keyframes,
     # -- (b) never driver-covered in r1-r4: sketches / retrieval --
     "countmin_heavy": q_countmin_heavy,
     "bloom_filter": q_bloom_filter,
@@ -8199,6 +8265,7 @@ ORACLE_SQL = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_resize": SQL_MULTIMODAL_RESIZE,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
+    "video_keyframes": SQL_VIDEO_KEYFRAMES,
     "phonetic_codes": SQL_PHONETIC_CODES,
     "minhash_sigs": SQL_MINHASH_SIGS,
     "source_coerce": SQL_SOURCE_COERCE,

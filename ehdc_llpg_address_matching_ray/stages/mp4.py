@@ -1,0 +1,325 @@
+"""ISO BMFF (MP4) keyframe sampling — real container parsing, no codec
+decode.
+
+The task brief's video frame-sample stage needs the KEYFRAMES of an mp4,
+and extracting them requires only the ISO/IEC 14496-12 container tables,
+not a video decoder: walk the box tree to the video track's sample table
+(``stbl``), expand ``stsc``/``stsz``/``stco|co64`` into per-sample byte
+ranges inside ``mdat``, read the sync-sample list (``stss``; absent =
+every sample is sync) and the decode timestamps (``stts`` + ``mdhd``
+timescale), and slice the already-encoded keyframe samples out of the
+payload.  This fills the strict-mode ``video/mp4`` slot the previous
+rounds stubbed (reference parity: the source engine treats media as
+opaque payloads too; this stage is the training-data-pipeline extension
+from the task brief).
+
+Public spec only: ISO/IEC 14496-12 box/fullbox layout, the stbl sample
+tables, and the standard chunk-walk algorithm (§8.7).  Pure stdlib
+``struct``/bytes — no media libraries.
+
+Also provides ``build_mp4``: a minimal valid writer (ftyp + mdat + moov
+with a full stbl) used by tests and the ``video_keyframes`` query to
+synthesize deterministic fixtures, so the parse→extract roundtrip is
+value-hash-oracle-checkable (the oracle recomputes the expected sample
+bytes directly).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+
+# ---------------------------------------------------------------------------
+# box tree walking
+# ---------------------------------------------------------------------------
+
+
+def iter_boxes(data: bytes, start: int = 0, end: int | None = None):
+    """Yield (fourcc, header_size, box_start, box_end) for each box in
+    [start, end); handles 64-bit largesize and size==0 (to end)."""
+    end = len(data) if end is None else end
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError("mp4: truncated box header")
+        size = struct.unpack_from(">I", data, pos)[0]
+        fourcc = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("mp4: truncated largesize header")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise ValueError(f"mp4: bad box size {size} for {fourcc!r}")
+        yield fourcc, hdr, pos, pos + size
+        pos += size
+
+
+def find_box(data: bytes, path: list[bytes], start: int = 0, end: int | None = None):
+    """(payload_start, payload_end) of the FIRST box at ``path``; None
+    when absent."""
+    fourcc, rest = path[0], path[1:]
+    for fc, hdr, s, e in iter_boxes(data, start, end):
+        if fc != fourcc:
+            continue
+        if not rest:
+            return s + hdr, e
+        return find_box(data, rest, s + hdr, e)
+    return None
+
+
+def _fullbox(data: bytes, s: int) -> tuple[int, int, int]:
+    """(version, flags, payload_start) of a FullBox at payload offset s."""
+    v = data[s]
+    flags = int.from_bytes(data[s + 1 : s + 4], "big")
+    return v, flags, s + 4
+
+
+# ---------------------------------------------------------------------------
+# sample-table expansion (ISO 14496-12 §8.7 chunk walk)
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Mp4Sample:
+    sample_no: int  # 1-based sample number
+    ts: int  # decode timestamp in mdhd timescale units
+    offset: int  # absolute byte offset in the file
+    size: int
+    is_sync: bool
+
+
+def _read_u32_table(data: bytes, s: int, n: int) -> list[int]:
+    if s + 4 * n > len(data):
+        raise ValueError("mp4: truncated table")
+    return list(struct.unpack_from(f">{n}I", data, s))
+
+
+def _video_stbl(data: bytes) -> tuple[int, int, int]:
+    """(stbl_start, stbl_end, timescale) of the first 'vide' track."""
+    moov = find_box(data, [b"moov"])
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    for fc, hdr, s, e in iter_boxes(data, *moov):
+        if fc != b"trak":
+            continue
+        mdia = find_box(data, [b"mdia"], s + hdr, e)
+        if mdia is None:
+            continue
+        hdlr = find_box(data, [b"hdlr"], *mdia)
+        if hdlr is None or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        mdhd = find_box(data, [b"mdhd"], *mdia)
+        if mdhd is None:
+            raise ValueError("mp4: video trak without mdhd")
+        v, _, p = _fullbox(data, mdhd[0])
+        # v0: ctime/mtime u32 ×2 then timescale; v1: u64 ×2 then timescale
+        timescale = struct.unpack_from(">I", data, p + (16 if v == 1 else 8))[0]
+        stbl = find_box(data, [b"minf", b"stbl"], *mdia)
+        if stbl is None:
+            raise ValueError("mp4: video trak without stbl")
+        return stbl[0], stbl[1], timescale
+    raise ValueError("mp4: no video ('vide') track")
+
+
+def video_samples(data: bytes) -> tuple[list[Mp4Sample], int]:
+    """Expand the video track's sample tables into per-sample byte
+    ranges + decode timestamps.  Returns (samples, timescale)."""
+    stbl_s, stbl_e, timescale = _video_stbl(data)
+
+    def table(name: bytes):
+        return find_box(data, [name], stbl_s, stbl_e)
+
+    stsz = table(b"stsz")
+    stco, co64 = table(b"stco"), table(b"co64")
+    stsc, stts = table(b"stsc"), table(b"stts")
+    if stsz is None or (stco is None and co64 is None) or stsc is None or stts is None:
+        raise ValueError("mp4: incomplete sample table (need stsz/stco/stsc/stts)")
+
+    # stsz: fixed size or per-sample table
+    _, _, p = _fullbox(data, stsz[0])
+    fixed, n_samples = struct.unpack_from(">II", data, p)
+    sizes = [fixed] * n_samples if fixed else _read_u32_table(data, p + 8, n_samples)
+
+    # chunk offsets
+    if stco is not None:
+        _, _, p = _fullbox(data, stco[0])
+        (n_chunks,) = struct.unpack_from(">I", data, p)
+        offsets = _read_u32_table(data, p + 4, n_chunks)
+    else:
+        _, _, p = _fullbox(data, co64[0])
+        (n_chunks,) = struct.unpack_from(">I", data, p)
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", data, p + 4))
+
+    # stsc -> samples-per-chunk for every chunk
+    _, _, p = _fullbox(data, stsc[0])
+    (n_ent,) = struct.unpack_from(">I", data, p)
+    ent = [struct.unpack_from(">III", data, p + 4 + 12 * i) for i in range(n_ent)]
+    spc = [0] * n_chunks
+    for i, (first, per, _desc) in enumerate(ent):
+        last = ent[i + 1][0] - 1 if i + 1 < n_ent else n_chunks
+        for c in range(first - 1, last):
+            spc[c] = per
+
+    # stts -> per-sample decode timestamps
+    _, _, p = _fullbox(data, stts[0])
+    (n_tt,) = struct.unpack_from(">I", data, p)
+    ts: list[int] = []
+    t = 0
+    for i in range(n_tt):
+        cnt, delta = struct.unpack_from(">II", data, p + 4 + 8 * i)
+        for _ in range(cnt):
+            ts.append(t)
+            t += delta
+    if len(ts) < n_samples:
+        raise ValueError("mp4: stts covers fewer samples than stsz")
+
+    # stss -> sync set (1-based); absent = all sync
+    stss = table(b"stss")
+    if stss is None:
+        sync = None
+    else:
+        _, _, p = _fullbox(data, stss[0])
+        (n_ss,) = struct.unpack_from(">I", data, p)
+        sync = set(_read_u32_table(data, p + 4, n_ss))
+
+    samples: list[Mp4Sample] = []
+    sample_no = 1
+    for c in range(n_chunks):
+        off = offsets[c]
+        for _ in range(spc[c]):
+            if sample_no > n_samples:
+                break
+            size = sizes[sample_no - 1]
+            samples.append(
+                Mp4Sample(
+                    sample_no=sample_no,
+                    ts=ts[sample_no - 1],
+                    offset=off,
+                    size=size,
+                    is_sync=(sync is None or sample_no in sync),
+                )
+            )
+            off += size
+            sample_no += 1
+    if sample_no - 1 != n_samples:
+        raise ValueError("mp4: stsc chunk walk did not cover all samples")
+    return samples, timescale
+
+
+def keyframes(data: bytes, max_frames: int | None = None) -> list[tuple[int, int, bytes]]:
+    """(sample_no, ts, encoded_bytes) of each sync sample, in decode
+    order — the already-encoded keyframes, no codec decode."""
+    samples, _ = video_samples(data)
+    out = []
+    for s in samples:
+        if not s.is_sync:
+            continue
+        if s.offset + s.size > len(data):
+            raise ValueError("mp4: sample range outside file")
+        out.append((s.sample_no, s.ts, bytes(data[s.offset : s.offset + s.size])))
+        if max_frames is not None and len(out) >= max_frames:
+            break
+    return out
+
+
+# ---------------------------------------------------------------------------
+# minimal writer (test/fixture synthesis)
+# ---------------------------------------------------------------------------
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(fourcc, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+def build_mp4(
+    samples: list[bytes],
+    sync: list[int] | None = None,
+    timescale: int = 1000,
+    delta: int = 100,
+    chunks: int = 2,
+) -> bytes:
+    """Minimal valid ISO BMFF file: ftyp + mdat(samples) + moov with a
+    complete video stbl.  ``sync`` = 1-based sync sample numbers (None =
+    omit stss, meaning all sync); samples are split across ``chunks``
+    stco chunks to exercise the stsc walk."""
+    n = len(samples)
+    if n == 0:
+        raise ValueError("build_mp4: need at least one sample")
+    chunks = max(1, min(chunks, n))
+    per = -(-n // chunks)  # ceil
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom" + b"mp42")
+    mdat_payload = b"".join(samples)
+    mdat_start = len(ftyp)
+    # chunk boundaries: chunks of `per` samples (last possibly short)
+    chunk_first_sample = list(range(0, n, per))
+    sizes = [len(s) for s in samples]
+    cum = [0]
+    for s in sizes:
+        cum.append(cum[-1] + s)
+    offsets = [mdat_start + 8 + cum[f] for f in chunk_first_sample]
+    n_chunks = len(chunk_first_sample)
+
+    dur = n * delta
+    mvhd = _full(
+        b"mvhd", 0, 0,
+        struct.pack(">IIII", 0, 0, timescale, dur)
+        + struct.pack(">i", 0x00010000) + struct.pack(">h", 0x0100) + b"\x00" * 10
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2),
+    )
+    tkhd = _full(
+        b"tkhd", 0, 7,
+        struct.pack(">IIIII", 0, 0, 1, 0, dur) + b"\x00" * 8
+        + struct.pack(">hhhh", 0, 0, 0, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 16 << 16, 16 << 16),
+    )
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(">IIII", 0, 0, timescale, dur) + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"v\x00")
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + _full(b"url ", 0, 1, b""))
+    dinf = _box(b"dinf", dref)
+    # minimal VisualSampleEntry ('mp4v'), no esds — container-level only
+    vse = _box(
+        b"mp4v",
+        b"\x00" * 6 + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 16
+        + struct.pack(">HH", 16, 16)  # width, height
+        + struct.pack(">II", 0x480000, 0x480000)  # 72 dpi
+        + struct.pack(">I", 0) + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1),
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + vse)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    # stsc entries: uniform `per` then the short last chunk if any
+    ent = [(1, per, 1)]
+    last = n - chunk_first_sample[-1]
+    if n_chunks > 1 and last != per:
+        ent.append((n_chunks, last, 1))
+    stsc = _full(
+        b"stsc", 0, 0,
+        struct.pack(">I", len(ent)) + b"".join(struct.pack(">III", *e) for e in ent),
+    )
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n) + struct.pack(f">{n}I", *sizes))
+    stco = _full(b"stco", 0, 0, struct.pack(">I", n_chunks) + struct.pack(f">{n_chunks}I", *offsets))
+    stbl_kids = stsd + stts + stsc + stsz + stco
+    if sync is not None:
+        stbl_kids += _full(
+            b"stss", 0, 0, struct.pack(">I", len(sync)) + struct.pack(f">{len(sync)}I", *sorted(sync))
+        )
+    stbl = _box(b"stbl", stbl_kids)
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + _box(b"mdat", mdat_payload) + moov

@@ -4,8 +4,11 @@ metadata, processed by actor-pool map_batches stages.
 The heavyweight decode libraries are not available in this environment,
 but four byte formats decode for REAL here: 24-bit BMP and 8-bit PNG
 below, baseline JPEG (stages/jpeg.py: Huffman + IDCT + 4:2:0, pure
-numpy) and RIFF/PCM WAV in stages/audio.py.  Mimes that genuinely
-require absent codecs (mp4, mp3; progressive JPEG) fall back to a
+numpy) and RIFF/PCM WAV in stages/audio.py; ``video/mp4`` KEYFRAME
+SAMPLING is also real (stages/mp4.py: ISO BMFF container parse — the
+encoded sync samples slice out of mdat without a codec; see
+Mp4KeyframeSampler).  Mimes whose PIXEL decode genuinely requires
+absent codecs (mp4/mp3 payload decode; progressive JPEG) fall back to a
 deterministic stub (or raise NotImplementedError in strict mode) —
 everything Ray-side stays real and tested either way:
 schema contract, actor signature, batch sizing for wide binary rows,
@@ -452,6 +455,78 @@ def resize_images(
     return ds.map_batches(
         ImageResizer,
         fn_constructor_kwargs=dict(out_h=out_h, out_w=out_w, strict=strict),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class Mp4KeyframeSampler:
+    """Actor-pool map_batches stage: REAL ``video/mp4`` keyframe
+    sampling via ISO BMFF container parsing (stages/mp4.py — stbl sample
+    tables + stss sync list; the encoded keyframe bytes slice straight
+    out of mdat, no codec decode).  Each payload row explodes into one
+    row per sync sample: (item_id, sample_no, ts, timescale, payload).
+    Non-mp4 mimes emit nothing in lax mode and raise under strict; a
+    malformed mp4 raises ValueError (strict) or is skipped (lax) — the
+    skip-and-count shape the featurizer uses.  This fills the
+    round-3/4 strict-mode video slot with container-level substance;
+    pixel-level featurize of mp4 still honestly requires a codec."""
+
+    def __init__(self, max_frames: int | None = None, strict: bool = False):
+        self.max_frames, self.strict = max_frames, strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .mp4 import keyframes, video_samples
+
+        ids, nos, tss, scales, payloads = [], [], [], [], []
+        for item, mime, p in zip(
+            batch["item_id"].to_pylist(),
+            batch["mime"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if (mime or "") != "video/mp4":
+                if self.strict:
+                    raise NotImplementedError(
+                        f"Mp4KeyframeSampler: mime {mime!r} is not video/mp4"
+                    )
+                continue
+            try:
+                _, timescale = video_samples(p or b"")
+                kf = keyframes(p or b"", max_frames=self.max_frames)
+            except ValueError:
+                if self.strict:
+                    raise
+                continue
+            for no, ts, payload in kf:
+                ids.append(item)
+                nos.append(no)
+                tss.append(ts)
+                scales.append(timescale)
+                payloads.append(payload)
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.string()),
+                "sample_no": pa.array(nos, pa.int64()),
+                "ts": pa.array(tss, pa.int64()),
+                "timescale": pa.array(scales, pa.int64()),
+                "payload": pa.array(payloads, pa.large_binary()),
+            }
+        )
+
+
+def mp4_keyframe_sample(
+    ds: rd.Dataset,
+    max_frames: int | None = None,
+    concurrency=(1, 4),
+    batch_size: int = 64,
+    strict: bool = False,
+) -> rd.Dataset:
+    """video/mp4 payload dataset -> one row per keyframe (small
+    batch_size: payloads are wide, see featurize())."""
+    return ds.map_batches(
+        Mp4KeyframeSampler,
+        fn_constructor_kwargs=dict(max_frames=max_frames, strict=strict),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
