@@ -52,3 +52,33 @@ def test_scored_pairs_projection_matches_sql(ray_session, sf_unit_dir):
     # the pair set must exercise the interesting paths, not just zeros
     assert (merged["score_ray"] > 0).any()
     assert merged["token_set_ratio_ray"].gt(0).any()
+
+
+def test_dl1_pair_index_matches_brute_force():
+    """build_dl1_pairs completeness + exactness: the deletes-bucket
+    candidates verified with within_one_edit equal the brute-force DL-1
+    adjacency over the eligible vocab; overflow returns None."""
+    import itertools
+
+    import numpy as np
+
+    from ehdc_llpg_address_matching_ray.functions import symspell as SS
+    from ehdc_llpg_address_matching_ray.stages.scoring import build_dl1_pairs
+
+    vocab = sorted(
+        set(
+            "street stret sreet strete tsreet road rood raod lane lnae manor manot "
+            "house houze mouse housse ab abc".split()
+        )
+    )
+    isrest = np.array([w.isalpha() and len(w) >= 3 for w in vocab])
+    keys = build_dl1_pairs(vocab, isrest)
+    got = {(int(k) >> 32, int(k) & 0xFFFFFFFF) for k in keys.tolist()}
+    want = set()
+    el = [i for i in range(len(vocab)) if isrest[i]]
+    for a, b in itertools.combinations(el, 2):
+        if SS.within_one_edit(vocab[a], vocab[b]):
+            want.add((a, b))
+            want.add((b, a))
+    assert got == want
+    assert build_dl1_pairs(vocab, isrest, max_candidates=1) is None
