@@ -1,20 +1,24 @@
-"""Baseline JPEG codec, pure numpy + stdlib — no image libraries.
+"""JPEG codec, pure numpy + stdlib — no image libraries.
 
-Implements the subset a web corpus overwhelmingly consists of (task
-brief "multimodal columns"; fills the one honest stub left in round 3,
-stages/multimodal.py): BASELINE sequential DCT (SOF0), 8-bit samples,
-Huffman entropy coding, grayscale / YCbCr with 4:4:4 or 4:2:0 chroma
-subsampling, restart markers (DRI/RSTn).  Progressive (SOF2),
-arithmetic coding and 12-bit precision raise ValueError — the strict
-path in MultimodalFeaturizer surfaces those as a real gap rather than a
-silent stub.
+Implements what a web corpus overwhelmingly consists of (task brief
+"multimodal columns"): BASELINE sequential DCT (SOF0/1) and — since
+round 5 — PROGRESSIVE (SOF2) decode, 8-bit samples, Huffman entropy
+coding, grayscale / YCbCr with 4:4:4 or 4:2:0 chroma subsampling,
+restart markers (DRI/RSTn), multi-scan streams with spectral selection
+and successive approximation (DC + AC refinement passes, EOB runs).
+Arithmetic coding, hierarchical/lossless processes and 12-bit precision
+raise ValueError — the strict path in MultimodalFeaturizer surfaces
+those as a real gap rather than a silent stub.
 
-The encoder writes baseline 4:4:4 or 4:2:0 JFIF with the Annex K
-example tables (quantization scaled by the libjpeg quality curve,
-standard Huffman tables), so decoder tests roundtrip real byte streams
-produced independently of the decoder's own table handling.
+Two encoders exist so decoder tests roundtrip real byte streams
+produced independently of the decoder's own table handling: the
+baseline 4:4:4/4:2:0 JFIF writer (Annex K tables, libjpeg quality
+curve) and a progressive (SOF2) writer whose scan script exercises
+spectral selection and the successive-approximation refinement paths;
+progressive output is pixel-identical to baseline by construction
+(same quantized coefficients), which the tests pin.
 
-References (public): ITU-T T.81 (the JPEG standard) §§ A/B/C/F and
+References (public): ITU-T T.81 (the JPEG standard) §§ A/B/C/F/G and
 Annex K example tables; JFIF 1.02 spec for the colorspace convention
 (full-range BT.601 YCbCr).
 """
@@ -399,10 +403,284 @@ def _extend(bits: int, s: int) -> int:
     return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
 
+def _entropy_scan_bytes(data: bytes, start: int) -> tuple[bytes, int]:
+    """Raw entropy bytes of one scan (stuffing and RSTn retained) and
+    the position of the next real marker."""
+    i = start
+    n = len(data)
+    while i < n:
+        if data[i] == 0xFF:
+            nxt = data[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                i += 2
+                continue
+            break
+        i += 1
+    return data[start:i], i
+
+
+def _split_segments(raw: bytes) -> list[bytes]:
+    """Split raw entropy bytes on RSTn markers, unstuffing 0xFF00."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        byte = raw[i]
+        if byte == 0xFF:
+            nxt = raw[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break
+        cur.append(byte)
+        i += 1
+    segments.append(bytes(cur))
+    return segments
+
+
+def _decode_block_seq(rdr, dc_tab, ac_tab, pred: int) -> tuple[list[int], int]:
+    """One baseline-sequential block -> (zigzag coefficients, new pred)."""
+    zz = [0] * 64
+    s = rdr.read_huff(dc_tab)
+    diff = _extend(rdr.read_bits(s), s) if s else 0
+    pred += diff
+    zz[0] = pred
+    k = 1
+    while k <= 63:
+        rs = rdr.read_huff(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16  # ZRL
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC coefficient index overflow")
+        zz[k] = _extend(rdr.read_bits(s), s)
+        k += 1
+    return zz, pred
+
+
+def _noninterleaved_dims(comp, w, h, hmax, vmax) -> tuple[int, int]:
+    """Non-interleaved block-raster dims (T.81 A.2.2): ceil over the
+    component's own sample grid, NOT the padded MCU grid."""
+    cw = -(-(w * comp["h"]) // hmax)
+    ch = -(-(h * comp["v"]) // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _decode_scan_sequential(scan, segments, n_mcu_x, n_mcu_y, w, h, hmax, vmax):
+    """Baseline/extended-sequential scan: full-spectrum DC+AC Huffman,
+    interleaved when ns > 1, the component's own raster when ns == 1."""
+    ri = scan["ri"]
+    preds = {sc[0]["id"]: 0 for sc in scan["comps"]}
+    rdr = _BitReader(segments[0])
+    seg_idx = 0
+    unit = 0
+
+    def maybe_restart():
+        nonlocal rdr, seg_idx, preds
+        if ri and unit and unit % ri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing JPEG restart segment")
+            rdr = _BitReader(segments[seg_idx])
+            preds = {sc[0]["id"]: 0 for sc in scan["comps"]}
+
+    if len(scan["comps"]) > 1:
+        for my in range(n_mcu_y):
+            for mx in range(n_mcu_x):
+                maybe_restart()
+                for comp, dc_tab, ac_tab in scan["comps"]:
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            zz, preds[comp["id"]] = _decode_block_seq(
+                                rdr, dc_tab, ac_tab, preds[comp["id"]]
+                            )
+                            bi = (my * comp["v"] + by) * comp["bw"] + (
+                                mx * comp["h"] + bx
+                            )
+                            comp["coef"][bi] = zz
+                unit += 1
+    else:
+        comp, dc_tab, ac_tab = scan["comps"][0]
+        nbx, nby = _noninterleaved_dims(comp, w, h, hmax, vmax)
+        for by in range(nby):
+            for bx in range(nbx):
+                maybe_restart()
+                zz, preds[comp["id"]] = _decode_block_seq(
+                    rdr, dc_tab, ac_tab, preds[comp["id"]]
+                )
+                comp["coef"][by * comp["bw"] + bx] = zz
+                unit += 1
+
+
+def _decode_scan_progressive(scan, segments, n_mcu_x, n_mcu_y, w, h, hmax, vmax):
+    """One progressive scan (T.81 §G.2): DC first/refine (interleaved or
+    single-component), AC first/refine (always single-component, the
+    component's own block raster), EOB runs, restart handling."""
+    Ss, Se, Ah, Al = scan["Ss"], scan["Se"], scan["Ah"], scan["Al"]
+    ri = scan["ri"]
+    rdr = _BitReader(segments[0])
+    seg_idx = 0
+    state = {"eobrun": 0, "preds": {sc[0]["id"]: 0 for sc in scan["comps"]}}
+
+    def restart():
+        nonlocal rdr, seg_idx
+        seg_idx += 1
+        if seg_idx >= len(segments):
+            raise ValueError("missing JPEG restart segment")
+        rdr = _BitReader(segments[seg_idx])
+        state["eobrun"] = 0
+        state["preds"] = {sc[0]["id"]: 0 for sc in scan["comps"]}
+
+    if Ss == 0:
+        if Se != 0:
+            raise ValueError("progressive scan mixes DC and AC (Ss=0, Se>0)")
+
+        def dc_block(comp, dc_tab, bi):
+            coef = comp["coef"]
+            if Ah == 0:
+                if dc_tab is None:
+                    raise ValueError("JPEG scan references missing Huffman table")
+                s = rdr.read_huff(dc_tab)
+                diff = _extend(rdr.read_bits(s), s) if s else 0
+                state["preds"][comp["id"]] += diff
+                coef[bi, 0] = state["preds"][comp["id"]] << Al
+            else:
+                if rdr.read_bit():
+                    coef[bi, 0] = int(coef[bi, 0]) | (1 << Al)
+
+        unit = 0
+        if len(scan["comps"]) > 1:
+            for my in range(n_mcu_y):
+                for mx in range(n_mcu_x):
+                    if ri and unit and unit % ri == 0:
+                        restart()
+                    for comp, dc_tab, _ac in scan["comps"]:
+                        for by in range(comp["v"]):
+                            for bx in range(comp["h"]):
+                                bi = (my * comp["v"] + by) * comp["bw"] + (
+                                    mx * comp["h"] + bx
+                                )
+                                dc_block(comp, dc_tab, bi)
+                    unit += 1
+        else:
+            comp, dc_tab, _ac = scan["comps"][0]
+            nbx, nby = _noninterleaved_dims(comp, w, h, hmax, vmax)
+            for by in range(nby):
+                for bx in range(nbx):
+                    if ri and unit and unit % ri == 0:
+                        restart()
+                    dc_block(comp, dc_tab, by * comp["bw"] + bx)
+                    unit += 1
+        return
+
+    # AC scans: always non-interleaved, one component
+    if len(scan["comps"]) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    comp, _dc, ac_tab = scan["comps"][0]
+    if ac_tab is None:
+        raise ValueError("JPEG scan references missing Huffman table")
+    coef = comp["coef"]
+    nbx, nby = _noninterleaved_dims(comp, w, h, hmax, vmax)
+    p1 = 1 << Al
+    m1 = -1 << Al
+    unit = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            if ri and unit and unit % ri == 0:
+                restart()
+            unit += 1
+            bi = by * comp["bw"] + bx
+            if Ah == 0:
+                # ------- AC first scan (G.1.2.2) -------
+                if state["eobrun"] > 0:
+                    state["eobrun"] -= 1
+                    continue
+                k = Ss
+                while k <= Se:
+                    rs = rdr.read_huff(ac_tab)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16  # ZRL
+                            continue
+                        state["eobrun"] = (1 << r) - 1
+                        if r:
+                            state["eobrun"] += rdr.read_bits(r)
+                        break
+                    k += r
+                    if k > Se:
+                        raise ValueError("AC coefficient index overflow")
+                    coef[bi, k] = _extend(rdr.read_bits(s), s) << Al
+                    k += 1
+            else:
+                # ------- AC refinement scan (G.1.2.3) -------
+                k = Ss
+                if state["eobrun"] == 0:
+                    while k <= Se:
+                        rs = rdr.read_huff(ac_tab)
+                        r, s = rs >> 4, rs & 0xF
+                        val = 0
+                        if s:
+                            if s != 1:
+                                raise ValueError(
+                                    "AC refinement code with size != 1"
+                                )
+                            val = p1 if rdr.read_bit() else m1
+                        elif r != 15:
+                            state["eobrun"] = (1 << r)
+                            if r:
+                                state["eobrun"] += rdr.read_bits(r)
+                            break
+                        # advance over r zero-history coefficients,
+                        # appending a correction bit to each nonzero one
+                        while k <= Se:
+                            c = int(coef[bi, k])
+                            if c != 0:
+                                if rdr.read_bit() and (c & p1) == 0:
+                                    coef[bi, k] = c + (p1 if c >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s:
+                            if k > Se:
+                                raise ValueError(
+                                    "AC refinement ran past the spectral band"
+                                )
+                            coef[bi, k] = val
+                        k += 1
+                if state["eobrun"] > 0:
+                    # inside / entering an EOB run: every remaining
+                    # nonzero coefficient still takes one correction bit
+                    while k <= Se:
+                        c = int(coef[bi, k])
+                        if c != 0:
+                            if rdr.read_bit() and (c & p1) == 0:
+                                coef[bi, k] = c + (p1 if c >= 0 else m1)
+                        k += 1
+                    state["eobrun"] -= 1
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF/JPEG bytes -> (h, w, 3) uint8 RGB (or (h, w, 3)
-    replicated gray for 1-component streams — matches the BMP/PNG
-    decoders' RGB output contract)."""
+    """JFIF/JPEG bytes -> (h, w, 3) uint8 RGB (or (h, w, 3) replicated
+    gray for 1-component streams — matches the BMP/PNG decoders' RGB
+    output contract).  Handles baseline/extended sequential (SOF0/1) and
+    PROGRESSIVE (SOF2) Huffman streams: multi-scan parsing, spectral
+    selection, successive approximation (DC + AC refinement, EOB runs),
+    restart markers in any scan.  Arithmetic coding, hierarchical and
+    lossless processes still raise ValueError."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -411,8 +689,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart_interval = 0
-    scan = None
-    while pos + 4 <= len(data):
+    progressive = False
+    scans: list[dict] = []
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker sync lost")
         m = data[pos + 1]
@@ -435,22 +714,21 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     vals = np.frombuffer(seg[i : i + 128], ">u2").astype(np.int64)
                     i += 128
                 qtabs[tq] = vals[_UNZIGZAG].reshape(8, 8)
-        elif m in (0xC0, 0xC1):  # SOF0/1 (baseline / extended sequential)
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential) / SOF2 (progressive)
             if seg[0] != 8:
                 raise ValueError("only 8-bit precision supported")
+            progressive = m == 0xC2
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
             comps = []
             for i in range(nc):
                 cid, sf, tq = seg[6 + 3 * i : 9 + 3 * i]
-                comps.append(
-                    {"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq}
-                )
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq})
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG coding process (SOF marker 0xFF{m:02X}); "
-                "only baseline sequential Huffman decodes here"
+                "sequential and progressive Huffman decode here"
             )
         elif m == 0xC4:  # DHT
             i = 0
@@ -463,21 +741,38 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 i += 17 + n
         elif m == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
-        elif m == 0xDA:  # SOS
+        elif m == 0xDA:  # SOS — record the scan, keep walking (SOF2 has many)
+            if not comps:
+                raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            scan = []
+            scan_comps = []
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i : 3 + 2 * i]
                 comp = next(c for c in comps if c["id"] == cs)
-                scan.append((comp, tt >> 4, tt & 0xF))
-            pos += seglen
-            break
+                # snapshot the table dicts NOW: DHT between scans
+                # replaces (not mutates) entries
+                scan_comps.append(
+                    (comp, htabs.get((0, tt >> 4)), htabs.get((1, tt & 0xF)))
+                )
+            Ss, Se, AhAl = seg[1 + 2 * ns : 4 + 2 * ns]
+            raw, nxt = _entropy_scan_bytes(data, pos + seglen)
+            scans.append(
+                {
+                    "comps": scan_comps,
+                    "Ss": Ss,
+                    "Se": Se,
+                    "Ah": AhAl >> 4,
+                    "Al": AhAl & 0xF,
+                    "ri": restart_interval,
+                    "raw": raw,
+                }
+            )
+            pos = nxt
+            continue
         pos += seglen
-    if scan is None or not comps or not h or not w:
+    if not scans or not comps or not h or not w:
         raise ValueError("JPEG missing SOF/SOS")
 
-    # entropy data: everything to EOI, restart markers handled inline,
-    # 0xFF00 unstuffed
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     n_mcu_x = -(-w // (8 * hmax))
@@ -485,77 +780,30 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     for c in comps:
         c["bw"] = n_mcu_x * c["h"]
         c["bh"] = n_mcu_y * c["v"]
-        c["coef"] = np.zeros((c["bh"] * c["bw"], 8, 8), dtype=np.float64)
+        # RAW zigzag coefficients; dequantized after ALL scans land
+        c["coef"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int32)
 
-    # split entropy stream on restart markers, unstuff each segment
-    segments: list[bytes] = []
-    cur = bytearray()
-    i = pos
-    while i < len(data):
-        byte = data[i]
-        if byte == 0xFF:
-            nxt = data[i + 1] if i + 1 < len(data) else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                i += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:  # RSTn
-                segments.append(bytes(cur))
-                cur = bytearray()
-                i += 2
-                continue
-            break  # EOI or next marker
-        cur.append(byte)
-        i += 1
-    segments.append(bytes(cur))
-
-    rdr = _BitReader(segments[0])
-    seg_idx = 0
-    preds = {c["id"]: 0 for c in comps}
-    mcu_count = 0
-    for my in range(n_mcu_y):
-        for mx in range(n_mcu_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                seg_idx += 1
-                if seg_idx >= len(segments):
-                    raise ValueError("missing JPEG restart segment")
-                rdr = _BitReader(segments[seg_idx])
-                preds = {c["id"]: 0 for c in comps}
-            for comp, dc_id, ac_id in scan:
-                dc_tab = htabs.get((0, dc_id))
-                ac_tab = htabs.get((1, ac_id))
+    for scan in scans:
+        segments = _split_segments(scan["raw"])
+        if progressive:
+            _decode_scan_progressive(scan, segments, n_mcu_x, n_mcu_y, w, h, hmax, vmax)
+        else:
+            if scan["Ss"] != 0 or scan["Se"] != 63:
+                raise ValueError("sequential JPEG scan with partial spectrum")
+            for comp, dc_tab, ac_tab in scan["comps"]:
                 if dc_tab is None or ac_tab is None:
                     raise ValueError("JPEG scan references missing Huffman table")
-                for by in range(comp["v"]):
-                    for bx in range(comp["h"]):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = rdr.read_huff(dc_tab)
-                        diff = _extend(rdr.read_bits(s), s) if s else 0
-                        preds[comp["id"]] += diff
-                        zz[0] = preds[comp["id"]]
-                        k = 1
-                        while k <= 63:
-                            rs = rdr.read_huff(ac_tab)
-                            r, s = rs >> 4, rs & 0xF
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC coefficient index overflow")
-                            zz[k] = _extend(rdr.read_bits(s), s)
-                            k += 1
-                        bi = (my * comp["v"] + by) * comp["bw"] + (mx * comp["h"] + bx)
-                        comp["coef"][bi] = (zz[_UNZIGZAG].reshape(8, 8)) * qtabs[comp["tq"]]
-            mcu_count += 1
+            _decode_scan_sequential(scan, segments, n_mcu_x, n_mcu_y, w, h, hmax, vmax)
 
-    # inverse DCT for all blocks of each component at once (batched
-    # matmul), reassemble planes, upsample, color-convert
+    # dequantize + inverse DCT for all blocks of each component at once
+    # (batched matmul), reassemble planes, upsample, color-convert
     planes = []
     for c in comps:
-        blocks = _D.T @ c["coef"] @ _D + 128.0
+        qt = qtabs.get(c["tq"])
+        if qt is None:
+            raise ValueError("JPEG component references missing quant table")
+        nat = c["coef"][:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64) * qt
+        blocks = _D.T @ nat @ _D + 128.0
         plane = (
             blocks.reshape(c["bh"], c["bw"], 8, 8)
             .transpose(0, 2, 1, 3)
@@ -572,3 +820,256 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(np.stack([r, g, b], axis=2), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Progressive encoder (fixture/test synthesis; T.81 §G.1.2)
+# --------------------------------------------------------------------------
+
+
+def _emit_correction_bits(w: _BitWriter, br: list[int]) -> None:
+    for b in br:
+        w.write(b, 1)
+    br.clear()
+
+
+def _encode_ac_first_block(w, zz, Ss, Se, Al, ac_tab) -> None:
+    """AC first scan for one block (G.1.2.2).  EOB runs are capped at 1
+    (plain EOB0 per block) so the Annex K baseline Huffman tables — which
+    define only EOB0 + ZRL among the s=0 codes — stay sufficient."""
+    r = 0
+    for k in range(Ss, Se + 1):
+        v = int(zz[k])
+        t = abs(v) >> Al
+        if t == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_tab[0xF0]
+            w.write(code, ln)
+            r -= 16
+        s = t.bit_length()
+        sv = t if v > 0 else -t
+        bits = sv if sv > 0 else sv + (1 << s) - 1
+        code, ln = ac_tab[(r << 4) | s]
+        w.write(code, ln)
+        w.write(bits, s)
+        r = 0
+    if r > 0:
+        code, ln = ac_tab[0x00]  # EOB0
+        w.write(code, ln)
+
+
+def _encode_ac_refine_block(w, zz, Ss, Se, Al, ac_tab) -> None:
+    """AC refinement scan for one block (G.1.2.3): newly-significant
+    coefficients code (run<<4|1)+sign, already-significant ones append
+    buffered correction bits after the next emitted code.  ZRLs are
+    emitted at EVERY nonzero coefficient while the zero run exceeds 15
+    and a newly-significant coefficient still follows (k <= EOB) —
+    runs past the last insertion fold into the EOB instead, matching
+    the decoder's correction-bit walk exactly.  EOB runs capped at 1
+    as in _encode_ac_first_block."""
+    absv = [abs(int(zz[k])) >> Al for k in range(Ss, Se + 1)]
+    eob = Ss - 1  # position of the LAST newly-significant coefficient
+    for k in range(Ss, Se + 1):
+        if absv[k - Ss] == 1:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(Ss, Se + 1):
+        t = absv[k - Ss]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            code, ln = ac_tab[0xF0]
+            w.write(code, ln)
+            _emit_correction_bits(w, br)
+            r -= 16
+        if t > 1:
+            br.append(t & 1)  # history coefficient: correction bit
+            continue
+        # t == 1: newly significant in THIS scan
+        code, ln = ac_tab[(r << 4) | 1]
+        w.write(code, ln)
+        w.write(1 if int(zz[k]) > 0 else 0, 1)
+        _emit_correction_bits(w, br)
+        r = 0
+    if r > 0 or br:
+        code, ln = ac_tab[0x00]  # EOB0
+        w.write(code, ln)
+        _emit_correction_bits(w, br)
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    successive: bool = True,
+) -> bytes:
+    """(h, w, 3) uint8 RGB or (h, w) gray -> PROGRESSIVE (SOF2) JFIF
+    bytes.  Scan script: one interleaved DC-first scan, per-component
+    full-band AC-first scans; with ``successive`` the first scans run at
+    Al=1 and matching DC/AC refinement scans complete the stream to
+    Al=0, exercising the successive-approximation decode paths.  Uses
+    the Annex K baseline Huffman tables (valid here because EOB runs are
+    capped at 1 — see _encode_ac_first_block)."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise ValueError("encode_jpeg_progressive expects (h, w[, 3]) uint8")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ql = _quality_scale(QUANT_LUMA, quality)
+    qc = _quality_scale(QUANT_CHROMA, quality)
+
+    if gray:
+        y_plane = img.astype(np.float64)
+        comps = [(1, 1, 1, 0)]
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y_plane = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        elif subsampling == "444":
+            comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        else:
+            raise ValueError(f"unsupported subsampling {subsampling!r}")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    # per-component padded planes (same pipeline as the baseline encoder)
+    planes = []
+    for idx, (cid, hs, vs, qi) in enumerate(comps):
+        if gray or idx == 0:
+            p = y_plane
+        else:
+            p = cb if cid == 2 else cr
+        if hs < hmax or vs < vmax:
+            p = _pad_to(p, 2, 2)
+            p = p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+        planes.append(_pad_to(p, 8, 8))
+    planes[0] = _pad_to(planes[0], 8 * vmax, 8 * hmax)
+    n_mcu_y = planes[0].shape[0] // (8 * vmax)
+    n_mcu_x = planes[0].shape[1] // (8 * hmax)
+    for i in range(1, len(planes)):
+        hs, vs = comps[i][1], comps[i][2]
+        planes[i] = _pad_to(planes[i], 8 * n_mcu_y * vs, 8 * n_mcu_x * hs)[
+            : 8 * n_mcu_y * vs, : 8 * n_mcu_x * hs
+        ]
+
+    # quantized zigzag coefficients per component, full padded grid
+    coefs = []
+    for i, (cid, hs, vs, qi) in enumerate(comps):
+        qt = ql if qi == 0 else qc
+        blocks = _tile_blocks(planes[i])
+        f = _D @ (blocks - 128.0) @ _D.T
+        q = np.round(f / qt).astype(np.int64)
+        coefs.append(q.reshape(len(q), 64)[:, ZIGZAG])  # (nblocks, 64) zigzag
+    grid = [(n_mcu_x * hs, n_mcu_y * vs) for (_c, hs, vs, _q) in comps]
+
+    def marker(m: int, payload: bytes) -> bytes:
+        return bytes([0xFF, m]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += marker(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    out += marker(0xDB, bytes([0]) + bytes(ql.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += marker(0xDB, bytes([1]) + bytes(qc.reshape(-1)[ZIGZAG].astype(np.uint8)))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") + bytes([len(comps)])
+    for cid, hs, vs, qi in comps:
+        sof += bytes([cid, (hs << 4) | vs, qi])
+    out += marker(0xC2, sof)  # SOF2: progressive
+    for cls, tid, bits, vals in (
+        (0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS),
+        (1, 0, _AC_LUMA_BITS, _AC_LUMA_VALS),
+    ) + (() if gray else (
+        (0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS),
+        (1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS),
+    )):
+        out += marker(0xC4, bytes([(cls << 4) | tid] + bits) + bytes(vals))
+
+    dc_tabs = [
+        _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+        if qi == 0
+        else _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        for (_c, _h, _v, qi) in comps
+    ]
+    ac_tabs = [
+        _huff_codes(_AC_LUMA_BITS, _AC_LUMA_VALS)
+        if qi == 0
+        else _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+        for (_c, _h, _v, qi) in comps
+    ]
+
+    def sos_header(comp_ids: list[int], tabsel: list[int], Ss, Se, Ah, Al) -> bytes:
+        p = bytes([len(comp_ids)])
+        for cid, tt in zip(comp_ids, tabsel):
+            p += bytes([cid, tt])
+        return marker(0xDA, p + bytes([Ss, Se, (Ah << 4) | Al]))
+
+    def dc_first_scan(Al: int) -> bytes:
+        w_ = _BitWriter()
+        preds = [0] * len(comps)
+        for my in range(n_mcu_y):
+            for mx in range(n_mcu_x):
+                for i, (_cid, hs, vs, _qi) in enumerate(comps):
+                    bw = grid[i][0]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bi = (my * vs + by) * bw + (mx * hs + bx)
+                            t = int(coefs[i][bi, 0]) >> Al  # arithmetic shift
+                            s, bits = _magnitude(t - preds[i])
+                            preds[i] = t
+                            code, ln = dc_tabs[i][s]
+                            w_.write(code, ln)
+                            if s:
+                                w_.write(bits, s)
+        return w_.flush()
+
+    def dc_refine_scan(Al: int) -> bytes:
+        w_ = _BitWriter()
+        for my in range(n_mcu_y):
+            for mx in range(n_mcu_x):
+                for i, (_cid, hs, vs, _qi) in enumerate(comps):
+                    bw = grid[i][0]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bi = (my * vs + by) * bw + (mx * hs + bx)
+                            w_.write((int(coefs[i][bi, 0]) >> Al) & 1, 1)
+        return w_.flush()
+
+    def ac_scan(i: int, Ss, Se, Ah, Al) -> bytes:
+        """Non-interleaved raster over the component's REAL block grid."""
+        comp = {"h": comps[i][1], "v": comps[i][2]}
+        nbx, nby = _noninterleaved_dims(comp, w, h, hmax, vmax)
+        bw = grid[i][0]
+        w_ = _BitWriter()
+        for by in range(nby):
+            for bx in range(nbx):
+                zz = coefs[i][by * bw + bx]
+                if Ah == 0:
+                    _encode_ac_first_block(w_, zz, Ss, Se, Al, ac_tabs[i])
+                else:
+                    _encode_ac_refine_block(w_, zz, Ss, Se, Al, ac_tabs[i])
+        return w_.flush()
+
+    cids = [c[0] for c in comps]
+    dctab_sel = [0 if qi == 0 else 0x10 for (_c, _h, _v, qi) in comps]
+    al0 = 1 if successive else 0
+    # scan 1: interleaved DC first at Al=al0
+    out += sos_header(cids, dctab_sel, 0, 0, 0, al0) + dc_first_scan(al0)
+    # per-component AC first scans (full band) at Al=al0
+    for i, (cid, _hs, _vs, qi) in enumerate(comps):
+        out += sos_header([cid], [0 if qi == 0 else 0x11], 1, 63, 0, al0)
+        out += ac_scan(i, 1, 63, 0, al0)
+    if successive:
+        out += sos_header(cids, [0] * len(comps), 0, 0, 1, 0) + dc_refine_scan(0)
+        for i, (cid, _hs, _vs, qi) in enumerate(comps):
+            out += sos_header([cid], [0 if qi == 0 else 0x11], 1, 63, 1, 0)
+            out += ac_scan(i, 1, 63, 1, 0)
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -8,7 +8,7 @@ numpy) and RIFF/PCM WAV in stages/audio.py; ``video/mp4`` KEYFRAME
 SAMPLING is also real (stages/mp4.py: ISO BMFF container parse — the
 encoded sync samples slice out of mdat without a codec; see
 Mp4KeyframeSampler).  Mimes whose PIXEL decode genuinely requires
-absent codecs (mp4/mp3 payload decode; progressive JPEG) fall back to a
+absent codecs (mp4/mp3 payload decode) fall back to a
 deterministic stub (or raise NotImplementedError in strict mode) —
 everything Ray-side stays real and tested either way:
 schema contract, actor signature, batch sizing for wide binary rows,
@@ -248,9 +248,11 @@ def _jpeg_codec():
 _CODECS = {
     "image/bmp": (decode_bmp, encode_bmp),
     "image/png": (decode_png, encode_png),
-    # baseline sequential JPEG (stages/jpeg.py, pure numpy): huffman +
-    # IDCT + 4:2:0/4:4:4 + restart markers; progressive/arithmetic
-    # raise ValueError (strict mode surfaces them as a real gap)
+    # JPEG (stages/jpeg.py, pure numpy): baseline sequential AND
+    # progressive (SOF2) decode — huffman + IDCT + 4:2:0/4:4:4 +
+    # restart markers + spectral-selection/successive-approximation
+    # scans; arithmetic/lossless raise ValueError (strict mode surfaces
+    # them as a real gap)
     "image/jpeg": _jpeg_codec(),
 }
 _CODECS["image/jpg"] = _CODECS["image/jpeg"]
@@ -347,7 +349,7 @@ class MultimodalFeaturizer:
             elif self.strict:
                 raise NotImplementedError(
                     f"no real decoder for mime {m!r} in this environment; "
-                    "image/bmp, image/png and baseline image/jpeg decode "
+                    "image/bmp, image/png and image/jpeg decode "
                     "natively — construct MultimodalFeaturizer(strict=False) "
                     "for the deterministic stub"
                 )
@@ -431,7 +433,7 @@ class ImageResizer:
             elif self.strict:
                 raise NotImplementedError(
                     f"no real decoder for mime {m!r}; image/bmp, image/png "
-                    "and baseline image/jpeg resize natively"
+                    "and image/jpeg resize natively"
                 )
             else:
                 out.append(p)

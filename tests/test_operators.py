@@ -267,10 +267,16 @@ class TestMultimodal:
         assert np.array_equal(out[:, :, 0], out[:, :, 1])
         with _pytest.raises(ValueError):
             decode_jpeg(b"not a jpeg")
-        # progressive SOF2 must be rejected loudly, not mis-decoded
+        # a baseline stream RELABELED SOF2 is structurally invalid
+        # progressive (its single scan mixes DC and AC) — rejected, not
+        # mis-decoded; real SOF2 decodes (tests/test_jpeg_progressive.py)
         data = bytearray(encode_jpeg(img))
         sof = bytes(data).find(b"\xff\xc0")
         data[sof + 1] = 0xC2
+        with _pytest.raises(ValueError, match="mixes DC and AC"):
+            decode_jpeg(bytes(data))
+        # arithmetic-coded SOF9 still rejected loudly
+        data[sof + 1] = 0xC9
         with _pytest.raises(ValueError, match="coding process"):
             decode_jpeg(bytes(data))
 
