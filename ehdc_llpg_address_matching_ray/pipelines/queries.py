@@ -2552,7 +2552,7 @@ def _scored_pairs_core(docs_sql: str, nn_sql: str, pairs_sql: str, prelude: str 
   {docs_sql}
 ),
 nn AS ({nn_sql}),
-tok AS (
+tok AS MATERIALIZED (
   SELECT doc_id, t AS tok, count(*)::BIGINT AS cnt
   FROM docs, unnest(string_split(canonical, ' ')) AS u(t)
   WHERE canonical <> ''
@@ -2562,7 +2562,7 @@ idf AS (
   SELECT tok, ln((1 + (SELECT n FROM nn)) / (1 + count(DISTINCT doc_id))) + 1.0 AS idf
   FROM tok GROUP BY tok
 ),
-tw AS (
+tw AS MATERIALIZED (
   SELECT t.doc_id, t.tok, t.cnt, t.cnt * i.idf AS w
   FROM tok t JOIN idf i USING (tok)
 ),
@@ -2579,17 +2579,17 @@ hn AS (
            ), x -> upper(x)) AS houses
   FROM docs
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   {pairs_sql}
 ),
-inter AS (
+inter AS MATERIALIZED (
   SELECT p.id_a, p.id_b, count(*)::BIGINT AS common, sum(ta.w * tb.w) AS dot
   FROM pairs p
   JOIN tw ta ON ta.doc_id = p.id_a
   JOIN tw tb ON tb.doc_id = p.id_b AND tb.tok = ta.tok
   GROUP BY p.id_a, p.id_b
 ),
-resta AS (
+resta AS MATERIALIZED (
   SELECT p.id_a, p.id_b, ta.tok,
          row_number() OVER (PARTITION BY p.id_a, p.id_b ORDER BY ta.tok) AS ai
   FROM pairs p
@@ -2597,7 +2597,7 @@ resta AS (
   WHERE regexp_matches(ta.tok, '^\\p{{L}}+$') AND length(ta.tok) >= 3
     AND NOT EXISTS (SELECT 1 FROM tok x WHERE x.doc_id = p.id_b AND x.tok = ta.tok)
 ),
-restb AS (
+restb AS MATERIALIZED (
   SELECT p.id_a, p.id_b, tb.tok,
          row_number() OVER (PARTITION BY p.id_a, p.id_b ORDER BY tb.tok) AS bi
   FROM pairs p
@@ -2606,10 +2606,15 @@ restb AS (
     AND NOT EXISTS (SELECT 1 FROM tok x WHERE x.doc_id = p.id_a AND x.tok = tb.tok)
 ),
 rest_sz AS (
+  -- de-correlated (grouped-join) form of the per-pair rest counts:
+  -- identical values, linear instead of pairs x rest-rows evaluation
   SELECT p.id_a, p.id_b,
-         (SELECT count(*) FROM resta ra WHERE ra.id_a = p.id_a AND ra.id_b = p.id_b) AS na_rest,
-         (SELECT count(*) FROM restb rb WHERE rb.id_a = p.id_a AND rb.id_b = p.id_b) AS nb_rest
+         coalesce(ra.n, 0) AS na_rest, coalesce(rb.n, 0) AS nb_rest
   FROM pairs p
+  LEFT JOIN (SELECT id_a, id_b, count(*) AS n FROM resta GROUP BY 1, 2) ra
+    ON ra.id_a = p.id_a AND ra.id_b = p.id_b
+  LEFT JOIN (SELECT id_a, id_b, count(*) AS n FROM restb GROUP BY 1, 2) rb
+    ON rb.id_a = p.id_a AND rb.id_b = p.id_b
 ),
 gates AS (
   SELECT p.id_a, p.id_b
