@@ -190,6 +190,7 @@ def run_scaling(sf_dir: str) -> dict:
     runs: dict[int, list[float]] = {lo: [], hi: []}
     steals: dict[int, list[float]] = {lo: [], hi: []}
     rows = 0
+    last_hi_stage_sec: dict = {}
     max_retries = int(os.environ.get("GRAFT_SCALING_MAX_RETRIES", "2"))
     for _ in range(SCALING_REPEATS):
         for cpus in (lo, hi):
@@ -217,6 +218,8 @@ def run_scaling(sf_dir: str) -> dict:
             runs[cpus].append(r["sec"])
             steals[cpus].append(r.get("steal_frac", 0.0))
             rows = r["rows"]
+            if cpus == hi:
+                last_hi_stage_sec = r.get("stage_sec", {})
     t_lo = statistics.median(runs[lo])
     t_hi = statistics.median(runs[hi])
     thr_lo, thr_hi = rows / t_lo, rows / t_hi
@@ -238,6 +241,9 @@ def run_scaling(sf_dir: str) -> dict:
         "sf": sf_dir,
         "num_cpus": hi,
         "rows": {"linkage_fact": rows},
+        # per-stage driver walls of the last wide run (run_single's
+        # stage_sec — VERDICT r4 #6: stage breakdown recorded per round)
+        "stage_sec": last_hi_stage_sec,
     }
 
 

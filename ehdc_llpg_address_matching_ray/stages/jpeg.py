@@ -701,6 +701,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         if m in (0x01,) or 0xD0 <= m <= 0xD7:
             continue  # parameterless
         seglen = int.from_bytes(data[pos : pos + 2], "big")
+        if seglen < 2:  # malformed length would stall the marker walk
+            raise ValueError("invalid JPEG segment length")
         seg = data[pos + 2 : pos + seglen]
         if m == 0xDB:  # DQT
             i = 0
