@@ -126,9 +126,30 @@ def _video_stbl(data: bytes) -> tuple[int, int, int]:
     raise ValueError("mp4: no video ('vide') track")
 
 
+def _bounded(n: int, data: bytes, what: str) -> int:
+    """Sanity-bound a declared table/sample count against the file size:
+    every sample/chunk/entry occupies >= 1 byte somewhere in the file,
+    so a count beyond len(data) is corruption — reject it BEFORE
+    allocating (a flipped count field must raise, not OOM the worker)."""
+    if n < 0 or n > len(data):
+        raise ValueError(f"mp4: implausible {what} count {n} for a {len(data)}-byte file")
+    return n
+
+
 def video_samples(data: bytes) -> tuple[list[Mp4Sample], int]:
     """Expand the video track's sample tables into per-sample byte
-    ranges + decode timestamps.  Returns (samples, timescale)."""
+    ranges + decode timestamps.  Returns (samples, timescale).
+    Malformed input of ANY shape raises ValueError (never struct.error
+    / IndexError, never an unbounded allocation)."""
+    try:
+        return _video_samples(data)
+    except (struct.error, IndexError) as e:
+        # truncated tables / boxes ending at EOF surface as slice errors
+        # from the struct/byte reads — normalize to the error contract
+        raise ValueError(f"mp4: truncated or malformed structure ({e})") from e
+
+
+def _video_samples(data: bytes) -> tuple[list[Mp4Sample], int]:
     stbl_s, stbl_e, timescale = _video_stbl(data)
 
     def table(name: bytes):
@@ -143,38 +164,49 @@ def video_samples(data: bytes) -> tuple[list[Mp4Sample], int]:
     # stsz: fixed size or per-sample table
     _, _, p = _fullbox(data, stsz[0])
     fixed, n_samples = struct.unpack_from(">II", data, p)
+    n_samples = _bounded(n_samples, data, "stsz sample")
     sizes = [fixed] * n_samples if fixed else _read_u32_table(data, p + 8, n_samples)
 
     # chunk offsets
     if stco is not None:
         _, _, p = _fullbox(data, stco[0])
         (n_chunks,) = struct.unpack_from(">I", data, p)
+        n_chunks = _bounded(n_chunks, data, "stco chunk")
         offsets = _read_u32_table(data, p + 4, n_chunks)
     else:
         _, _, p = _fullbox(data, co64[0])
         (n_chunks,) = struct.unpack_from(">I", data, p)
+        n_chunks = _bounded(n_chunks, data, "co64 chunk")
         offsets = list(struct.unpack_from(f">{n_chunks}Q", data, p + 4))
 
     # stsc -> samples-per-chunk for every chunk
     _, _, p = _fullbox(data, stsc[0])
     (n_ent,) = struct.unpack_from(">I", data, p)
+    n_ent = _bounded(n_ent, data, "stsc entry")
     ent = [struct.unpack_from(">III", data, p + 4 + 12 * i) for i in range(n_ent)]
     spc = [0] * n_chunks
     for i, (first, per, _desc) in enumerate(ent):
+        if first < 1 or first > n_chunks:
+            raise ValueError("mp4: stsc first_chunk out of range")
         last = ent[i + 1][0] - 1 if i + 1 < n_ent else n_chunks
-        for c in range(first - 1, last):
+        for c in range(first - 1, min(last, n_chunks)):
             spc[c] = per
 
-    # stts -> per-sample decode timestamps
+    # stts -> per-sample decode timestamps (only the first n_samples
+    # matter; a corrupt entry count cannot drive allocation past that)
     _, _, p = _fullbox(data, stts[0])
     (n_tt,) = struct.unpack_from(">I", data, p)
+    n_tt = _bounded(n_tt, data, "stts entry")
     ts: list[int] = []
     t = 0
     for i in range(n_tt):
         cnt, delta = struct.unpack_from(">II", data, p + 4 + 8 * i)
-        for _ in range(cnt):
+        take = min(cnt, n_samples - len(ts))
+        for _ in range(take):
             ts.append(t)
             t += delta
+        if len(ts) >= n_samples:
+            break
     if len(ts) < n_samples:
         raise ValueError("mp4: stts covers fewer samples than stsz")
 
@@ -185,6 +217,7 @@ def video_samples(data: bytes) -> tuple[list[Mp4Sample], int]:
     else:
         _, _, p = _fullbox(data, stss[0])
         (n_ss,) = struct.unpack_from(">I", data, p)
+        n_ss = _bounded(n_ss, data, "stss entry")
         sync = set(_read_u32_table(data, p + 4, n_ss))
 
     samples: list[Mp4Sample] = []
@@ -211,10 +244,17 @@ def video_samples(data: bytes) -> tuple[list[Mp4Sample], int]:
     return samples, timescale
 
 
-def keyframes(data: bytes, max_frames: int | None = None) -> list[tuple[int, int, bytes]]:
+def keyframes(
+    data: bytes,
+    max_frames: int | None = None,
+    samples: list[Mp4Sample] | None = None,
+) -> list[tuple[int, int, bytes]]:
     """(sample_no, ts, encoded_bytes) of each sync sample, in decode
-    order — the already-encoded keyframes, no codec decode."""
-    samples, _ = video_samples(data)
+    order — the already-encoded keyframes, no codec decode.  Pass
+    ``samples`` from a prior video_samples() call to avoid re-parsing
+    the container."""
+    if samples is None:
+        samples, _ = video_samples(data)
     out = []
     for s in samples:
         if not s.is_sync:

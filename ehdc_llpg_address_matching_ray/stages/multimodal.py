@@ -494,8 +494,8 @@ class Mp4KeyframeSampler:
                     )
                 continue
             try:
-                _, timescale = video_samples(p or b"")
-                kf = keyframes(p or b"", max_frames=self.max_frames)
+                smp, timescale = video_samples(p or b"")
+                kf = keyframes(p or b"", max_frames=self.max_frames, samples=smp)
             except ValueError:
                 if self.strict:
                     raise

@@ -82,3 +82,39 @@ class TestMp4Stage:
         assert Mp4KeyframeSampler()(b).num_rows == 0
         with pytest.raises(ValueError):
             Mp4KeyframeSampler(strict=True)(b)
+
+
+class TestMp4Malformed:
+    def test_bit_flip_fuzz_error_contract(self):
+        """Every single-bit corruption of a valid file must either still
+        decode or raise ValueError — never struct.error/IndexError (the
+        lax stage only catches ValueError) and never an unbounded
+        allocation (declared counts are sanity-bounded by file size)."""
+        import random
+
+        good = build_mp4(_samples(7), sync=[1, 4, 7], chunks=3)
+        rng = random.Random(1)
+        for _ in range(800):
+            b = bytearray(good)
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            try:
+                keyframes(bytes(b))
+            except ValueError:
+                pass
+
+    def test_corrupt_count_fields_raise_not_allocate(self):
+        """Flipping a table count high (the 48 GB-allocation shape) must
+        raise ValueError up front."""
+        import struct as _s
+
+        good = build_mp4(_samples(5), sync=[1], chunks=2)
+        for four in (b"stts", b"stsz", b"stco", b"stss", b"stsc"):
+            pos = good.find(four)
+            assert pos > 0, four
+            # count field: fullbox version/flags (4 bytes) after the
+            # fourcc, then the 32-bit count (stsz: skip fixed-size too)
+            cpos = pos + 8 + (4 if four == b"stsz" else 0)
+            bad = bytearray(good)
+            bad[cpos : cpos + 4] = _s.pack(">I", 0x7FFFFFFF)
+            with pytest.raises(ValueError):
+                keyframes(bytes(bad))
