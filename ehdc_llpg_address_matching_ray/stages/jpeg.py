@@ -449,6 +449,8 @@ def _decode_block_seq(rdr, dc_tab, ac_tab, pred: int) -> tuple[list[int], int]:
     """One baseline-sequential block -> (zigzag coefficients, new pred)."""
     zz = [0] * 64
     s = rdr.read_huff(dc_tab)
+    if s > 16:  # T.81 F.1.2.1: DC difference categories are 0..16
+        raise ValueError("JPEG DC category out of range")
     diff = _extend(rdr.read_bits(s), s) if s else 0
     pred += diff
     zz[0] = pred
@@ -552,6 +554,8 @@ def _decode_scan_progressive(scan, segments, n_mcu_x, n_mcu_y, w, h, hmax, vmax)
                 if dc_tab is None:
                     raise ValueError("JPEG scan references missing Huffman table")
                 s = rdr.read_huff(dc_tab)
+                if s > 16:  # T.81 F.1.2.1
+                    raise ValueError("JPEG DC category out of range")
                 diff = _extend(rdr.read_bits(s), s) if s else 0
                 state["preds"][comp["id"]] += diff
                 coef[bi, 0] = state["preds"][comp["id"]] << Al
@@ -680,7 +684,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     PROGRESSIVE (SOF2) Huffman streams: multi-scan parsing, spectral
     selection, successive approximation (DC + AC refinement, EOB runs),
     restart markers in any scan.  Arithmetic coding, hierarchical and
-    lossless processes still raise ValueError."""
+    lossless processes raise ValueError — as does malformed input of
+    ANY shape (short segments, dangling component ids, corrupt counts
+    surface from the parse as slice/lookup errors and are normalized
+    here, so the featurizer's lax skip contract holds)."""
+    try:
+        return _decode_jpeg_inner(data)
+    except (IndexError, KeyError, StopIteration, ZeroDivisionError, OverflowError) as e:
+        raise ValueError(f"malformed JPEG stream ({type(e).__name__})") from e
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -726,7 +740,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, sf, tq = seg[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": sf >> 4, "v": sf & 0xF, "tq": tq})
+                hs, vs = sf >> 4, sf & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):  # T.81 B.2.2
+                    raise ValueError("JPEG sampling factor out of range")
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG coding process (SOF marker 0xFF{m:02X}); "

@@ -90,3 +90,26 @@ class TestProgressiveDecode:
         assert out["width"].to_pylist() == [16]
         assert out["height"].to_pylist() == [16]
         assert out["pixel_mean"].to_pylist()[0] is not None
+
+
+class TestJpegMalformed:
+    def test_bit_flip_fuzz_error_contract(self):
+        """Single-bit corruptions of valid baseline AND progressive
+        streams must either decode or raise ValueError — never
+        IndexError/KeyError/StopIteration/OverflowError (the
+        featurizer's lax mode only catches ValueError)."""
+        import random
+
+        img = _gradient(24, 32)
+        for data in (
+            encode_jpeg(img, quality=80),
+            encode_jpeg_progressive(img, quality=80, successive=True),
+        ):
+            rng = random.Random(2)
+            for _ in range(600):
+                b = bytearray(data)
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+                try:
+                    decode_jpeg(bytes(b))
+                except ValueError:
+                    pass
