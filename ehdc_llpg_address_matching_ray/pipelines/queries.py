@@ -2735,11 +2735,29 @@ def q_linkage_fact_fuzzy(sf_dir: str) -> rd.Dataset:
     the decide window (top-1 per source by score DESC / cand-nid ASC,
     margin vs top-2), and a recursive-CTE reachability closure for the
     transitive clusters (the link_components oracle pattern) — i.e. a
-    fuzzy-scored, transitively-clustered fact gated end-to-end."""
+    fuzzy-scored, transitively-clustered fact gated end-to-end.
+
+    Oracle boundary (guarded LOUDLY, the q_phonetic_codes pattern): the
+    generated minhash SQL kernel does single-byte character arithmetic,
+    so its san CTE strips non-printable-ASCII before shingling, while
+    the ENGINE shingles the canonical as-is — the two agree exactly on
+    printable-ASCII canonicals and would silently diverge past that, so
+    any non-ASCII canonical raises here rather than pinning the wrong
+    band keys (the engine itself supports non-ASCII; only this SQL twin
+    is ASCII-scoped)."""
     from ..config import BlockingConfig, MatchTiers, PipelineConfig, SymSpellConfig
     from .linkage import run_linkage
 
+    _ascii = __import__("re").compile(r"^[\x20-\x7e]*$")
+
     def to_pages(b: pa.Table) -> pa.Table:
+        canonical, _ = N.canonical_batch(b["text"])
+        for cval in canonical.to_pylist():
+            if cval and not _ascii.match(cval):
+                raise ValueError(
+                    f"non-printable-ASCII canonical {cval!r}: the fuzzy-fact "
+                    "SQL twin's minhash kernel is ASCII-scoped (see docstring)"
+                )
         return pa.table(
             {
                 "url": pc.binary_join_element_wise(
@@ -7612,9 +7630,14 @@ def winnow_pair_part(df: pd.DataFrame) -> pd.DataFrame:
     the fingerprint (universal boilerplate GUARANTEES hot fingerprints
     at web scale: any shared >= k+w-1-char substring shares one).  The
     rank//cap rule is SQL-expressible, so the oracle reproduces the
-    capped semantics exactly; dropped cross-chunk coverage is surfaced
-    per pair via the ``capped`` column (true iff any contributing
-    bucket exceeded the cap), never silently truncated."""
+    capped semantics exactly.  Accounting is BUCKET-level, not
+    pair-level: a pair whose docs land in different chunks of a hot
+    bucket emits no row at all from that bucket — what survives of a
+    hot bucket carries ``capped=True``, so any capped=True output row
+    signals that its bucket also dropped cross-chunk candidates
+    (exactly C(m,2) - Σ_chunks C(c,2) of them, derivable from the
+    deterministic chunking); cold buckets (<= cap) keep the exact
+    uncapped semantics with capped=False."""
     empty = pd.DataFrame(
         {
             "doc_a": pd.Series([], dtype="int64"),
@@ -7655,8 +7678,12 @@ def q_winnow_neardup(sf_dir: str) -> rd.Dataset:
     Jaccard >= tau.  Unlike MinHash banding, the winnowing locality
     guarantee makes the candidate set free of false negatives for any
     shared substring of k+w-1 chars — across chunk boundaries of a hot
-    bucket that guarantee is relaxed to the capped semantics, and such
-    pairs carry capped=true.  Per-doc fingerprint-set sizes ride along
+    bucket that guarantee is relaxed: cross-chunk candidates of the
+    bucket are dropped (bucket-level accounting — surviving rows of a
+    capped bucket carry capped=true; see winnow_pair_part), and a pair
+    is kept iff it shares a fingerprint co-chunk in SOME bucket, with
+    n_shared counting co-chunk shared fingerprints only.  Per-doc
+    fingerprint-set sizes ride along
     with the rows (each doc's winnow set is computed whole inside its
     batch, so per-batch dedup IS global dedup); the Jaccard denominator
     uses the full uncapped set sizes."""

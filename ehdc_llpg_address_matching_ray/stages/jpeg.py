@@ -690,7 +690,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     here, so the featurizer's lax skip contract holds)."""
     try:
         return _decode_jpeg_inner(data)
-    except (IndexError, KeyError, StopIteration, ZeroDivisionError, OverflowError) as e:
+    except (
+        IndexError,
+        KeyError,
+        StopIteration,
+        ZeroDivisionError,
+        OverflowError,
+        MemoryError,
+    ) as e:
         raise ValueError(f"malformed JPEG stream ({type(e).__name__})") from e
 
 
@@ -769,7 +776,13 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * i : 3 + 2 * i]
                 comp = next(c for c in comps if c["id"] == cs)
                 # snapshot the table dicts NOW: DHT between scans
-                # replaces (not mutates) entries
+                # replaces (not mutates) entries.  The QUANT table is
+                # snapshotted at the component's FIRST scan too — a
+                # later DQT redefinition applies to subsequent scans
+                # only (T.81 B.2.4.1), and coefficients dequantize once
+                # at the end
+                if "qt" not in comp:
+                    comp["qt"] = qtabs.get(comp["tq"])
                 scan_comps.append(
                     (comp, htabs.get((0, tt >> 4)), htabs.get((1, tt & 0xF)))
                 )
@@ -796,6 +809,17 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     vmax = max(c["v"] for c in comps)
     n_mcu_x = -(-w // (8 * hmax))
     n_mcu_y = -(-h // (8 * vmax))
+    # sanity-bound declared dimensions against the payload: every coded
+    # block costs >= 1 bit in SOME scan, so a valid file has at most
+    # 8*len(data) blocks — a crafted 200-byte SOF declaring 65535x65535
+    # must raise, not allocate ~17 GB of coefficients (the mp4
+    # _bounded() class of fix)
+    total_blocks = sum(n_mcu_x * c["h"] * n_mcu_y * c["v"] for c in comps)
+    if total_blocks > 8 * max(1, len(data)):
+        raise ValueError(
+            f"implausible JPEG geometry: {total_blocks} declared blocks "
+            f"for a {len(data)}-byte payload"
+        )
     for c in comps:
         c["bw"] = n_mcu_x * c["h"]
         c["bh"] = n_mcu_y * c["v"]
@@ -818,7 +842,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     # (batched matmul), reassemble planes, upsample, color-convert
     planes = []
     for c in comps:
-        qt = qtabs.get(c["tq"])
+        qt = c.get("qt")  # snapshotted at the component's first scan
         if qt is None:
             raise ValueError("JPEG component references missing quant table")
         nat = c["coef"][:, _UNZIGZAG].reshape(-1, 8, 8).astype(np.float64) * qt

@@ -113,3 +113,33 @@ class TestJpegMalformed:
                     decode_jpeg(bytes(b))
                 except ValueError:
                     pass
+
+    def test_crafted_huge_sof_raises_before_alloc(self):
+        """A tiny payload declaring 65535x65535 must raise ValueError up
+        front (the declared-blocks-vs-payload-size bound), not allocate
+        gigabytes of coefficient storage."""
+        import struct as _s
+
+        data = bytearray(encode_jpeg(_gradient(8, 8), quality=80))
+        sof = bytes(data).find(b"\xff\xc0")
+        data[sof + 5 : sof + 9] = _s.pack(">HH", 65535, 65535)
+        with pytest.raises(ValueError, match="geometry"):
+            decode_jpeg(bytes(data))
+
+    def test_dqt_redefinition_between_scans_uses_first_scan_table(self):
+        """T.81 B.2.4.1: a DQT redefinition between scans applies to
+        SUBSEQUENT scans only.  Build a two-scan progressive grayscale
+        stream, splice a DQT redefining slot 0 to all-1s between the
+        scans, and check the decode still matches the ORIGINAL table's
+        decode (the component's table snapshots at its first scan)."""
+        img = ((np.mgrid[0:16, 0:16][0] * 16) % 256).astype(np.uint8)
+        data = encode_jpeg_progressive(img, quality=80, successive=False)
+        ref = decode_jpeg(data)
+        # locate the second SOS and insert a DQT before it
+        first = data.find(b"\xff\xda")
+        second = data.find(b"\xff\xda", first + 2)
+        assert second > 0
+        ones = bytes([0]) + bytes([1] * 64)
+        dqt = b"\xff\xdb" + (len(ones) + 2).to_bytes(2, "big") + ones
+        spliced = data[:second] + dqt + data[second:]
+        assert np.array_equal(decode_jpeg(spliced), ref)
