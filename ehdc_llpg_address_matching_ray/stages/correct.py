@@ -50,10 +50,20 @@ def fit_token_df(
     idf vector (P1's TF-IDF cosine) so the corpus is scanned once.
 
     The driver pass is BOUNDED: above ``auto_sample_docs`` rows the
-    corpus is seeded-sampled down to ~that many docs before streaming, so
+    corpus is sampled down to ~that many docs before streaming, so
     driver time/memory never scales with the corpus (document frequencies
     are a distributional statistic — a 2M-doc sample pins them; the vocab
     is further capped at ``max_vocab``).
+
+    DETERMINISM: the fit is a pure function of corpus CONTENT, never of
+    physical block layout — required for the resume contract (a resumed
+    run and a fresh run must build the identical fact).  Sampling keeps
+    a row iff its text_hash's top-64-bit value falls under the fraction
+    threshold (content-keyed Bernoulli: duplicates sample together,
+    block boundaries irrelevant; ``seed`` folds into the threshold key),
+    and the distributed partial fit co-locates rows by text_hash first
+    so the per-partition dedup IS global dedup (the exchange is bounded
+    by the sample cap, so it never scales with the corpus).
     """
     ds = normalized_ds.select_columns(["canonical", "text_hash"])
     n_rows = None
@@ -65,21 +75,31 @@ def fit_token_df(
         if n_rows and n_rows > auto_sample_docs:
             sample_fraction = auto_sample_docs / n_rows
     if sample_fraction < 1.0:
-        ds = ds.random_sample(sample_fraction, seed=seed)
+        thresh = min(int(sample_fraction * float(1 << 64)), (1 << 64) - 1)
+        salt = (seed * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+
+        def _content_sample(b: pa.Table) -> pa.Table:
+            keys = [
+                (int((h or "0" * 16)[:16], 16) ^ salt) < thresh
+                for h in b["text_hash"].to_pylist()
+            ]
+            return b.filter(pa.array(keys, pa.bool_()))
+
+        ds = ds.map_batches(_content_sample, batch_format="pyarrow")
 
     df: Counter = Counter()
     n_docs = 0
     if n_rows is not None and n_rows > distributed_threshold:
-        # Distributed partial fit: each block counts its own token dfs
-        # (deduplicating by text_hash WITHIN the block) and emits a
-        # vocab-sized (token, df) table plus a doc-count sentinel; the
-        # driver merges only these bounded partials — O(vocab x blocks),
-        # never O(corpus).  Exact-duplicate texts split across blocks
-        # count once per block, inflating n_docs and their tokens' dfs by
-        # the same factor, so idf = log(n/df) shifts only to second
-        # order; below the threshold the driver path keeps the exact
-        # globally-deduplicated semantics (and all small-corpus results
-        # byte-stable).
+        # Distributed partial fit: rows are co-partitioned by text_hash
+        # (every duplicate of a text lands in ONE partition), each
+        # partition counts its token dfs over globally-distinct texts
+        # and emits a vocab-sized (token, df) table plus a doc-count
+        # sentinel; the driver merges only these bounded partials —
+        # O(vocab x partitions), never O(corpus).  The keyed exchange
+        # moves at most the sample cap's rows, and makes the fit EXACT
+        # and block-layout-independent (the old per-block dedup counted
+        # a duplicate once per block it landed in — layout-dependent,
+        # which broke the resumed-equals-clean fact contract).
         def _block_df(b: pa.Table) -> pa.Table:
             texts = b["canonical"].to_pylist()
             hashes = b["text_hash"].to_pylist()
@@ -103,11 +123,18 @@ def fit_token_df(
                 }
             )
 
-        partials = ds.map_batches(_block_df, batch_format="pyarrow", batch_size=None)
+        from ..rayutil import default_partitions, partition_by_key
+
+        parted = partition_by_key(
+            ds,
+            ["text_hash"],
+            default_partitions(min(n_rows, auto_sample_docs)),
+            sort=False,
+        )
+        partials = parted.map_batches(_block_df, batch_format="pyarrow", batch_size=None)
         # merge the partials DISTRIBUTED (token-keyed exchange + per-
         # partition sum); the driver receives one row per distinct token
-        # instead of vocab x blocks partial rows and does no groupby
-        from ..rayutil import partition_by_key
+        # instead of vocab x partitions partial rows and does no groupby
 
         def _merge_cap(d):
             g = d.groupby("token", sort=False, as_index=False).agg(
